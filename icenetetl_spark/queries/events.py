@@ -1,0 +1,146 @@
+"""Event-stream analytics over the ``events`` table — the batch twins of the
+streaming vocabulary (SURVEY.md §2.8): tumbling windows, JSON extraction,
+sessionization. The streaming shell (icenetetl_spark.streaming) runs the same
+logical plans under readStream/foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from icenetetl_spark.functions.portable import dsum, epoch_bucket
+from icenetetl_spark.sources.testdata import load_table
+
+
+def ev_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window count/sum per event type.
+
+    Batch twin of ``groupBy(F.window('ts', '5 minutes'), 'event_type')``;
+    bucket emitted as epoch seconds so the oracle compares timezone-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            epoch_bucket("ts", 300, "bucket_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value", scale=6),
+        )
+    )
+
+
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + rollup (extension surface — the reference has
+    no JSON, SURVEY.md §2.7)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-minute silence starts a new session.
+
+    lag() over (user, time) -> boundary flag -> running SUM = session index;
+    per-user window shuffle is keyed by user_id, so at scale this distributes
+    across executors (no global window). Streaming twin: session windows /
+    applyInPandasWithState.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.unix_timestamp(F.col("ts").cast("timestamp"))).over(w)
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - prev_ts
+    new_sess = F.when(prev_ts.isNull() | (gap > 1800), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_sess = ev.select(
+        "user_id", "event_id", "ts", sess_id.alias("session_idx")
+    )
+    return (
+        with_sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.unix_timestamp(F.col("ts").cast("timestamp")))
+             - F.min(F.unix_timestamp(F.col("ts").cast("timestamp"))))
+            .cast("long")
+            .alias("duration_s"),
+        )
+        .withColumn("session_idx", F.col("session_idx").cast("long"))
+    )
+
+
+def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k heavy hitters by event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", scale=6))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "ev_window_rollup": ev_window_rollup,
+    "ev_json_extract": ev_json_extract,
+    "ev_sessionize": ev_sessionize,
+    "ev_top_users": ev_top_users,
+}
+
+ORACLES = {
+    "ev_window_rollup": """
+        SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "ev_json_extract": """
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    "ev_sessionize": """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   FLOOR(EPOCH(ts)) - LAG(FLOOR(EPOCH(ts))) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+            FROM gaps
+        ), sess AS (
+            SELECT user_id, event_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               COUNT(*) AS n_events,
+               CAST(MAX(FLOOR(EPOCH(ts))) - MIN(FLOOR(EPOCH(ts))) AS BIGINT)
+                   AS duration_s
+        FROM sess
+        GROUP BY user_id, session_idx
+    """,
+    "ev_top_users": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY n_events DESC, user_id
+        LIMIT 20
+    """,
+}

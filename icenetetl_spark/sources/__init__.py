@@ -1,0 +1,3 @@
+from icenetetl_spark.sources.testdata import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]
