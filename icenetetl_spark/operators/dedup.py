@@ -1,0 +1,216 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Four families, all pure DataFrame plans (no Python row loops):
+
+- exact        : hash-groupBy on a normalized-text fingerprint
+- ngram Jaccard: word n-gram shingles -> inverted-index self-join -> exact
+                 Jaccard (the verification stage of a MinHash pipeline)
+- MinHash+LSH  : K permutation-min signatures in ONE aggregation pass
+                 (K min() aggregates — no K-way row explosion), banded into
+                 LSH buckets; candidate pairs from band-equality self-join
+- SimHash      : bit-majority fingerprint, one aggregation pass, B bit
+                 columns folded into an integer
+
+Scale notes (100 TB):
+- Every stage is a hash-shuffle keyed by doc_id or shingle/band — fully
+  distributed, no driver-side state.
+- The shingle inverted index is the dominant shuffle; hot shingles (boiler-
+  plate) are the classic skew source — cap posting-list length per shingle
+  (drop shingles with document-frequency above a threshold) before the
+  self-join, which is also standard practice quality-wise.
+- Hashes here use a portable md5-derived integer (functions.portable) so the
+  DuckDB oracle reproduces them bit-for-bit; on a real cluster swap
+  ``portable_hash64`` for ``F.xxhash64`` (same plan, ~10x cheaper).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from icenetetl_spark.functions.portable import portable_hash64
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Lowercase + whitespace-collapse + trim; the canonical form all dedup
+    operators hash. regex kept to ``\\s+`` (identical Java/RE2 semantics)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group by normalized-text fingerprint: canonical (min) id + copy count.
+    Equivalent semantics to the reference's GROUP-BY-dedup (processor.py:431)
+    lifted to content hashing."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    return (
+        docs.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Split on single space (documents are single-spaced); docs shorter than
+    ``n`` words produce no shingles.
+    """
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard similarity over all candidate pairs sharing at
+    least one shingle (inverted-index self-join, no O(n^2) cross join).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("inter").cast("double") / (
+        F.col("ca.n_shingles") + F.col("cb.n_shingles") - F.col("inter")
+    )
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (h, a, b) permutation parameters (odd multipliers)."""
+    return [(h, 2 * h + 1, 7919 * h + 13) for h in range(num_hashes)]
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """K-column MinHash signature in ONE shuffle: groupBy(doc_id) with K
+    min() aggregates over (a_k * H(shingle) + b_k) mod (2^31-1).
+
+    This is the scale-correct plan: the naive formulation cross-joins the
+    shingle table with K hash rows (K-fold row explosion before the shuffle);
+    here the K permutations ride the same partial-aggregation pass.
+    """
+    base = portable_hash64(F.col("shingle"), bits=32)
+    aggs = [
+        F.min((F.lit(a) * base + F.lit(b)) % MERSENNE_P).alias(f"mh{h}")
+        for (h, a, b) in _minhash_params(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the K-column signature into ``bands`` groups of K/bands rows;
+    documents agreeing on ALL rows of any band become a candidate pair.
+
+    Returns distinct (doc_a, doc_b), doc_a < doc_b. The band self-join is an
+    equi-join on (band_idx, band_signature) — hash-partitioned, distributed.
+    """
+    rows_per_band = num_hashes // bands
+    banded = None
+    for bi in range(bands):
+        cols = [f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)]
+        sig = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+        piece = signatures.select(
+            "doc_id", F.lit(bi).alias("band_idx"), sig.alias("band_sig")
+        )
+        banded = piece if banded is None else banded.unionByName(piece)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    num_bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document SimHash: majority vote of each hash bit across all word
+    occurrences, folded into an integer. One explode (words) + one shuffle
+    (groupBy doc) with ``num_bits`` sum() aggregates — no bits-axis explosion.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    )
+    h = portable_hash64(F.col("word"), bits=32)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(num_bits)
+    ]
+    sums = words.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(num_bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within ``max_hamming`` bits. The all-pairs join here is the
+    small-data form; at scale, block by bit-segments (pigeonhole: split the
+    fingerprint into max_hamming+1 segments, exact-match join on each) —
+    same output, linear shuffle."""
+    a = sim.alias("a")
+    b = sim.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

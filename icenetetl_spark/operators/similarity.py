@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine``            : JVM-side expression (zip_with product + sequential
+                          fold + sqrt) — stays inside whole-stage codegen, no
+                          Python boundary, and is bit-identical to the DuckDB
+                          oracle's list_dot_product on doubles.
+- ``knn_bruteforce``    : exact top-k per query via query×corpus join +
+                          per-query window. The baseline.
+- ``knn_sign_lsh``      : LSH-bucketed approximate variant — random-hyperplane
+                          family degenerated to axis sign bits (deterministic,
+                          engine-portable); candidates restricted to the
+                          query's bucket.
+
+Scale notes (100 TB / 10^9+ vectors):
+- Brute force is O(|Q|x|C|): fine for small query sets (the per-query window
+  is partitioned by query id, so it distributes); for large Q use the LSH /
+  IVF path: bucket both sides, shuffle once on bucket id, search within
+  buckets (+ multi-probe for recall).
+- The fold-based dot product is O(d) per pair with no Arrow hop. For very
+  wide vectors a pandas_udf over numpy matmul batches wins — that variant is
+  ``icenetetl_spark.operators.multimodal.embed_batch_scores`` (Arrow-batched),
+  kept off this path so the oracle stays exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
+
+    Deterministic: ties broken by neighbor id. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def sign_bucket(vec: Column, num_bits: int = 8) -> Column:
+    """Deterministic LSH bucket id: sign bits of the first ``num_bits``
+    coordinates ('0'/'1' string). A fixed axis-aligned instance of the
+    random-hyperplane (SRP) family — portable to the SQL oracle; on a real
+    deployment draw the hyperplanes from a seeded RNG and keep the same plan.
+    """
+    bits = [
+        F.when(vec.getItem(i) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(num_bits)
+    ]
+    return F.concat(*bits)
+
+
+def knn_sign_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's sign-LSH bucket,
+    then exact cosine rank within bucket. One equi-join shuffle on bucket id
+    instead of a full cross join — the 100 TB-shaped plan.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_bucket(F.col(vec_col), num_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket(F.col(vec_col), num_bits).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (doc_a < doc_b). All-pairs form;
+    at scale run it as ``knn_sign_lsh`` candidates + threshold filter."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

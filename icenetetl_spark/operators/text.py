@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data curation: token counting,
+language identification, quality scoring, fingerprinting.
+
+All pure JVM-side column expressions (split / array lambdas / replace) — no
+Python UDFs in the hot path, so the plans stay inside whole-stage codegen and
+scale linearly with input. Every expression is engine-portable so the DuckDB
+oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from icenetetl_spark.operators.dedup import normalize_text
+
+# Tiny marker-word inventories per language — the n-gram-free heuristic:
+# score(lang) = #tokens that are marker words of lang. Deliberately small so
+# the oracle SQL mirrors them verbatim.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("de", "shi", "le", "he", "zai"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "is", "to", "in", "that", "it", "on",
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def _count_in(arr: Column, vocab: tuple[str, ...]) -> Column:
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(arr, lambda w: F.array_contains(vocab_arr, w)))
+
+
+def marker_scores(text: Column) -> dict[str, Column]:
+    t = tokens(text)
+    return {lang: _count_in(t, words) for lang, words in LANG_MARKERS.items()}
+
+
+def predict_language(text: Column) -> Column:
+    """argmax over marker-word counts; ties resolved by fixed lang order
+    (greatest-so-far keeps the earlier language), 'und' (undetermined) when
+    no marker hits at all."""
+    scores = marker_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:  # insertion order = tie-break order
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals; all ratios are double divisions of
+    integer counts (engine-exact)."""
+    t = tokens(text)
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    n_chars_nospace = F.length(F.regexp_replace(text, r"\s+", ""))
+    n_stop = _count_in(t, STOPWORDS)
+    return {
+        "n_tokens": n_tokens,
+        "distinct_ratio": n_distinct.cast("double") / n_tokens,
+        "mean_token_len": n_chars_nospace.cast("double") / n_tokens,
+        "stopword_ratio": n_stop.cast("double") / n_tokens,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score: favors lexical diversity, mid-length
+    tokens, and a nonzero-but-bounded stopword rate. Integer-count based —
+    portable."""
+    f = quality_features(text)
+    len_ok = F.when(
+        (f["mean_token_len"] >= 3.0) & (f["mean_token_len"] <= 8.0), 1.0
+    ).otherwise(0.5)
+    stop_ok = F.when(f["stopword_ratio"] <= 0.5, 1.0).otherwise(0.5)
+    return (f["distinct_ratio"] * len_ok * stop_ok).alias("quality")
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (exact-dup key; the
+    rolling-hash variant for shingle-level matching lives in
+    operators.dedup.word_shingles + portable_hash64)."""
+    return F.md5(normalize_text(text))

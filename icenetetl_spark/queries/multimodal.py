@@ -1,2 +1,64 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Multimodal-column queries over ``documents`` (UTF-8 payload bytes stand in
+for media blobs — the container has no image/audio libs; see
+operators.multimodal for the stubbed decode and the real Arrow plumbing).
+
+``mm_decode_stub`` runs a genuine mapInPandas decode pass; its oracle mirrors
+the deterministic fake-decoder arithmetic, so even the Python-side plumbing
+is value-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icenetetl_spark.operators import multimodal as M
+from icenetetl_spark.sources.testdata import load_table
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.binary_metadata(docs)
+
+
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.decode_media(docs)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.frame_sample_plan(docs, every_nth=10)
+
+
+QUERIES = {
+    "mm_binary_meta": mm_binary_meta,
+    "mm_decode_stub": mm_decode_stub,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+_NB = "octet_length(encode(text))"
+
+ORACLES = {
+    "mm_binary_meta": f"""
+        SELECT doc_id,
+               CAST({_NB} AS BIGINT) AS n_bytes,
+               lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
+               {_NB} > 0 AS is_nonempty
+        FROM documents
+    """,
+    "mm_decode_stub": f"""
+        SELECT doc_id,
+               CAST({_NB} AS BIGINT) AS n_bytes,
+               CASE WHEN {_NB} % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+               CAST(1 + {_NB} % 64 AS INTEGER) AS width,
+               CAST(1 + ({_NB} // 64) % 64 AS INTEGER) AS height,
+               CAST((1 + {_NB} % 64) * (1 + ({_NB} // 64) % 64) AS BIGINT)
+                   AS n_pixels
+        FROM documents
+    """,
+    "mm_frame_sample": f"""
+        SELECT doc_id, CAST(unnest(generate_series(0, {_NB} % 256, 10)) AS INTEGER)
+                   AS frame_idx
+        FROM documents
+    """,
+}

@@ -1,2 +1,124 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Similarity-search queries over ``embeddings``, binding
+operators.similarity. Cosine is computed in double precision via sequential
+fold on both engines — verified bit-identical to DuckDB's list_dot_product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from icenetetl_spark.operators import similarity as S
+from icenetetl_spark.sources.testdata import load_table
+
+K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+LSH_BITS = 8
+NEAR_DUP_T = 0.45
+
+_COS = """
+    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.knn_bruteforce(queries, emb, k=K)
+
+
+def knn_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.knn_sign_lsh(queries, emb, k=K, num_bits=LSH_BITS)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_duplicates(emb, threshold=NEAR_DUP_T)
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics — array fold staying JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    return (
+        emb.select("label", "vec_id", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+    )
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "knn_sign_lsh": knn_sign_lsh,
+    "embedding_near_dup": embedding_near_dup,
+    "embedding_norms": embedding_norms,
+}
+
+_SIGN_BUCKET = lambda t: " || ".join(  # noqa: E731
+    f"(CASE WHEN {t}.embedding[{i + 1}] > 0 THEN '1' ELSE '0' END)"
+    for i in range(LSH_BITS)
+)
+
+ORACLES = {
+    "knn_bruteforce": f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS} AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM ranked WHERE rank <= {K}
+    """,
+    "knn_sign_lsh": f"""
+        WITH q AS (SELECT vec_id, embedding, {_SIGN_BUCKET('embeddings')} AS bucket
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+             c AS (SELECT vec_id, embedding, {_SIGN_BUCKET('embeddings')} AS bucket
+                   FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos
+            FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM ranked WHERE rank <= {K}
+    """,
+    "embedding_near_dup": f"""
+        SELECT * FROM (
+            SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS} AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+        ) WHERE cos >= {NEAR_DUP_T}
+    """,
+    "embedding_norms": """
+        WITH norms AS (
+            SELECT label, vec_id,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        )
+        SELECT label, count(*) AS n_vectors,
+               min(norm) AS min_norm, max(norm) AS max_norm
+        FROM norms GROUP BY label
+    """,
+}

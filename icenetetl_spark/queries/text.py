@@ -1,2 +1,122 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Text-analysis queries over ``documents``, binding operators.text.
+Oracle SQL mirrors the marker/stopword inventories programmatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from icenetetl_spark.operators import text as T
+from icenetetl_spark.sources.testdata import load_table
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = f"string_split({_NORM}, ' ')"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        f["n_tokens"].alias("n_tokens"),
+        f["distinct_ratio"].alias("distinct_ratio"),
+        f["mean_token_len"].alias("mean_token_len"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T.predict_language(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+}
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _marker_count(words: tuple[str, ...]) -> str:
+    return f"len(list_filter({_TOKENS}, x -> x IN ({_in_list(words)})))"
+
+
+_SCORES = ",\n           ".join(
+    f"{_marker_count(words)} AS s_{lang}" for lang, words in T.LANG_MARKERS.items()
+)
+_GREATEST = "greatest(" + ", ".join(f"s_{lang}" for lang in T.LANG_MARKERS) + ")"
+_PRED_CASE = (
+    f"CASE WHEN {_GREATEST} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = {_GREATEST} THEN '{lang}'" for lang in T.LANG_MARKERS
+    )
+    + " END"
+)
+
+_STOP_COUNT = _marker_count(T.STOPWORDS)
+
+_FEATURES = f"""
+    len({_TOKENS}) AS n_tokens,
+    CAST(len(list_distinct({_TOKENS})) AS DOUBLE) / len({_TOKENS}) AS distinct_ratio,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len({_TOKENS})
+        AS mean_token_len,
+    CAST({_STOP_COUNT} AS DOUBLE) / len({_TOKENS}) AS stopword_ratio
+"""
+
+ORACLES = {
+    "text_stats": f"""
+        SELECT doc_id, lang, {_FEATURES}
+        FROM documents
+    """,
+    "text_lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+           {_SCORES}
+            FROM documents
+        )
+        SELECT doc_id, lang, {_PRED_CASE} AS predicted_lang,
+               ({_PRED_CASE}) = lang AS is_match
+        FROM scored
+    """,
+    "text_quality": f"""
+        WITH feats AS (SELECT doc_id, {_FEATURES} FROM documents)
+        SELECT doc_id,
+               distinct_ratio
+               * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0
+                       THEN 1.0 ELSE 0.5 END)
+               * (CASE WHEN stopword_ratio <= 0.5 THEN 1.0 ELSE 0.5 END)
+                   AS quality
+        FROM feats
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id, md5({_NORM}) AS fingerprint,
+               len({_TOKENS}) AS n_tokens
+        FROM documents
+    """,
+}
