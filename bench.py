@@ -1,0 +1,85 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized via a count-style action (no driver collect of
+payload rows — we time the full plan execution, not result transfer).
+A warmup query first touches every table so JVM/codegen/page-cache warmup
+isn't attributed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from icenetetl_spark.queries import all_queries  # noqa: E402
+from icenetetl_spark.session import get_spark  # noqa: E402
+from icenetetl_spark.sources.testdata import TABLES, load_table  # noqa: E402
+
+BENCH_QUERIES = [
+    # relational headliners
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_local_supplier",
+    "q6_revenue_delta",
+    # reference-parity chains
+    "j2_inner_enrich",
+    "w1_row_number",
+    "icenet_pipeline_latest",
+    # event analytics
+    "ev_window_rollup",
+    "ev_sessionize",
+    # LLM-data-pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "text_lang_id",
+    "knn_bruteforce",
+    "knn_sign_lsh",
+    "mm_decode_stub",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("icenetetl-bench")
+    queries = all_queries()
+
+    # warmup: touch every table (page cache + codegen + parquet footers)
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # force full materialization of every column, not just count paths
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

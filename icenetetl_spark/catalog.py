@@ -1,0 +1,106 @@
+"""Parquet-backed table layer with upsert discipline.
+
+Stands in for the reference's PostgreSQL storage: ``append_missing`` ≙
+``INSERT ... ON CONFLICT DO NOTHING`` (processor.py:249-256, 326-333),
+``upsert`` ≙ ``ON CONFLICT DO UPDATE`` (processor.py:395-401), ``overwrite``
+≙ materialized-view refresh (processor.py:444-448).
+
+Delta/Iceberg are not present in this environment, so merge semantics are
+implemented as anti-join/union plans materialized via an atomic
+staging-directory swap. On a production cluster the same call sites map 1:1
+onto ``MERGE INTO`` against Delta/Iceberg tables (table-transactional,
+concurrent-writer-safe) — this class is the seam where that swap happens.
+
+Scale notes:
+- ``append_missing`` reads only the key columns of the existing side
+  (projection pushdown) and lets AQE broadcast the smaller side of the anti
+  join; with a date/hemisphere-partitioned table, callers pre-filter the
+  existing side to the touched partitions (partition pruning) so the anti
+  join never scans history.
+- Tables are written ``partitionBy`` the columns declared in
+  ``PARTITIONING`` — date + hemisphere, mirroring the reference's B-tree
+  read-path indexes (processor.py:286-288) with layout instead of indexes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icenetetl_spark.operators.relational import insert_missing, upsert as upsert_plan
+
+PARTITIONING: dict[str, list[str]] = {
+    "forecasts": ["hemisphere", "date_forecast_generated"],
+    "cells": ["hemisphere"],
+}
+
+
+class ParquetCatalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return False
+        return any(
+            f.endswith(".parquet") or f.startswith("hemisphere=") or "=" in f
+            for f in os.listdir(p)
+        ) or any(os.scandir(p))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def _writer(self, df: DataFrame, name: str):
+        w = df.write
+        parts = PARTITIONING.get(name)
+        return w.partitionBy(*parts) if parts else w
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """CREATE OR REPLACE TABLE AS SELECT — matview refresh semantics.
+        Staged write + directory swap so a plan reading the old table can
+        finish materializing before the old files disappear."""
+        staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
+        self._writer(df, name).mode("overwrite").parquet(staging)
+        target = self.path(name)
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        os.rename(staging, target)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        self._writer(df, name).mode("append").parquet(self.path(name))
+
+    def append_missing(self, name: str, df: DataFrame, keys: Sequence[str]) -> int:
+        """INSERT ... ON CONFLICT DO NOTHING. Returns rows appended.
+        Idempotent: replaying the same batch appends nothing."""
+        if not self.exists(name):
+            self._writer(df, name).mode("overwrite").parquet(self.path(name))
+            return -1
+        fresh = insert_missing(df, self.read(name), keys)
+        # Materialize to staging before appending: `fresh` reads the target
+        # table lazily, and appending while scanning the same files is racy.
+        staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
+        fresh.write.parquet(staging)
+        fresh_back = self.spark.read.parquet(staging)
+        n = fresh_back.count()
+        if n:
+            self.append(name, fresh_back)
+        shutil.rmtree(staging)
+        return n
+
+    def upsert(self, name: str, df: DataFrame, keys: Sequence[str]) -> None:
+        """INSERT ... ON CONFLICT DO UPDATE (last-writer-wins on key)."""
+        if not self.exists(name):
+            self._writer(df, name).mode("overwrite").parquet(self.path(name))
+            return
+        merged = upsert_plan(df, self.read(name), keys)
+        self.overwrite(name, merged)

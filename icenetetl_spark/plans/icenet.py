@@ -1,0 +1,264 @@
+"""The IceNet ingest pipeline — the reference's five-stage lifecycle
+(azfunctions/InputBlobTrigger/__init__.py:22-26: load -> update_geometries ->
+update_forecasts -> update_latest_forecast -> update_forecast_meta)
+re-expressed as DataFrame plans over a Parquet/Delta table layer.
+
+One ``run()`` call ≙ one blob-trigger invocation (one NetCDF file). The
+pipeline is idempotent by construction — replaying a file is a no-op for the
+fact tables (anti-join insert ≙ ON CONFLICT DO NOTHING) and a deterministic
+overwrite for the rollup/matview — which is the reference's core operational
+invariant (README.md:42-51: retry = re-upload the blob).
+
+Scale notes (100 TB of forecasts):
+- ``forecasts`` is partitioned by (hemisphere, date_forecast_generated); each
+  ingest touches exactly one partition, so the dedup anti join prunes to that
+  partition instead of scanning history.
+- The cell lookup join broadcasts the cells table (~187k rows/hemisphere ≪
+  broadcast threshold) — same strategy the reference hand-rolls by preloading
+  cells into pandas (processor.py:296-321).
+- ``update_latest`` recomputes only from the max-generation-date partitions;
+  ``update_meta`` recomputes the full rollup exactly like the reference
+  (processor.py:385-394) — kept for semantic parity; the incremental variant
+  (merge only the touched generation date) is a one-line change documented in
+  ARCHITECTURE.md.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from icenetetl_spark.catalog import ParquetCatalog
+from icenetetl_spark.functions.geo import build_cell_grid
+from icenetetl_spark.operators.relational import latest_snapshot, rename_normalize
+from icenetetl_spark.schemas import SRID_BY_HEMISPHERE
+
+# Old-format variable compatibility, processor.py:126-133
+RENAME_MAP = {"mean": "sic_mean", "stddev": "sic_stddev"}
+
+# Columns dropped after derivation, processor.py:170-180
+DROP_COLS = ["yc", "xc", "leadtime", "Lambert_Azimuthal_Grid", "lat", "lon"]
+
+
+@dataclass
+class FileAttrs:
+    """Per-file NetCDF global attributes (processor.py:137-150)."""
+
+    geospatial_lat_max: float | None = None
+    geospatial_lat_min: float | None = None
+    keywords: str = ""
+
+
+def classify_hemisphere(attrs: FileAttrs) -> str:
+    """Hemisphere routing predicate, processor.py:137-153: geospatial attrs
+    first, keyword sniff fallback, error if unresolvable."""
+    if attrs.geospatial_lat_max is not None and attrs.geospatial_lat_max > 80:
+        return "north"
+    if attrs.geospatial_lat_min is not None and attrs.geospatial_lat_min < -80:
+        return "south"
+    kw = (attrs.keywords or "").lower()
+    if "north" in kw:
+        return "north"
+    if "south" in kw:
+        return "south"
+    raise ValueError("unable to identify hemisphere from file attributes")
+
+
+def normalize_forecasts(raw: DataFrame, hemisphere: str) -> DataFrame:
+    """load() stage, processor.py:117-190: rename-normalize old variables,
+    filter sic_mean > 0, drop rows with ANY null (dropna 'any' semantics —
+    a null stddev drops the row even when mean > 0; replicated exactly, see
+    SURVEY.md §7 hard-part 6), derive metre coords + forecast date, project.
+    """
+    df = rename_normalize(raw, RENAME_MAP)
+    df = df.filter(F.col("sic_mean") > 0).na.drop("any")
+    df = (
+        df.withColumn("xc_m", F.floor(F.col("xc") * 1000).cast("int"))
+        .withColumn("yc_m", F.floor(F.col("yc") * 1000).cast("int"))
+        .withColumn(
+            "time_forecast", F.timestamp_add("DAY", F.col("leadtime"), F.col("time"))
+        )
+        .withColumn("hemisphere", F.lit(hemisphere))
+    )
+    return df.drop(*[c for c in DROP_COLS if c in df.columns])
+
+
+def surrogate_cell_id() -> F.Column:
+    """Deterministic replacement for SERIAL (processor.py:201): stable across
+    runs/executors, no single-partition window bottleneck."""
+    return F.xxhash64("hemisphere", "centroid_x", "centroid_y")
+
+
+class IceNetPipeline:
+    def __init__(self, catalog: ParquetCatalog):
+        self.catalog = catalog
+
+    # -- stage 2: update_geometries (processor.py:192-266) ---------------
+    def update_geometries(self, forecasts: DataFrame, hemisphere: str) -> None:
+        xs = forecasts.select(F.col("xc_m").alias("centroid_x")).distinct()
+        ys = forecasts.select(F.col("yc_m").alias("centroid_y")).distinct()
+        grid = build_cell_grid(xs, ys).withColumn("hemisphere", F.lit(hemisphere))
+        cells = grid.select(
+            surrogate_cell_id().alias("cell_id"),
+            "hemisphere",
+            "centroid_x",
+            "centroid_y",
+            "geom_laea_wkt",
+            F.lit(SRID_BY_HEMISPHERE[hemisphere]).alias("srid_laea"),
+            F.lit(None).cast("string").alias("geom_4326_wkt"),
+        )
+        # UNIQUE(centroid_x, centroid_y) per hemisphere, processor.py:206
+        self.catalog.append_missing(
+            "cells", cells, ["hemisphere", "centroid_x", "centroid_y"]
+        )
+
+    # -- stage 3: update_forecasts (processor.py:268-344) ----------------
+    def update_forecasts(self, forecasts: DataFrame, hemisphere: str) -> None:
+        cells = self.catalog.read("cells").filter(
+            F.col("hemisphere") == hemisphere
+        ).select("cell_id", "centroid_x", "centroid_y")
+        facts = (
+            forecasts.join(
+                F.broadcast(cells),
+                (forecasts.xc_m == cells.centroid_x)
+                & (forecasts.yc_m == cells.centroid_y),
+                "left",
+            )
+            .select(
+                F.lit(None).cast("long").alias("forecast_id"),
+                "hemisphere",
+                F.to_date("time").alias("date_forecast_generated"),
+                F.to_date("time_forecast").alias("date_forecast_for"),
+                "cell_id",
+                F.col("sic_mean").alias("sea_ice_concentration_mean"),
+                F.col("sic_stddev").alias("sea_ice_concentration_stddev"),
+            )
+        )
+        facts = facts.withColumn(
+            "forecast_id",
+            F.xxhash64(
+                "hemisphere", "date_forecast_generated", "date_forecast_for", "cell_id"
+            ),
+        )
+        # UNIQUE(date_generated, date_for, cell_id), processor.py:283
+        self.catalog.append_missing(
+            "forecasts",
+            facts,
+            ["hemisphere", "date_forecast_generated", "date_forecast_for", "cell_id"],
+        )
+
+    # -- stage 4: update_latest_forecast (processor.py:409-451) ----------
+    def update_latest(self) -> None:
+        forecasts = self.catalog.read("forecasts")
+        cells = self.catalog.read("cells")
+        # Per-hemisphere latest snapshot (the reference has one matview per
+        # hemisphere table; max is taken within each, processor.py:430).
+        per_hemi_max = forecasts.groupBy("hemisphere").agg(
+            F.max("date_forecast_generated").alias("__latest")
+        )
+        latest = (
+            forecasts.join(F.broadcast(per_hemi_max), "hemisphere")
+            .filter(F.col("date_forecast_generated") == F.col("__latest"))
+            .drop("__latest")
+        )
+        enriched = latest.join(
+            F.broadcast(cells.select("cell_id", "geom_4326_wkt", "geom_laea_wkt")),
+            "cell_id",
+            "inner",
+        ).dropDuplicates(
+            ["hemisphere", "date_forecast_generated", "date_forecast_for", "cell_id"]
+        )
+        # row_number surrogate with EXPLICIT deterministic ordering (the
+        # reference's has no ORDER BY, processor.py:420 — documented fix).
+        w = Window.partitionBy(F.lit(True)).orderBy(
+            "hemisphere", "date_forecast_generated", "date_forecast_for", "cell_id"
+        )
+        out = enriched.select(
+            F.row_number().over(w).cast("long").alias("forecast_id"),
+            "hemisphere",
+            "date_forecast_generated",
+            "date_forecast_for",
+            "cell_id",
+            "sea_ice_concentration_mean",
+            "sea_ice_concentration_stddev",
+            "geom_4326_wkt",
+            "geom_laea_wkt",
+        )
+        self.catalog.overwrite("forecast_latest", out)
+
+    # -- stage 5: update_forecast_meta (processor.py:346-407) ------------
+    def update_meta(self) -> None:
+        forecasts = self.catalog.read("forecasts")
+        # Whole-table rollup over ALL generation dates each run — exact
+        # reference semantics (processor.py:385-394).
+        rollup = forecasts.groupBy("date_forecast_generated", "hemisphere").agg(
+            F.min("date_forecast_for").alias("date_forecast_first"),
+            F.max("date_forecast_for").alias("date_forecast_last"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+        meta = rollup.select(
+            F.xxhash64("date_forecast_generated", "hemisphere").alias(
+                "forecast_meta_id"
+            ),
+            "date_forecast_generated",
+            "date_forecast_first",
+            "date_forecast_last",
+            "hemisphere",
+            "n_records",
+        )
+        # ON CONFLICT (date_forecast_generated, hemisphere) DO UPDATE
+        self.catalog.upsert(
+            "forecast_meta", meta, ["date_forecast_generated", "hemisphere"]
+        )
+
+    # -- the five-stage lifecycle (__init__.py:22-26) --------------------
+    def run(self, raw: DataFrame, attrs: FileAttrs) -> None:
+        hemisphere = classify_hemisphere(attrs)
+        forecasts = normalize_forecasts(raw, hemisphere)
+        self.update_geometries(forecasts, hemisphere)
+        self.update_forecasts(forecasts, hemisphere)
+        self.update_latest()
+        self.update_meta()
+
+
+def latest_view_plan(raw: DataFrame, hemisphere: str) -> DataFrame:
+    """Pure-transform (no table layer) version of the flagship chain:
+    normalize -> grid -> cell assign -> latest snapshot -> enrich -> number.
+    Used by the rows-only ``icenet_pipeline_latest`` driver query."""
+    forecasts = normalize_forecasts(raw, hemisphere)
+    xs = forecasts.select(F.col("xc_m").alias("centroid_x")).distinct()
+    ys = forecasts.select(F.col("yc_m").alias("centroid_y")).distinct()
+    cells = (
+        build_cell_grid(xs, ys)
+        .withColumn("hemisphere", F.lit(hemisphere))
+        .withColumn("cell_id", surrogate_cell_id())
+    )
+    facts = forecasts.join(
+        F.broadcast(cells),
+        (forecasts.xc_m == cells.centroid_x) & (forecasts.yc_m == cells.centroid_y),
+        "left",
+    ).select(
+        forecasts.hemisphere.alias("hemisphere"),
+        F.to_date("time").alias("date_forecast_generated"),
+        F.to_date("time_forecast").alias("date_forecast_for"),
+        "cell_id",
+        "sic_mean",
+        "sic_stddev",
+        "geom_laea_wkt",
+    )
+    latest = latest_snapshot(facts, "date_forecast_generated")
+    w = Window.partitionBy(F.lit(True)).orderBy(
+        "date_forecast_for", "cell_id"
+    )
+    return latest.select(
+        F.row_number().over(w).cast("long").alias("forecast_id"),
+        "hemisphere",
+        "date_forecast_generated",
+        "date_forecast_for",
+        "cell_id",
+        "sic_mean",
+        "sic_stddev",
+        "geom_laea_wkt",
+    )

@@ -8,10 +8,18 @@ and ``ORACLES: dict[str, str]``; this package merges them for
 
 from __future__ import annotations
 
-from icenetetl_spark.queries import core, headline, events, dedup, text, similarity, multimodal
+from icenetetl_spark.queries import (
+    core,
+    dedup,
+    events,
+    headline,
+    icenet,
+    multimodal,
+    similarity,
+    text,
+)
 
-
-_MODULES = [core, headline, events, dedup, text, similarity, multimodal]
+_MODULES = [core, headline, events, dedup, text, similarity, multimodal, icenet]
 
 
 def all_queries():

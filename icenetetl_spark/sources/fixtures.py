@@ -1,0 +1,70 @@
+"""Deterministic IceNet-shaped fixtures (FIXTURES.md §1): the long-form
+equivalent of one melted NetCDF file, generated with a fixed seed.
+
+Includes the features the pipeline must exercise: ~20% rows with
+``sic_mean <= 0`` (filtered), a few null ``sic_stddev`` (dropped by the
+'any'-semantics dropna), droppable passthrough columns, and an old-format
+variant (``mean``/``stddev`` names).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icenetetl_spark.plans.icenet import FileAttrs
+from icenetetl_spark.schemas import ICENET_RAW
+
+
+def make_raw_file(
+    spark: SparkSession,
+    generated: str,
+    hemisphere: str = "north",
+    grid_side: int = 16,
+    leadtimes: int = 5,
+    step_km: float = 25.0,
+    seed: int = 42,
+    old_format: bool = False,
+) -> tuple[DataFrame, FileAttrs]:
+    """One fixture file ≙ one blob event. ``generated`` is the forecast
+    generation date (single distinct ``time`` per file, processor.py:368-370).
+    """
+    rng = np.random.default_rng(seed)
+    xs = np.arange(grid_side) * step_km
+    ys = np.arange(grid_side) * step_km
+    lead, yy, xx = np.meshgrid(
+        np.arange(1, leadtimes + 1), ys, xs, indexing="ij"
+    )
+    n = lead.size
+    sic_mean = rng.uniform(-0.25, 1.0, n).astype(np.float32)  # ~20% <= 0
+    sic_stddev = rng.uniform(0.0, 0.5, n).astype(np.float32)
+    null_mask = rng.uniform(size=n) < 0.02
+    sic_stddev = np.where(null_mask, np.nan, sic_stddev).astype(np.float32)
+
+    pdf = pd.DataFrame(
+        {
+            "time": pd.Timestamp(generated),
+            "leadtime": lead.ravel().astype(np.int32),
+            "xc": xx.ravel(),
+            "yc": yy.ravel(),
+            "lat": rng.uniform(60, 90, n),
+            "lon": rng.uniform(-180, 180, n),
+            "Lambert_Azimuthal_Grid": np.int32(0),
+            "sic_mean": sic_mean,
+            "sic_stddev": sic_stddev,
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=ICENET_RAW)
+    if old_format:
+        df = (
+            df.withColumnRenamed("sic_mean", "mean")
+            .withColumnRenamed("sic_stddev", "stddev")
+        )
+    attrs = (
+        FileAttrs(geospatial_lat_max=85.0)
+        if hemisphere == "north"
+        else FileAttrs(geospatial_lat_min=-85.0)
+    )
+    return df, attrs

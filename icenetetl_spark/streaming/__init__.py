@@ -1,0 +1,3 @@
+from icenetetl_spark.streaming.ingest_stream import start_ingest_stream
+
+__all__ = ["start_ingest_stream"]

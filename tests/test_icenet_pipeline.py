@@ -1,0 +1,157 @@
+"""End-to-end tests of the five-stage IceNet pipeline (plans/icenet.py)
+against the reference's documented semantics, including the core operational
+invariant: idempotency under replay (README.md:42-51)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icenetetl_spark.catalog import ParquetCatalog
+from icenetetl_spark.plans.icenet import (
+    FileAttrs,
+    IceNetPipeline,
+    classify_hemisphere,
+    normalize_forecasts,
+)
+from icenetetl_spark.sources.fixtures import make_raw_file
+
+
+def table_fingerprint(df, ignore=("forecast_id", "forecast_meta_id")):
+    cols = sorted(c for c in df.columns if c not in ignore)
+    rows = [tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()]
+    return sorted(rows)
+
+
+def test_classify_hemisphere():
+    assert classify_hemisphere(FileAttrs(geospatial_lat_max=85.0)) == "north"
+    assert classify_hemisphere(FileAttrs(geospatial_lat_min=-85.0)) == "south"
+    assert classify_hemisphere(FileAttrs(keywords="Sea ice > North")) == "north"
+    assert classify_hemisphere(FileAttrs(keywords="antarctic SOUTH ice")) == "south"
+    with pytest.raises(ValueError):
+        classify_hemisphere(FileAttrs(keywords="equatorial"))
+
+
+def test_normalize_filters_and_derives(spark):
+    raw, _ = make_raw_file(spark, "2024-03-01", seed=7)
+    out = normalize_forecasts(raw, "north")
+    rows = out.count()
+    # sic_mean <= 0 filtered AND null-stddev rows dropped ('any' semantics)
+    raw_n = raw.count()
+    kept = raw.filter(
+        (F.col("sic_mean") > 0) & F.col("sic_stddev").isNotNull()
+    ).count()
+    assert rows == kept < raw_n
+    # metre coords and forecast-date arithmetic
+    sample = out.filter((F.col("xc_m") == 25000) & (F.col("yc_m") == 50000)).first()
+    assert sample is not None
+    r = out.select(
+        F.min(F.to_date("time_forecast")).alias("lo"),
+        F.max(F.to_date("time_forecast")).alias("hi"),
+    ).first()
+    assert str(r["lo"]) == "2024-03-02" and str(r["hi"]) == "2024-03-06"
+    # dropped passthrough columns
+    assert not {"lat", "lon", "Lambert_Azimuthal_Grid", "leadtime"} & set(out.columns)
+
+
+def test_old_format_rename(spark):
+    raw_old, _ = make_raw_file(spark, "2024-03-01", seed=7, old_format=True)
+    out = normalize_forecasts(raw_old, "north")
+    assert "sic_mean" in out.columns and "sic_stddev" in out.columns
+
+
+def test_pipeline_end_to_end_and_idempotent(spark, warehouse):
+    cat = ParquetCatalog(spark, warehouse)
+    pipe = IceNetPipeline(cat)
+
+    f1, a1 = make_raw_file(spark, "2024-03-01", "north", seed=1)
+    f2, a2 = make_raw_file(spark, "2024-03-08", "north", seed=2)
+    f3, a3 = make_raw_file(spark, "2024-03-05", "south", seed=3)
+    for f, a in [(f1, a1), (f2, a2), (f3, a3)]:
+        pipe.run(f, a)
+
+    cells = cat.read("cells")
+    forecasts = cat.read("forecasts")
+    latest = cat.read("forecast_latest")
+    meta = cat.read("forecast_meta")
+
+    # grid: 16x16 per hemisphere, unique per (hemisphere, centroid)
+    assert cells.count() == 2 * 16 * 16
+    assert (
+        cells.select("hemisphere", "centroid_x", "centroid_y").distinct().count()
+        == cells.count()
+    )
+    # every fact found its cell (left join hit) and has unique key
+    assert forecasts.filter(F.col("cell_id").isNull()).count() == 0
+    key = ["hemisphere", "date_forecast_generated", "date_forecast_for", "cell_id"]
+    assert forecasts.select(*key).distinct().count() == forecasts.count()
+    # WKT shape: centroid 0,0 with 25km step -> +/-12500m ring
+    wkt = cells.filter(
+        (F.col("centroid_x") == 0)
+        & (F.col("centroid_y") == 0)
+        & (F.col("hemisphere") == "north")
+    ).first()["geom_laea_wkt"]
+    assert wkt == (
+        "POLYGON((-12500 12500, 12500 12500, 12500 -12500, "
+        "-12500 -12500, -12500 12500))"
+    )
+
+    # latest view: per-hemisphere max generation date only
+    gen = {
+        (r["hemisphere"], str(r["date_forecast_generated"]))
+        for r in latest.select("hemisphere", "date_forecast_generated")
+        .distinct()
+        .collect()
+    }
+    assert gen == {("north", "2024-03-08"), ("south", "2024-03-05")}
+    # forecast_id is a dense deterministic sequence
+    n = latest.count()
+    ids = {r["forecast_id"] for r in latest.select("forecast_id").collect()}
+    assert ids == set(range(1, n + 1))
+
+    # meta rollup: one row per (generation date, hemisphere), counts match
+    assert meta.count() == 3
+    m = {
+        (str(r["date_forecast_generated"]), r["hemisphere"]): r["n_records"]
+        for r in meta.collect()
+    }
+    fc = {
+        (str(r["date_forecast_generated"]), r["hemisphere"]): r["cnt"]
+        for r in forecasts.groupBy("date_forecast_generated", "hemisphere")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert m == fc
+
+    # IDEMPOTENCY: replay every file -> every table is a fixed point
+    before = {
+        t: table_fingerprint(cat.read(t))
+        for t in ["cells", "forecasts", "forecast_latest", "forecast_meta"]
+    }
+    for f, a in [(f1, a1), (f2, a2), (f3, a3)]:
+        pipe.run(f, a)
+    after = {
+        t: table_fingerprint(cat.read(t))
+        for t in ["cells", "forecasts", "forecast_latest", "forecast_meta"]
+    }
+    assert before == after
+
+
+def test_meta_upsert_updates_counts(spark, warehouse):
+    """New file for an EXISTING generation date must update (not duplicate)
+    the rollup row — ON CONFLICT DO UPDATE semantics (processor.py:395-401)."""
+    cat = ParquetCatalog(spark, warehouse)
+    pipe = IceNetPipeline(cat)
+    f1, a1 = make_raw_file(spark, "2024-03-01", "north", grid_side=8, seed=1)
+    pipe.run(f1, a1)
+    n1 = cat.read("forecast_meta").first()["n_records"]
+    # second file, same generation date, disjoint grid (offset by 8 cells)
+    f2, a2 = make_raw_file(spark, "2024-03-01", "north", grid_side=8, seed=2)
+    f2 = (
+        f2.withColumn("xc", F.col("xc") + 8 * 25.0)
+        .withColumn("yc", F.col("yc") + 8 * 25.0)
+    )
+    pipe.run(f2, a2)
+    meta = cat.read("forecast_meta")
+    assert meta.count() == 1  # still one rollup row for the (date, hemi) key
+    assert meta.first()["n_records"] > n1

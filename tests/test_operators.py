@@ -1,0 +1,153 @@
+"""Unit tests for relational / dedup / similarity / text / multimodal
+operators on small in-memory frames (the driver-testdata-scale behavior is
+covered by tools/check_oracle.py against DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icenetetl_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+from icenetetl_spark.operators.multimodal import (
+    attach_binary_payload,
+    binary_metadata,
+    decode_media,
+    frame_sample_plan,
+)
+from icenetetl_spark.operators.relational import (
+    insert_missing,
+    latest_snapshot,
+    rename_normalize,
+    upsert,
+)
+from icenetetl_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_sign_lsh,
+)
+from icenetetl_spark.operators.text import predict_language, quality_score
+
+
+def test_rename_normalize_conditional(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "mean double, other double")
+    out = rename_normalize(df, {"mean": "sic_mean", "stddev": "sic_stddev"})
+    assert out.columns == ["sic_mean", "other"]
+
+
+def test_latest_snapshot(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-02-01"), (3, "2024-02-01")], "id int, d string"
+    ).withColumn("d", F.to_date("d"))
+    out = latest_snapshot(df, "d")
+    assert {r["id"] for r in out.collect()} == {2, 3}
+
+
+def test_insert_missing_and_upsert(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    incoming = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    assert {r["k"] for r in insert_missing(incoming, existing, ["k"]).collect()} == {3}
+    merged = {r["k"]: r["v"] for r in upsert(incoming, existing, ["k"]).collect()}
+    assert merged == {1: "a", 2: "B", 3: "c"}
+
+
+def test_exact_duplicates_normalization(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r["canonical_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs, n=3)
+    pairs = jaccard_pairs(sh, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"], pairs[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_finds_identical(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "p q r s t u v")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(word_shingles(docs, n=3), num_hashes=16)
+    assert sigs.count() == 3 and len(sigs.columns) == 17
+    cands = lsh_candidate_pairs(sigs, 16, 4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in cands} == {(1, 2)}
+
+
+def test_simhash_deterministic_and_near(spark):
+    docs = spark.createDataFrame(
+        [(1, "w x y z " * 10), (2, "w x y z " * 10), (3, "completely other words")],
+        "doc_id long, text string",
+    )
+    sim = simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[1] == vals[2]
+    near = simhash_near_pairs(sim, max_hamming=0).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in near} == {(1, 2)}
+
+
+def test_knn_exact_vs_lsh(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.1]),
+        (2, [0.9, 0.1, 0.0, 0.1]),
+        (3, [0.0, 1.0, 0.0, 0.1]),
+        (4, [-1.0, 0.0, 0.0, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 1)
+    exact = knn_bruteforce(q, emb, k=1).first()
+    assert exact["neighbor_id"] == 2
+    approx = knn_sign_lsh(q, emb, k=3, num_bits=4).collect()
+    # bucket '1000'-ish excludes the antipode vec 4
+    assert all(r["neighbor_id"] != 4 for r in approx)
+
+
+def test_language_and_quality(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is a friend of the house"),
+            (2, "der hund und die katze ist der freund"),
+            (3, "qqq zzz vvv"),
+        ],
+        "doc_id long, text string",
+    )
+    pred = {
+        r["doc_id"]: r["p"]
+        for r in docs.select("doc_id", predict_language(F.col("text")).alias("p")).collect()
+    }
+    assert pred == {1: "en", 2: "de", 3: "und"}
+    q = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    assert 0 < q[1] <= 1.0 and q[3] == 1.0  # all-distinct short doc scores high
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "")], "doc_id long, text string"
+    )
+    payload = attach_binary_payload(docs)
+    meta = {r["doc_id"]: r for r in binary_metadata(payload).collect()}
+    assert meta[1]["n_bytes"] == 8 and meta[1]["header_hex"] == "6162636465666768"
+    assert meta[2]["is_nonempty"] is False
+    dec = {r["doc_id"]: r for r in decode_media(payload).collect()}
+    assert dec[1]["width"] == 9 and dec[1]["height"] == 1 and dec[1]["n_pixels"] == 9
+    assert dec[1]["format"] == "png"
+    frames = frame_sample_plan(payload, every_nth=3).collect()
+    # doc 1: n_frames = 8 % 256 + 1 = 9 -> idx 0,3,6; doc 2: n_frames 1 -> idx 0
+    got = sorted((r["doc_id"], r["frame_idx"]) for r in frames)
+    assert got == [(1, 0), (1, 3), (1, 6), (2, 0)]
