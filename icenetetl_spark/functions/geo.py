@@ -66,4 +66,5 @@ def build_cell_grid(centroids_x: DataFrame, centroids_y: DataFrame) -> DataFrame
         cell_polygon_wkt(F.col("centroid_x"), F.col("centroid_y"), half).alias(
             "geom_laea_wkt"
         ),
+        half.cast("long").alias("half_step"),
     )

