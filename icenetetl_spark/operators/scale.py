@@ -1,0 +1,94 @@
+"""Scale-out helpers: the explicit knobs you reach for when AQE's automatic
+handling isn't enough at 100 TB — key-salting for skewed joins, posting-list
+capping for inverted-index self-joins, bucketed tables for shuffle-free
+repeated joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys: salt the skewed side with a
+    uniform random bucket and replicate the small side across all buckets,
+    so one hot key spreads over ``salt_buckets`` tasks instead of one.
+
+    AQE's skew-join split handles most cases automatically (enabled in
+    session.py); explicit salting remains necessary when the skew is in an
+    aggregation-before-join or the small side is too big to broadcast but
+    small enough to replicate 16x.
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
+    salted_left = skewed.select("*", salt)
+    buckets = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("__salt")
+    replicated_right = small.select("*", buckets)
+    out = salted_left.join(replicated_right, [*on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def cap_document_frequency(
+    postings: DataFrame,
+    max_df: int,
+    term_col: str = "shingle",
+) -> DataFrame:
+    """Drop terms whose posting list exceeds ``max_df`` documents before an
+    inverted-index self-join (dedup.jaccard_pairs / minhash candidates).
+
+    A boilerplate shingle occurring in 10^6 documents would contribute
+    10^12 candidate pairs — the classic quadratic blowup. Capping is both a
+    performance guard and standard dedup practice (ubiquitous shingles carry
+    no signal). The window is keyed by term: fully distributed.
+    """
+    df_counts = postings.groupBy(term_col).agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    return (
+        postings.join(
+            df_counts.filter(F.col("__df") <= max_df).select(term_col), term_col
+        )
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    num_buckets: int = 32,
+) -> None:
+    """Persist as a bucketed+sorted managed table: repeated equi-joins or
+    aggregations on ``keys`` between co-bucketed tables run WITHOUT a
+    shuffle (the sort-merge join reads pre-partitioned, pre-sorted buckets).
+
+    This is the Spark equivalent of the co-location the reference gets
+    implicitly from Postgres-side joins, and the standing replacement for
+    its B-tree indexes on join keys (processor.py:286-288).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a dropped-from-catalog table can leave its managed location behind
+    # (e.g. fresh in-memory metastore over a reused warehouse dir)
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(wh.removeprefix("file:"), table.lower())
+    if wh and os.path.isdir(loc):
+        shutil.rmtree(loc)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )

@@ -12,6 +12,7 @@ from icenetetl_spark.queries import (
     core,
     dedup,
     events,
+    extended,
     headline,
     icenet,
     multimodal,
@@ -19,7 +20,9 @@ from icenetetl_spark.queries import (
     text,
 )
 
-_MODULES = [core, headline, events, dedup, text, similarity, multimodal, icenet]
+_MODULES = [
+    core, headline, extended, events, dedup, text, similarity, multimodal, icenet,
+]
 
 
 def all_queries():

@@ -1,0 +1,62 @@
+"""Event-time streaming analytics: the watermark + tumbling-window side of
+SURVEY.md §2.8 (the reference needs none of this — its late data is handled
+by idempotent upserts — but any events-shaped workload on this engine does).
+
+``windowed_event_counts`` is the streaming twin of
+queries/events.py::ev_window_rollup: same logical aggregation, plus a
+watermark bounding state so the operator can run forever (state for windows
+older than the watermark is evicted — without it, a 100 TB stream would
+accumulate unbounded state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Works on both a batch and a streaming ``events`` DataFrame (one plan,
+    two modes). Late rows beyond ``watermark`` are dropped in streaming mode.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def start_windowed_stream(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source stream -> watermarked window agg -> append parquet sink."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = windowed_event_counts(stream)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,79 @@
+"""Scale-helper tests: salted join correctness, DF capping, and the
+bucketed-join shuffle-elimination property (checked against the physical
+plan, not just results)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icenetetl_spark.operators.dedup import jaccard_pairs, word_shingles
+from icenetetl_spark.operators.scale import (
+    cap_document_frequency,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed left side: 90% of rows share key 1
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (950, "cold")], "k long, tag string"
+    )
+    plain = left.join(right, ["k"]).select("k", "v", "tag")
+    salted = salted_join(left, right, ["k"], salt_buckets=8).select("k", "v", "tag")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, t string")
+    out = salted_join(left, right, ["k"], salt_buckets=4, how="left").collect()
+    got = {(r["k"], r["t"]) for r in out}
+    assert got == {(1, "x"), (2, None)}
+
+
+def test_cap_document_frequency(spark):
+    docs = spark.createDataFrame(
+        [(i, "common words here unique%d token%d extra%d" % (i, i, i)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs, n=2)
+    capped = cap_document_frequency(sh, max_df=2)
+    # 'common words' / 'words here' bigrams appear in all 5 docs -> dropped
+    remaining = {r["shingle"] for r in capped.select("shingle").distinct().collect()}
+    assert "common words" not in remaining and "words here" not in remaining
+    # per-doc unique shingles survive
+    assert any("unique0" in s for s in remaining)
+    # capped postings still feed jaccard (no pairs left above threshold)
+    assert jaccard_pairs(capped, threshold=0.9).count() == 0
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    a = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bt_a", ["k"], num_buckets=8)
+    write_bucketed(b, "bt_b", ["k"], num_buckets=8)
+    # Disable auto-broadcast: at test scale Spark would rather broadcast
+    # (and skip bucketed scans); the property under test is the large-table
+    # regime where sort-merge join must run shuffle-free off the buckets.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        assert joined.count() == 10000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # the same join on raw (non-bucketed) frames DOES shuffle
+        plan_raw = a.join(b, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan_raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
