@@ -28,6 +28,10 @@ BENCH_QUERIES = [
     "q3_top_revenue",
     "q5_local_supplier",
     "q6_revenue_delta",
+    "q4_semi_join",
+    "q13_cust_distribution",
+    "q16_distinct_suppliers",
+    "q18_large_orders",
     # reference-parity chains
     "j2_inner_enrich",
     "w1_row_number",

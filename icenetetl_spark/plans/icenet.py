@@ -197,10 +197,23 @@ class IceNetPipeline:
         self.catalog.overwrite("forecast_latest", out)
 
     # -- stage 5: update_forecast_meta (processor.py:346-407) ------------
-    def update_meta(self) -> None:
+    def update_meta(self, touched: DataFrame | None = None) -> None:
+        """``touched=None`` recomputes the rollup over ALL generation dates —
+        exact reference semantics (processor.py:385-394: the SQL recomputes
+        every date each run). Passing the (date, hemisphere) pairs a batch
+        ingested switches to the incremental form: the groupBy scans only the
+        touched partitions (partition pruning on the semi join) — at 100 TB
+        the difference between a full-history aggregation per file and O(one
+        partition). Both paths upsert on the same key, so final states are
+        identical (test_incremental_meta_equivalent).
+        """
         forecasts = self.catalog.read("forecasts")
-        # Whole-table rollup over ALL generation dates each run — exact
-        # reference semantics (processor.py:385-394).
+        if touched is not None:
+            forecasts = forecasts.join(
+                F.broadcast(touched.select("date_forecast_generated", "hemisphere")),
+                ["date_forecast_generated", "hemisphere"],
+                "left_semi",
+            )
         rollup = forecasts.groupBy("date_forecast_generated", "hemisphere").agg(
             F.min("date_forecast_for").alias("date_forecast_first"),
             F.max("date_forecast_for").alias("date_forecast_last"),
@@ -222,13 +235,21 @@ class IceNetPipeline:
         )
 
     # -- the five-stage lifecycle (__init__.py:22-26) --------------------
-    def run(self, raw: DataFrame, attrs: FileAttrs) -> None:
+    def run(
+        self, raw: DataFrame, attrs: FileAttrs, incremental_meta: bool = False
+    ) -> None:
         hemisphere = classify_hemisphere(attrs)
         forecasts = normalize_forecasts(raw, hemisphere)
         self.update_geometries(forecasts, hemisphere)
         self.update_forecasts(forecasts, hemisphere)
         self.update_latest()
-        self.update_meta()
+        if incremental_meta:
+            touched = forecasts.select(
+                F.to_date("time").alias("date_forecast_generated"), "hemisphere"
+            ).distinct()
+            self.update_meta(touched)
+        else:
+            self.update_meta()
 
 
 def latest_view_plan(raw: DataFrame, hemisphere: str) -> DataFrame:

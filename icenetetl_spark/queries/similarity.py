@@ -61,9 +61,21 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer + probed-cell search). Rows-only:
+    seeded KMeans is deterministic locally but not reproducible in SQL;
+    recall vs brute force is asserted in tests/test_ivf.py instead."""
+    from icenetetl_spark.operators.ivf import knn_ivf as _knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return _knn_ivf(queries, emb, k=K, n_cells=16, n_probe=6)
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_sign_lsh": knn_sign_lsh,
+    "knn_ivf": knn_ivf,
     "embedding_near_dup": embedding_near_dup,
     "embedding_norms": embedding_norms,
 }

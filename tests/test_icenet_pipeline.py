@@ -155,3 +155,26 @@ def test_meta_upsert_updates_counts(spark, warehouse):
     meta = cat.read("forecast_meta")
     assert meta.count() == 1  # still one rollup row for the (date, hemi) key
     assert meta.first()["n_records"] > n1
+
+
+def test_incremental_meta_equivalent(spark, tmp_path):
+    """Incremental rollup (scan only touched partitions) must reach the same
+    final meta table as the reference-parity full recompute."""
+    from icenetetl_spark.catalog import ParquetCatalog
+    from icenetetl_spark.plans.icenet import IceNetPipeline
+
+    files = [
+        make_raw_file(spark, "2024-03-01", "north", grid_side=6, seed=1),
+        make_raw_file(spark, "2024-03-08", "north", grid_side=6, seed=2),
+        make_raw_file(spark, "2024-03-05", "south", grid_side=6, seed=3),
+    ]
+    cats = {
+        mode: ParquetCatalog(spark, str(tmp_path / mode)) for mode in ("full", "inc")
+    }
+    for mode, cat in cats.items():
+        pipe = IceNetPipeline(cat)
+        for f, a in files:
+            pipe.run(f, a, incremental_meta=(mode == "inc"))
+    assert table_fingerprint(cats["full"].read("forecast_meta")) == table_fingerprint(
+        cats["inc"].read("forecast_meta")
+    )

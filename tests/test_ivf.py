@@ -1,0 +1,39 @@
+"""IVF ANN: determinism and recall against exact brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icenetetl_spark.operators.ivf import knn_ivf
+from icenetetl_spark.operators.similarity import knn_bruteforce
+
+
+def _load(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = _load(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(queries, emb, k=5)
+    approx = knn_ivf(queries, emb, k=5, n_cells=16, n_probe=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # random 64-d gaussian-ish vectors are a worst case for IVF; with 6/16
+    # cells probed recall should still be well above chance (6/16 = 0.375)
+    assert recall >= 0.5, recall
+    # scores of agreeing pairs are the exact cosine (re-rank is exact)
+    ec = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ec:
+            assert abs(ec[key] - r["cos"]) < 1e-12
+
+
+def test_ivf_deterministic(spark):
+    emb = _load(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = sorted(map(str, knn_ivf(queries, emb, k=3, seed=7).collect()))
+    r2 = sorted(map(str, knn_ivf(queries, emb, k=3, seed=7).collect()))
+    assert r1 == r2
