@@ -9,6 +9,7 @@ and ``ORACLES: dict[str, str]``; this package merges them for
 from __future__ import annotations
 
 from icenetetl_spark.queries import (
+    analytics,
     core,
     dedup,
     events,
@@ -21,7 +22,8 @@ from icenetetl_spark.queries import (
 )
 
 _MODULES = [
-    core, headline, extended, events, dedup, text, similarity, multimodal, icenet,
+    core, headline, extended, analytics, events, dedup, text, similarity,
+    multimodal, icenet,
 ]
 
 
