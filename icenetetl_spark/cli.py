@@ -1,0 +1,101 @@
+"""CLI entry point — parity with the reference's manual local run
+(local.py:27-39: ``python local.py <file.nc>`` drives the same pipeline the
+trigger does). Here:
+
+    python -m icenetetl_spark ingest FILE.parquet --warehouse WH \
+        [--hemisphere north|south] [--keywords "..."] [--incremental-meta]
+    python -m icenetetl_spark query NAME [--sf-dir DIR] [--limit N]
+    python -m icenetetl_spark list
+
+``ingest`` accepts a long-form parquet drop (the Parquet landing-zone path);
+``.nc`` files route through sources.netcdf and require xarray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark():
+    from icenetetl_spark.session import get_spark
+
+    return get_spark("icenetetl-cli")
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    from icenetetl_spark.catalog import ParquetCatalog
+    from icenetetl_spark.functions.progress import StageTimer
+    from icenetetl_spark.plans.icenet import FileAttrs, IceNetPipeline
+    from icenetetl_spark.sources.netcdf import melt_netcdf_files, read_binary_files
+
+    spark = _spark()
+    if args.file.endswith(".nc"):
+        raw = melt_netcdf_files(read_binary_files(spark, args.file, glob="*"))
+    else:
+        raw = spark.read.parquet(args.file)
+    attrs = FileAttrs(
+        geospatial_lat_max=85.0 if args.hemisphere == "north" else None,
+        geospatial_lat_min=-85.0 if args.hemisphere == "south" else None,
+        keywords=args.keywords or "",
+    )
+    timer = StageTimer()
+    timer.start("ingest")
+    pipeline = IceNetPipeline(ParquetCatalog(spark, args.warehouse))
+    pipeline.run(raw, attrs, incremental_meta=args.incremental_meta)
+    n = pipeline.catalog.read("forecasts").count()
+    timer.finish("ingest", n_records=n)
+    print(f"forecasts table now holds {n:,} rows")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from icenetetl_spark.queries import all_queries
+
+    queries = all_queries()
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = queries[args.name](spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    from icenetetl_spark.queries import all_oracles, all_queries
+
+    oracles = all_oracles()
+    for name in sorted(all_queries()):
+        kind = "oracle" if name in oracles else "rows-only"
+        print(f"{name:28s} [{kind}]")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="icenetetl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="run the five-stage pipeline on a file")
+    pi.add_argument("file")
+    pi.add_argument("--warehouse", required=True)
+    pi.add_argument("--hemisphere", choices=["north", "south"], default=None)
+    pi.add_argument("--keywords", default="")
+    pi.add_argument("--incremental-meta", action="store_true")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pq = sub.add_parser("query", help="run a named query")
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq.add_argument("--limit", type=int, default=20)
+    pq.set_defaults(fn=cmd_query)
+
+    pl = sub.add_parser("list", help="list registered queries")
+    pl.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

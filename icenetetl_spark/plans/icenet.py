@@ -64,7 +64,11 @@ def classify_hemisphere(attrs: FileAttrs) -> str:
         return "north"
     if "south" in kw:
         return "south"
-    raise ValueError("unable to identify hemisphere from file attributes")
+    from icenetetl_spark.errors import HemisphereUnresolvedError
+
+    raise HemisphereUnresolvedError(
+        "unable to identify hemisphere from file attributes"
+    )
 
 
 def normalize_forecasts(raw: DataFrame, hemisphere: str) -> DataFrame:

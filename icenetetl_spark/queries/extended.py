@@ -141,7 +141,25 @@ def p10_first_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/scale.salted_join) — must produce exactly
+    the plain join's rows; the DuckDB oracle IS the plain join, so the gate
+    proves the salting rewrite is result-transparent."""
+    from icenetetl_spark.operators.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = salted_join(
+        li, supp.withColumnRenamed("s_suppkey", "l_suppkey"), ["l_suppkey"],
+        salt_buckets=8,
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+
+
 QUERIES = {
+    "j_salted_join": j_salted_join,
     "q4_semi_join": q4_semi_join,
     "q13_cust_distribution": q13_cust_distribution,
     "q16_distinct_suppliers": q16_distinct_suppliers,
@@ -154,6 +172,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "j_salted_join": """
+        SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
     "q4_semi_join": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

@@ -28,8 +28,12 @@ def test_classify_hemisphere():
     assert classify_hemisphere(FileAttrs(geospatial_lat_min=-85.0)) == "south"
     assert classify_hemisphere(FileAttrs(keywords="Sea ice > North")) == "north"
     assert classify_hemisphere(FileAttrs(keywords="antarctic SOUTH ice")) == "south"
-    with pytest.raises(ValueError):
+    from icenetetl_spark.errors import HemisphereUnresolvedError, IceNetInputError
+
+    with pytest.raises(HemisphereUnresolvedError):
         classify_hemisphere(FileAttrs(keywords="equatorial"))
+    with pytest.raises(IceNetInputError):  # typed-hierarchy catch, __init__.py:21-28
+        classify_hemisphere(FileAttrs())
 
 
 def test_normalize_filters_and_derives(spark):
