@@ -69,10 +69,15 @@ def word_shingles(
             " ", *[F.element_at(words, i + j + 1) for j in range(n)]
         ),
     )
-    return (
-        docs.filter(F.size(words) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(shingle).alias("shingle"))
-        .distinct()
+    # The distinct is PER DOCUMENT, so run it inside the row
+    # (array_distinct before explode) — a `.distinct()` after explode would
+    # hash-shuffle the entire shingle table for a purely local property.
+    # (Local wall-clock is dominated by shingle string construction either
+    # way; the win is the removed exchange, which is what matters once the
+    # shingle table is TBs.)
+    return docs.filter(F.size(words) >= n).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingle)).alias("shingle"),
     )
 
 
