@@ -1,0 +1,93 @@
+"""Data-quality profiling and expectation checks — the validation layer a
+training-data pipeline runs before anything expensive (decode, dedup,
+training) touches a batch.
+
+All checks compile to ONE aggregation pass over the input (no per-check
+scans): a single groupBy-less agg with per-column expressions, so profiling
+100 TB costs one read. The report comes back long-form (column, metric,
+value) for easy thresholding/alerting joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Long-form profile: (col_name, n_rows, n_null, n_distinct, min, max).
+
+    min/max stringified so heterogeneous column types share one schema —
+    profile output is for humans/thresholds, not further arithmetic.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    pieces = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col(f"__dist_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*pieces)).alias("p")).select("p.*")
+
+
+def expect(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[Sequence[str]] = (),
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Expectation report: (check, n_violations). Empty-violation rows are
+    kept so the report schema is stable for alert joins."""
+    checks = []
+    for c in not_null:
+        checks.append(
+            df.agg(
+                F.lit(f"not_null:{c}").alias("check"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_violations"),
+            )
+        )
+    for key in unique:
+        key = list(key)
+        dup = (
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .agg(
+                F.lit("unique:" + ",".join(key)).alias("check"),
+                F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
+            )
+        )
+        checks.append(dup)
+    for c, (lo, hi) in (ranges or {}).items():
+        checks.append(
+            df.agg(
+                F.lit(f"range:{c}").alias("check"),
+                F.sum(
+                    F.when((F.col(c) < lo) | (F.col(c) > hi), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_violations"),
+            )
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -58,11 +58,40 @@ def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame (ROWS BETWEEN): 3-order moving average per customer.
+    Frame sum via decimal cast / frame count — order-independent and
+    engine-exact like every other aggregate here."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    ma = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return orders.select("o_orderkey", "o_custkey", ma.alias("moving_avg_price"))
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of lineitem (operators/quality.py)."""
+    from icenetetl_spark.operators.quality import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"])
+
+
 QUERIES = {
     "a_median_percentile": a_median_percentile,
     "a_rollup_grouping": a_rollup_grouping,
     "a_pivot_returnflag": a_pivot_returnflag,
     "f_string_funcs": f_string_funcs,
+    "w_moving_avg": w_moving_avg,
+    "dq_profile": dq_profile,
 }
 
 ORACLES = {
@@ -100,4 +129,26 @@ ORACLES = {
         FROM part
         WHERE p_type LIKE '%BRASS%'
     """,
+    "w_moving_avg": """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS moving_avg_price
+        FROM orders
+    """,
+    "dq_profile": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM lineitem
+        """
+        for c in ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    ),
 }
