@@ -104,3 +104,30 @@ class ParquetCatalog:
             return
         merged = upsert_plan(df, self.read(name), keys)
         self.overwrite(name, merged)
+
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite the table into ~target-sized files.
+
+        Per-file micro-batch appends (streaming ingest: one file per trigger)
+        accumulate small files, degrading scan parallelism and footer
+        overhead — the lakehouse equivalent of index bloat. This is Delta's
+        OPTIMIZE; here: size the partition count from on-disk bytes and
+        rewrite through the atomic staging swap. Returns the file count
+        after compaction.
+        """
+        total = 0
+        for root, _dirs, files in os.walk(self.path(name)):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        n_parts = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.read(name).repartition(n_parts)
+        self.overwrite(name, df)
+        return sum(
+            1
+            for root, _d, files in os.walk(self.path(name))
+            for f in files
+            if f.endswith(".parquet")
+        )

@@ -77,3 +77,26 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert "Exchange hashpartitioning" in plan_raw
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_catalog_compact(spark, tmp_path):
+    """Many small appended files -> few target-sized files, same rows."""
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    for i in range(10):  # 10 tiny appends ≙ 10 streaming micro-batches
+        cat.append("t", spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k")
+        ).coalesce(3))
+    import os
+
+    before = sum(
+        1 for _r, _d, fs in os.walk(cat.path("t")) for f in fs
+        if f.endswith(".parquet")
+    )
+    rows_before = sorted(r["k"] for r in cat.read("t").collect())
+    after = cat.compact("t")
+    assert after < before and after >= 1
+    assert sorted(r["k"] for r in cat.read("t").collect()) == rows_before
