@@ -10,11 +10,19 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from icenetetl_spark.queries import all_oracles, all_queries
+# Robust against being imported by file path (spec/exec) rather than as a
+# module: make the repo root importable before pulling in the package.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from icenetetl_spark.queries import all_oracles, all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

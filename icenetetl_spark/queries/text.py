@@ -64,11 +64,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: top-50 tokens by frequency (deterministic
+    tiebreak on the token). The explode -> count is the canonical vocabulary
+    pass of any tokenizer-training / frequency-filter pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution in 100-char buckets — the standard
+    pre-filter diagnostic before length-based quality cuts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (
+        docs.groupBy(bucket.alias("len_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_top_tokens": text_top_tokens,
+    "text_length_histogram": text_length_histogram,
 }
 
 
@@ -131,5 +158,18 @@ ORACLES = {
         SELECT doc_id, md5({_NORM}) AS fingerprint,
                len({_TOKENS}) AS n_tokens
         FROM documents
+    """,
+    "text_top_tokens": f"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 50
+    """,
+    "text_length_histogram": """
+        SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1
     """,
 }
