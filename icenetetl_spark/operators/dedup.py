@@ -214,6 +214,70 @@ def simhash(
     return sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Duplicate GROUPS from duplicate PAIRS: transitive closure of the
+    near-dup graph, each node labeled with the smallest doc_id reachable
+    from it ((doc_id, component_id) rows; isolated docs are simply absent).
+
+    Iterative min-label propagation: per round, every node takes the min of
+    its own label and its neighbors' labels — a join + groupBy-min, both
+    hash-shuffles on doc id, fully distributed. Rounds needed = graph
+    diameter (dup clusters are shallow; typically <5). The driver only
+    evaluates a 1-row convergence count per round. At web scale swap the
+    propagation for the large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — same join
+    primitives, provably O(log n) rounds.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+    )
+    # Materialize the edge list once; every round joins against it.
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            # Truncate lineage each round: without this the plan nests one
+            # join deeper per iteration and every convergence check re-runs
+            # the whole history (O(rounds^2) work, unbounded plan depth).
+            .localCheckpoint(eager=True)
+        )
+        # convergence: did any label shrink this round?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs within ``max_hamming`` bits. The all-pairs join here is the
     small-data form; at scale, block by bit-segments (pigeonhole: split the

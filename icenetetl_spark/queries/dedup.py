@@ -5,7 +5,7 @@ parameter tables the Spark operators use, so constants can never drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from icenetetl_spark.operators import dedup as D
 from icenetetl_spark.functions.portable import portable_hash64_sql
@@ -56,12 +56,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(sim, max_hamming=HAMMING_T)
 
 
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> transitive GROUPS (connected components); each doc
+    labeled with the min doc_id of its component. The oracle is a recursive
+    CTE computing the same closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.word_shingles(docs, n=NGRAM_N), threshold=JACCARD_T)
+    return D.connected_components(pairs)
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup policy: within each near-dup group keep the
+    highest-quality member (tiebreak lowest doc_id) — the keep/drop decision
+    a training pipeline actually executes."""
+    from pyspark.sql.window import Window
+
+    from icenetetl_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.word_shingles(docs, n=NGRAM_N), threshold=JACCARD_T)
+    comp = D.connected_components(pairs)
+    scored = comp.join(docs, "doc_id").select(
+        "doc_id", "component_id", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .groupBy("component_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_groups": dedup_groups,
+    "dedup_canonical": dedup_canonical,
 }
 
 
@@ -116,6 +154,42 @@ def _simhash_sql() -> str:
     """
 
 
+from icenetetl_spark.operators.text import STOPWORDS as _STOPWORDS
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+# shared pair-building CTE chain (used by jaccard / groups / canonical)
+_PAIRS_CTES = f"""
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+        FROM rawpairs
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= {JACCARD_T}
+    )
+"""
+
+# transitive closure of the near-dup graph (recursive CTE)
+_COMPONENTS_CTES = """
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs),
+    gnodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+        SELECT n, n FROM gnodes
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS component_id FROM reach GROUP BY n)
+"""
+
 ORACLES = {
     "dedup_exact": f"""
         SELECT md5({_NORM}) AS fingerprint,
@@ -126,19 +200,50 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
-        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+        {_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard FROM jpairs
+    """,
+    "dedup_groups": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_PAIRS_CTES},
+        {_COMPONENTS_CTES}
+        SELECT doc_id, component_id FROM comp
+    """,
+    "dedup_canonical": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_PAIRS_CTES},
+        {_COMPONENTS_CTES},
+        feats AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split({_NORM}, ' '))) AS DOUBLE)
+                       / len(string_split({_NORM}, ' ')) AS distinct_ratio,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                       / len(string_split({_NORM}, ' ')) AS mean_token_len,
+                   CAST(len(list_filter(string_split({_NORM}, ' '),
+                        x -> x IN ({_STOPWORDS_SQL})))
+                        AS DOUBLE)
+                       / len(string_split({_NORM}, ' ')) AS stopword_ratio
+            FROM documents
+        ),
+        quality AS (
+            SELECT doc_id,
+                   distinct_ratio
+                   * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0
+                           THEN 1.0 ELSE 0.5 END)
+                   * (CASE WHEN stopword_ratio <= 0.5 THEN 1.0 ELSE 0.5 END)
+                       AS quality
+            FROM feats
+        ),
+        ranked AS (
+            SELECT c.component_id, c.doc_id, q.quality,
+                   row_number() OVER (PARTITION BY c.component_id
+                                      ORDER BY q.quality DESC, c.doc_id) AS rk
+            FROM comp c JOIN quality q ON q.doc_id = c.doc_id
         )
-        SELECT doc_a, doc_b,
-               CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
-        FROM pairs
-        JOIN counts ca ON ca.doc_id = doc_a
-        JOIN counts cb ON cb.doc_id = doc_b
-        WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= {JACCARD_T}
+        SELECT component_id,
+               min(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id,
+               count(*) AS n_members
+        FROM ranked GROUP BY component_id
     """,
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},

@@ -151,3 +151,27 @@ def test_multimodal_plumbing(spark):
     # doc 1: n_frames = 8 % 256 + 1 = 9 -> idx 0,3,6; doc 2: n_frames 1 -> idx 0
     got = sorted((r["doc_id"], r["frame_idx"]) for r in frames)
     assert got == [(1, 0), (1, 3), (1, 6), (2, 0)]
+
+
+def test_connected_components(spark):
+    from icenetetl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_chain_diameter(spark):
+    """A long path graph exercises multi-round propagation convergence."""
+    from icenetetl_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert {r["component_id"] for r in out} == {0}
+    assert len(out) == n + 1
