@@ -57,9 +57,19 @@ def main() -> None:
     spark = get_spark("icenetetl-bench")
     queries = all_queries()
 
-    # warmup: touch every table (page cache + codegen + parquet footers)
+    # warmup: touch every table (page cache + parquet footers), then one
+    # tiny agg + join so shuffle machinery and codegen are warm before the
+    # first measured query (steady-state timing, not JVM cold start)
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    ).count()
+    li.join(orders, li.l_orderkey == orders.o_orderkey).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
