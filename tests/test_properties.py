@@ -47,3 +47,47 @@ def test_upsert_is_last_writer_wins(spark, existing, incoming):
     i = _df(spark, list(inc.items()))
     got = {r["k"]: r["v"] for r in upsert(i, e, ["k"]).collect()}
     assert got == {**ex, **inc}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=kv_lists)
+def test_exact_dedup_partitions_input(spark, rows):
+    """Exact dedup laws: every group's canonical id is its minimal member,
+    and group sizes sum to the input size."""
+    from icenetetl_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(rows)] or [(0, "")],
+        "doc_id long, text string",
+    ).limit(len(rows))
+    out = exact_duplicates(docs).collect()
+    assert sum(r["n_copies"] for r in out) == len(rows)
+    # canonical is the min doc_id of each normalized-text group
+    import re
+
+    groups = {}
+    for i, (_, v) in enumerate(rows):
+        key = re.sub(r"\s+", " ", v.lower()).strip()
+        groups.setdefault(key, []).append(i)
+    want = {min(ids): len(ids) for ids in groups.values()}
+    got = {r["canonical_id"]: r["n_copies"] for r in out}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=kv_lists)
+def test_latest_snapshot_law(spark, rows):
+    """latest_snapshot returns exactly the rows holding the global max."""
+    from icenetetl_spark.operators.relational import latest_snapshot
+
+    df = spark.createDataFrame(rows or [(0, "")], "k long, v string").limit(
+        len(rows)
+    )
+    out = latest_snapshot(df, "k").collect()
+    if not rows:
+        assert out == []
+    else:
+        mx = max(k for k, _ in rows)
+        assert sorted((r["k"], r["v"]) for r in out) == sorted(
+            (k, v) for k, v in rows if k == mx
+        )
