@@ -87,11 +87,40 @@ def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click gets the value of the user's most
+    recent purchase at-or-before it (operators/temporal.asof_join — the
+    union+carry-forward composition; DuckDB verifies with its native
+    ASOF JOIN)."""
+    from icenetetl_spark.operators.temporal import asof_join
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedup purchases to one row per (user, ts): keep max event_id
+    wp = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    out = asof_join(clicks, purchases, "ts", ["user_id"], ["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value_asof").alias("last_purchase_value"),
+    )
+
+
 QUERIES = {
     "ev_window_rollup": ev_window_rollup,
     "ev_json_extract": ev_json_extract,
     "ev_sessionize": ev_sessionize,
     "ev_top_users": ev_top_users,
+    "ev_asof_join": ev_asof_join,
 }
 
 ORACLES = {
@@ -142,5 +171,22 @@ ORACLES = {
         GROUP BY user_id
         ORDER BY n_events DESC, user_id
         LIMIT 20
+    """,
+    "ev_asof_join": """
+        WITH purchases AS (
+            SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        ),
+        clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
 }

@@ -1,0 +1,60 @@
+"""asof_join edge cases: inclusive equal-time match, no-prior-row null,
+key isolation, multiple value columns."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from icenetetl_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts(5)),   # after right@3 -> 30.0
+            (2, 10, _ts(3)),   # exactly at right@3 -> inclusive -> 30.0
+            (3, 10, _ts(1)),   # before any right -> NULL
+            (4, 20, _ts(9)),   # other key -> right(20)@2 -> 99.0
+            (5, 30, _ts(9)),   # key with no right rows at all -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts(2), 20.0, "a"),
+            (10, _ts(3), 30.0, "b"),
+            (20, _ts(2), 99.0, "c"),
+        ],
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    out = {
+        r["event_id"]: (r["value_asof"], r["tag_asof"])
+        for r in asof_join(
+            left, right, "ts", ["user_id"], ["value", "tag"]
+        ).collect()
+    }
+    assert out == {
+        1: (30.0, "b"),
+        2: (30.0, "b"),
+        3: (None, None),
+        4: (99.0, "c"),
+        5: (None, None),
+    }
+
+
+def test_asof_join_preserves_left_rows(spark):
+    left = spark.createDataFrame(
+        [(i, 1, _ts(i % 50)) for i in range(200)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(25), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    out = asof_join(left, right, "ts", ["user_id"], ["value"])
+    assert out.count() == 200
+    matched = out.filter("value_asof IS NOT NULL").count()
+    assert matched == sum(1 for i in range(200) if i % 50 >= 25)
