@@ -24,6 +24,48 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def range_join_points_to_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 300,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval join (t in [start, end]) without a nested-loop
+    cross product: quantize time into bins, explode each interval to the
+    bins it covers, equi-join points to interval-bins on (keys…, bin), then
+    refine with the exact range predicate and dedup.
+
+    Cost: |points| + Σ interval_len/bin rows through ONE hash shuffle —
+    the OSS replacement for a range-join hint. Pick ``bin_seconds`` near the
+    median interval length: too small explodes interval rows, too large
+    inflates the refine fan-in.
+    """
+    keys = list(keys)
+    pts = points.withColumn(
+        "__bin", F.floor(F.unix_timestamp(F.col(time_col).cast("timestamp")) / bin_seconds)
+    )
+    ivs = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_timestamp(F.col(start_col).cast("timestamp")) / bin_seconds
+                ),
+                F.floor(
+                    F.unix_timestamp(F.col(end_col).cast("timestamp")) / bin_seconds
+                ),
+            )
+        ),
+    )
+    joined = pts.join(ivs, [*keys, "__bin"]).filter(
+        (F.col(time_col) >= F.col(start_col)) & (F.col(time_col) <= F.col(end_col))
+    )
+    return joined.drop("__bin").distinct()
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -115,12 +115,86 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval join: which error events fall inside the
+    activity windows of the 5 highest-volume users ("what was happening
+    during the incident window"). Bin-quantized equi-join, not a
+    nested-loop theta join (operators/temporal.range_join_points_to_intervals).
+    """
+    from icenetetl_spark.operators.temporal import range_join_points_to_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    top5 = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(5)
+        .select("user_id")
+    )
+    windows = (
+        ev.join(F.broadcast(top5), "user_id")
+        .groupBy(F.col("user_id").alias("window_user"))
+        .agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join_points_to_intervals(
+        errors, windows, "ts", "w_start", "w_end", bin_seconds=3600
+    )
+    return out.select("event_id", "user_id", "window_user")
+
+
+def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading continuous aggregate: minute partials ->
+    hour partials -> day level, each coarser tier computed FROM the finer
+    tier's partial aggregates (sum-of-sums / sum-of-counts), never from raw
+    rows. The oracle aggregates raw->day directly: hash-equality proves the
+    cascade is exact (decimal addition is associative). At 100 TB this is
+    the incremental-maintenance layout: each tier updates from the tier
+    below touched by the batch, and day-level queries never scan raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            epoch_bucket("ts", 60, "b_minute"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("s"),
+        )
+    )
+    hour = (
+        minute.groupBy(
+            (F.floor(F.col("b_minute") / 3600) * 3600).cast("long").alias("b_hour"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").cast("decimal(18,6)").alias("s"),
+        )
+    )
+    day = (
+        hour.groupBy(
+            (F.floor(F.col("b_hour") / 86400) * 86400).cast("long").alias("bucket_day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+    )
+    return day
+
+
 QUERIES = {
     "ev_window_rollup": ev_window_rollup,
     "ev_json_extract": ev_json_extract,
     "ev_sessionize": ev_sessionize,
     "ev_top_users": ev_top_users,
     "ev_asof_join": ev_asof_join,
+    "ev_range_join": ev_range_join,
+    "ev_hypertable_rollup": ev_hypertable_rollup,
 }
 
 ORACLES = {
@@ -171,6 +245,29 @@ ORACLES = {
         GROUP BY user_id
         ORDER BY n_events DESC, user_id
         LIMIT 20
+    """,
+    "ev_range_join": """
+        WITH top5 AS (
+            SELECT user_id FROM events
+            GROUP BY user_id ORDER BY count(*) DESC, user_id LIMIT 5
+        ),
+        windows AS (
+            SELECT user_id AS window_user, min(ts) AS w_start, max(ts) AS w_end
+            FROM events WHERE user_id IN (SELECT user_id FROM top5)
+            GROUP BY user_id
+        )
+        SELECT DISTINCT e.event_id, e.user_id, w.window_user
+        FROM events e JOIN windows w
+          ON e.ts >= w.w_start AND e.ts <= w.w_end
+        WHERE e.event_type = 'error'
+    """,
+    "ev_hypertable_rollup": """
+        SELECT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT) AS bucket_day,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """,
     "ev_asof_join": """
         WITH purchases AS (

@@ -58,3 +58,30 @@ def test_asof_join_preserves_left_rows(spark):
     assert out.count() == 200
     matched = out.filter("value_asof IS NOT NULL").count()
     assert matched == sum(1 for i in range(200) if i % 50 >= 25)
+
+
+def test_range_join_bins_match_theta(spark):
+    """Binned range join == naive theta join on random intervals."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.temporal import range_join_points_to_intervals
+
+    base = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + timedelta(seconds=37 * i)) for i in range(300)],
+        "event_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100 + j, base + timedelta(seconds=900 * j), base + timedelta(seconds=900 * j + 777))
+            for j in range(12)
+        ],
+        "iv_id long, s timestamp, e timestamp",
+    )
+    binned = range_join_points_to_intervals(pts, ivs, "ts", "s", "e", bin_seconds=250)
+    theta = pts.join(ivs, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")))
+    got = sorted((r["event_id"], r["iv_id"]) for r in binned.collect())
+    want = sorted((r["event_id"], r["iv_id"]) for r in theta.collect())
+    assert got == want and len(got) > 0
