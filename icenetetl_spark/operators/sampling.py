@@ -1,0 +1,64 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Random sampling is the wrong tool at 100 TB: non-reproducible across
+retries, unstable under re-partitioning, and impossible to audit. These
+operators key every decision on a content/ID hash, so the same row always
+lands in the same split on any cluster, any run — and the DuckDB oracle can
+reproduce the assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from icenetetl_spark.functions.portable import portable_hash64
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the portable hash of ``key``.
+    (Production swap: xxhash64 — same note as every portable-hash site.)"""
+    return portable_hash64(key.cast("string"), bits=32) % buckets
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, int],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash-bucket ranges, e.g.
+    ``{"train": 90, "val": 5, "test": 5}`` (percentages, must sum to 100).
+    Keying on a stable ID (or content fingerprint — which also keeps
+    near-identical dups out of both train AND test) makes the split a pure
+    function of the data."""
+    assert sum(fractions.values()) == 100, "fractions must sum to 100"
+    bucket = hash_bucket(F.col(key_col), 100)
+    expr = None
+    lo = 0
+    for name, pct in fractions.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += pct
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    n_per_stratum: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by hash ranking — deterministic, shuffle-partitioned by
+    stratum, no driver-side sampling state."""
+    w = Window.partitionBy(*strata).orderBy(
+        portable_hash64(F.col(key_col).cast("string"), bits=32), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -89,6 +89,27 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split keyed on the content fingerprint (so exact
+    dups can never straddle train and test)."""
+    from icenetetl_spark.operators.sampling import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+    return split_by_hash(
+        docs, "fp", {"train": 90, "val": 5, "test": 5}
+    ).select("doc_id", "split")
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, hash-ranked (deterministic)."""
+    from icenetetl_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, ["lang"], 20, "doc_id")
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -96,6 +117,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_top_tokens": text_top_tokens,
     "text_length_histogram": text_length_histogram,
+    "doc_train_split": doc_train_split,
+    "doc_stratified_sample": doc_stratified_sample,
 }
 
 
@@ -171,5 +194,29 @@ ORACLES = {
                count(*) AS n_docs
         FROM documents
         GROUP BY 1
+    """,
+    "doc_train_split": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(md5({_NORM})), 1, 8) AS BIGINT) % 100
+                       AS bucket
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+    "doc_stratified_sample": """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                     AS BIGINT),
+                                doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 20
     """,
 }
