@@ -105,6 +105,34 @@ class ParquetCatalog:
         merged = upsert_plan(df, self.read(name), keys)
         self.overwrite(name, merged)
 
+    def cluster_by(
+        self,
+        name: str,
+        cols: Sequence[str],
+        num_files: int | None = None,
+    ) -> None:
+        """Rewrite the table range-partitioned + sorted on ``cols`` — the
+        single-dimension analog of Delta's OPTIMIZE ZORDER. Each output file
+        then covers a disjoint range of the leading column, so parquet
+        min/max footer stats let filtered scans skip whole files/row-groups
+        (this engine's replacement for the reference's secondary B-tree
+        read-path indexes on date_forecast_for / cell_id,
+        processor.py:286-288)."""
+        df = self.read(name)
+        if num_files is None:
+            num_files = max(8, df.rdd.getNumPartitions())
+        clustered = df.repartitionByRange(num_files, *cols).sortWithinPartitions(
+            *cols
+        )
+        staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
+        # plain (non-hive-partitioned) layout: clustering replaces
+        # partitioning for high-cardinality columns
+        clustered.write.mode("overwrite").parquet(staging)
+        target = self.path(name)
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        os.rename(staging, target)
+
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Rewrite the table into ~target-sized files.
 

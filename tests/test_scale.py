@@ -100,3 +100,42 @@ def test_catalog_compact(spark, tmp_path):
     after = cat.compact("t")
     assert after < before and after >= 1
     assert sorted(r["k"] for r in cat.read("t").collect()) == rows_before
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
+    """After cluster_by, parquet footers carry disjoint min/max ranges on
+    the clustering column — the data-skipping property itself."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    # shuffled values so unclustered files have overlapping ranges
+    df = spark.range(20000).select(
+        F.xxhash64("id").alias("noise"), F.col("id").alias("k")
+    ).orderBy("noise").drop("noise")
+    cat.overwrite("t", df.repartition(8))
+    cat.cluster_by("t", ["k"], num_files=8)
+
+    ranges = []
+    for root, _d, files in os.walk(cat.path("t")):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if mins:
+                ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1,hi1)} vs {(lo2,hi2)}"
+    # rows preserved
+    assert cat.read("t").count() == 20000
