@@ -26,7 +26,16 @@ def salted_join(
     session.py); explicit salting remains necessary when the skew is in an
     aggregation-before-join or the small side is too big to broadcast but
     small enough to replicate 16x.
+
+    Only inner/left/left_semi are supported: the replicated right side would
+    emit unmatched right rows once PER BUCKET under right/full/anti joins —
+    silently wrong, so we refuse.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "the replicated right side breaks right/full/anti semantics"
+        )
     salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
     salted_left = skewed.select("*", salt)
     buckets = F.explode(

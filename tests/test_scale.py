@@ -139,3 +139,15 @@ def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: {(lo1,hi1)} vs {(lo2,hi2)}"
     # rows preserved
     assert cat.read("t").count() == 20000
+
+
+def test_salted_join_rejects_unsound_join_types(spark):
+    import pytest
+
+    from icenetetl_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, t string")
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, ["k"], how=how)
