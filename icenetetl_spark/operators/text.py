@@ -38,6 +38,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-pretokenizer-style pattern: letter runs | digit runs | single
+# non-alnum marks (the GPT-2 pretokenizer shape, simplified to a class-based
+# regex whose semantics are identical under Java regex and RE2 — important
+# because the DuckDB oracle uses RE2).
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Subword-style pretokens of the lowercased text (regex runs)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def _count_in(arr: Column, vocab: tuple[str, ...]) -> Column:
     vocab_arr = F.array(*[F.lit(w) for w in vocab])
     return F.size(F.filter(arr, lambda w: F.array_contains(vocab_arr, w)))

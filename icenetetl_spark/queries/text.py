@@ -61,6 +61,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.fingerprint(F.col("text")).alias("fingerprint"),
         T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
@@ -179,7 +180,9 @@ ORACLES = {
     """,
     "text_fingerprint": f"""
         SELECT doc_id, md5({_NORM}) AS fingerprint,
-               len({_TOKENS}) AS n_tokens
+               len({_TOKENS}) AS n_tokens,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
         FROM documents
     """,
     "text_top_tokens": f"""
