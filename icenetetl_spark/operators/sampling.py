@@ -45,6 +45,63 @@ def split_by_hash(
     return df.withColumn(split_col, expr)
 
 
+def pack_contiguous(
+    df: DataFrame,
+    size_col: str,
+    window: int,
+    order_by: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign rows to fixed-budget packs by running-sum position: row i goes
+    to pack floor(exclusive_cumsum / window) in the given deterministic
+    order — the relational form of contiguous sequence packing for training
+    batches (greedy first-fit is inherently sequential; contiguous packing
+    is its standard distributed approximation).
+
+    Implemented as a DISTRIBUTED PREFIX SUM — a global-ORDER BY window would
+    drag every row into one partition (Spark even warns). Instead:
+    range-partition on the order keys, cumsum within each partition, and add
+    each partition's starting offset (one k-row aggregate to the driver,
+    k = #partitions — metadata, not data). Output is identical to the
+    sequential definition and independent of the partitioning.
+
+    Adds ``pack_id`` and ``pack_offset`` (row's start in the global stream).
+    """
+    order_cols = [F.col(c) for c in order_by]
+    n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    part = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_local = part.withColumn(
+        "__cum", F.sum(F.col(size_col).cast("long")).over(w)
+    )
+    # per-partition totals -> exclusive prefix offsets (k rows on the driver)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in with_local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        offset_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(offset_expr)
+    cum_exclusive = offset_expr + F.col("__cum") - F.col(size_col)
+    return (
+        with_local.withColumn("pack_id", F.floor(cum_exclusive / window).cast("long"))
+        .withColumn("pack_offset", cum_exclusive.cast("long"))
+        .drop("__pid", "__cum")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: Sequence[str],

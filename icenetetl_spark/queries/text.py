@@ -111,6 +111,20 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, ["lang"], 20, "doc_id")
 
 
+def doc_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: docs assigned to 2048-token context
+    windows by running token count in doc_id order (the distributed
+    approximation of greedy packing for pretraining batch assembly)."""
+    from icenetetl_spark.operators.sampling import pack_contiguous
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_contiguous(docs, "n_tokens", 2048, ["doc_id"]).select(
+        "doc_id", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -120,6 +134,7 @@ QUERIES = {
     "text_length_histogram": text_length_histogram,
     "doc_train_split": doc_train_split,
     "doc_stratified_sample": doc_stratified_sample,
+    "doc_pack_contiguous": doc_pack_contiguous,
 }
 
 
@@ -221,5 +236,19 @@ ORACLES = {
                                 doc_id) AS rk
             FROM documents
         ) WHERE rk <= 20
+    """,
+    "doc_pack_contiguous": f"""
+        WITH sized AS (SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS cum_excl
+            FROM sized
+        )
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(FLOOR(cum_excl / 2048) AS BIGINT) AS pack_id,
+               CAST(cum_excl AS BIGINT) AS pack_offset
+        FROM cum
     """,
 }

@@ -1,0 +1,48 @@
+"""Sampling/splitting/packing operator laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icenetetl_spark.operators.sampling import (
+    pack_contiguous,
+    split_by_hash,
+    stratified_sample,
+)
+
+
+def test_split_covers_all_rows_once(spark):
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    out = split_by_hash(df, "k", {"train": 80, "val": 10, "test": 10})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+
+
+def test_stratified_caps_small_strata(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(55)], "k long, s string"
+    )
+    out = stratified_sample(df, ["s"], 10, "k")
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 5}  # small stratum has only 5
+
+
+def test_pack_contiguous_invariants_and_partition_independence(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("n")
+    )
+    out = pack_contiguous(df, "n", 256, ["doc_id"], num_partitions=7).collect()
+    rows = sorted((r["doc_id"], r["n"], r["pack_id"], r["pack_offset"]) for r in out)
+    # offsets are the exact exclusive prefix sums in doc_id order
+    acc = 0
+    for doc_id, n, pack_id, off in rows:
+        assert off == acc
+        assert pack_id == acc // 256
+        acc += n
+    # result independent of partition count
+    out3 = pack_contiguous(df, "n", 256, ["doc_id"], num_partitions=3).collect()
+    assert rows == sorted(
+        (r["doc_id"], r["n"], r["pack_id"], r["pack_offset"]) for r in out3
+    )
