@@ -143,7 +143,7 @@ ORACLES = {
     "dq_profile": " UNION ALL ".join(
         f"""
         SELECT '{c}' AS col_name, count(*) AS n_rows,
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                count(DISTINCT {c}) AS n_distinct,
                CAST(min({c}) AS VARCHAR) AS min_value,
                CAST(max({c}) AS VARCHAR) AS max_value

@@ -208,7 +208,7 @@ ORACLES = {
     """,
     "ev_json_extract": """
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
                COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
                MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
