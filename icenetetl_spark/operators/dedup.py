@@ -149,6 +149,12 @@ def lsh_candidate_pairs(
     Returns distinct (doc_a, doc_b), doc_a < doc_b. The band self-join is an
     equi-join on (band_idx, band_signature) — hash-partitioned, distributed.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature columns and "
+            "weaken the LSH collision guarantee"
+        )
     rows_per_band = num_hashes // bands
     # Explode one array of (band_idx, band_sig) structs instead of a
     # UNION ALL of per-band selects: a union would re-evaluate the whole
@@ -281,22 +287,53 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs within ``max_hamming`` bits. The all-pairs join here is the
-    small-data form; at scale, block by bit-segments (pigeonhole: split the
-    fingerprint into max_hamming+1 segments, exact-match join on each) —
-    same output, linear shuffle."""
-    a = sim.alias("a")
-    b = sim.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, num_bits: int = 16
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits, via the PIGEONHOLE segment join
+    (Manku et al., "Detecting Near-Duplicates for Web Crawling", WWW 2007):
+    split the ``num_bits`` fingerprint into ``max_hamming + 1`` disjoint
+    segments — any pair differing in at most ``max_hamming`` bits must agree
+    EXACTLY on at least one segment. So: explode each fingerprint into its
+    segments, equi-join on (segment index, segment value), refine with the
+    exact Hamming distance, distinct (a pair can collide on several
+    segments). Output is identical to the all-pairs O(n²) filter form by
+    construction — same DuckDB oracle — but the join is a hash-partitioned
+    equi-join: linear shuffle, distributed, survives 100×.
+    """
+    nseg = max_hamming + 1
+    base, rem = divmod(num_bits, nseg)
+    seg_structs, off = [], 0
+    for i in range(nseg):
+        width = base + (1 if i < rem else 0)
+        seg_structs.append(
+            F.struct(
+                F.lit(i).alias("seg_idx"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("seg_val"),
+            )
+        )
+        off += width
+    # One explode, self-join on identical subplans -> ReuseExchange shares
+    # the shuffle (same trick as lsh_candidate_pairs).
+    segs = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*seg_structs)).alias("s")
+    ).select("doc_id", "simhash", "s.seg_idx", "s.seg_val")
+    a, b = segs.alias("a"), segs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

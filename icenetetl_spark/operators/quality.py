@@ -87,6 +87,11 @@ def expect(
                 .alias("n_violations"),
             )
         )
+    if not checks:
+        # Stable empty report: same (check, n_violations) schema for joins.
+        return df.sparkSession.createDataFrame(
+            [], "check string, n_violations long"
+        )
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)

@@ -45,6 +45,39 @@ def split_by_hash(
     return df.withColumn(split_col, expr)
 
 
+def _range_partition_pinned(
+    df: DataFrame, order_by: Sequence[str], num_partitions: int | None
+) -> DataFrame:
+    """Range-partition + sort on the order keys, tag ``__pid``, and PIN the
+    result with an eager localCheckpoint. The pin matters: RangePartitioner
+    samples boundaries with a per-execution seed, so without it the
+    offsets-collect job and the downstream result job could assign rows to
+    different ``__pid``s — silently misaligning the prefix sum. Checkpointing
+    makes both jobs read the same materialized partitions (same pattern as
+    connected_components' lineage truncation)."""
+    order_cols = [F.col(c) for c in order_by]
+    n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    part = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    return part.localCheckpoint(eager=True)
+
+
+def _offset_expr(totals: dict[int, int]) -> Column:
+    """Exclusive prefix offsets from per-partition totals (k driver rows,
+    k = #partitions — metadata, not data) as a CASE expression on __pid."""
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(expr)
+    return expr
+
+
 def pack_contiguous(
     df: DataFrame,
     size_col: str,
@@ -60,20 +93,15 @@ def pack_contiguous(
 
     Implemented as a DISTRIBUTED PREFIX SUM — a global-ORDER BY window would
     drag every row into one partition (Spark even warns). Instead:
-    range-partition on the order keys, cumsum within each partition, and add
-    each partition's starting offset (one k-row aggregate to the driver,
-    k = #partitions — metadata, not data). Output is identical to the
-    sequential definition and independent of the partitioning.
+    range-partition on the order keys (pinned — see _range_partition_pinned),
+    cumsum within each partition, and add each partition's starting offset.
+    Output is identical to the sequential definition and independent of the
+    partitioning.
 
     Adds ``pack_id`` and ``pack_offset`` (row's start in the global stream).
     """
     order_cols = [F.col(c) for c in order_by]
-    n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    part = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    part = _range_partition_pinned(df, order_by, num_partitions)
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
@@ -82,23 +110,49 @@ def pack_contiguous(
     with_local = part.withColumn(
         "__cum", F.sum(F.col(size_col).cast("long")).over(w)
     )
-    # per-partition totals -> exclusive prefix offsets (k rows on the driver)
     totals = {
         r["__pid"]: r["t"]
-        for r in with_local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
+        for r in part.groupBy("__pid")
+        .agg(F.sum(F.col(size_col).cast("long")).alias("t"))
+        .collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    offset_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(offset_expr)
-    cum_exclusive = offset_expr + F.col("__cum") - F.col(size_col)
+    cum_exclusive = _offset_expr(totals) + F.col("__cum") - F.col(size_col)
     return (
         with_local.withColumn("pack_id", F.floor(cum_exclusive / window).cast("long"))
         .withColumn("pack_offset", cum_exclusive.cast("long"))
         .drop("__pid", "__cum")
+    )
+
+
+def sequential_id(
+    df: DataFrame,
+    order_by: Sequence[str],
+    id_col: str = "id",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous ``start..start+N-1`` ids in the given total order — the
+    SERIAL / ``row_number() OVER (ORDER BY ...)`` contract — WITHOUT the
+    single-partition global window (WindowExec would move every row to one
+    task; at 100 TB that is the whole table through one executor).
+
+    Same distributed prefix sum as :func:`pack_contiguous`: partition-local
+    ``row_number`` plus a k-row per-partition count offset. The order keys
+    must be a total order (ties broken by a unique column) for the ids to be
+    deterministic."""
+    order_cols = [F.col(c) for c in order_by]
+    part = _range_partition_pinned(df, order_by, num_partitions)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    counts = {
+        r["__pid"]: r["c"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    return (
+        part.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            id_col, (_offset_expr(counts) + F.col("__rn") + F.lit(start - 1)).cast("long")
+        )
+        .drop("__pid", "__rn")
     )
 
 

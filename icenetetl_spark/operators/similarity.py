@@ -134,15 +134,71 @@ def embedding_near_duplicates(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_bits: int = 48,
+    bands: int = 12,
+    exact: bool = False,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (doc_a < doc_b). All-pairs form;
-    at scale run it as ``knn_sign_lsh`` candidates + threshold filter."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """Pairs with cosine >= threshold (id_a < id_b).
+
+    Default (``exact=False``): BANDED sign-LSH — the sign bits of the first
+    ``num_bits`` coordinates split into ``bands`` bands; candidates are
+    pairs agreeing on ALL bits of ANY band (OR-amplification, the same
+    banding construction as MinHash LSH), refined with the exact cosine.
+    The plan is one explode + one hash-partitioned equi-join on
+    (band_idx, band_sig) — linear shuffle, distributed, survives 100×.
+    A single monolithic bucket would have per-pair collision p^num_bits
+    (p = 1 - angle/pi per hyperplane) — near-zero recall at dedup
+    thresholds; banding gives 1-(1-p^w)^bands. Approximate by design:
+    cross-band misses are possible, and recall vs the exact answer is
+    asserted in tests/test_similarity.py. The DuckDB oracle mirrors the
+    identical bands, so the correctness gate is still an exact hash match.
+    Production swap: seeded random hyperplanes instead of axis signs, wider
+    bands — same plan shape.
+
+    ``exact=True``: the O(n²) all-pairs form — the small-data oracle twin
+    and the recall baseline. Never the plan to run at scale.
+    """
+    if exact:
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+    if num_bits % bands:
+        raise ValueError(f"num_bits ({num_bits}) must be divisible by bands ({bands})")
+    w = num_bits // bands
+    full = sign_bucket(F.col(vec_col), num_bits)
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.substring(full, i * w + 1, w).alias("band_sig"),
+        )
+        for i in range(bands)
+    ]
+    # Identical subplans on both sides of the self-join -> ReuseExchange
+    # shares the exploded shuffle (same trick as lsh_candidate_pairs).
+    banded = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select("vid", "vec", "b.band_idx", "b.band_sig")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+        .distinct()
     )

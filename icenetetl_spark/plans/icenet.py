@@ -28,12 +28,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from icenetetl_spark.catalog import ParquetCatalog
 from icenetetl_spark.functions.geo import build_cell_grid
 from icenetetl_spark.functions.reproject import ring_4326_wkt
 from icenetetl_spark.operators.relational import latest_snapshot, rename_normalize
+from icenetetl_spark.operators.sampling import sequential_id
 from icenetetl_spark.schemas import SRID_BY_HEMISPHERE
 
 # Old-format variable compatibility, processor.py:126-133
@@ -60,14 +60,19 @@ def classify_hemisphere(attrs: FileAttrs) -> str:
     if attrs.geospatial_lat_min is not None and attrs.geospatial_lat_min < -80:
         return "south"
     kw = (attrs.keywords or "").lower()
-    if "north" in kw:
+    # Exclusivity check, processor.py:145-148: route on a keyword only when
+    # exactly ONE hemisphere is named — a file mentioning both is ambiguous
+    # and must fail loudly, not land in the wrong hemisphere partition.
+    has_north, has_south = "north" in kw, "south" in kw
+    if has_north and not has_south:
         return "north"
-    if "south" in kw:
+    if has_south and not has_north:
         return "south"
     from icenetetl_spark.errors import HemisphereUnresolvedError
 
     raise HemisphereUnresolvedError(
         "unable to identify hemisphere from file attributes"
+        + (" (keywords name both hemispheres)" if has_north and has_south else "")
     )
 
 
@@ -90,6 +95,26 @@ def normalize_forecasts(raw: DataFrame, hemisphere: str) -> DataFrame:
     return df.drop(*[c for c in DROP_COLS if c in df.columns])
 
 
+def raw_axes(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full coordinate axes from the UN-filtered file. The reference builds
+    cells and mean_step_size from the raw xc/yc coordinate arrays
+    (processor.py:156-157, 218-219) BEFORE any sic_mean/null masking — real
+    sea-ice data masks most cells, and deriving the axes post-filter would
+    leave holes and shrunken extremes, overestimating (max-min)/(count-1)
+    and freezing oversized polygons into the cells table."""
+    xs = (
+        raw.select(F.floor(F.col("xc") * 1000).cast("int").alias("centroid_x"))
+        .na.drop()
+        .distinct()
+    )
+    ys = (
+        raw.select(F.floor(F.col("yc") * 1000).cast("int").alias("centroid_y"))
+        .na.drop()
+        .distinct()
+    )
+    return xs, ys
+
+
 def surrogate_cell_id() -> F.Column:
     """Deterministic replacement for SERIAL (processor.py:201): stable across
     runs/executors, no single-partition window bottleneck."""
@@ -101,9 +126,11 @@ class IceNetPipeline:
         self.catalog = catalog
 
     # -- stage 2: update_geometries (processor.py:192-266) ---------------
-    def update_geometries(self, forecasts: DataFrame, hemisphere: str) -> None:
-        xs = forecasts.select(F.col("xc_m").alias("centroid_x")).distinct()
-        ys = forecasts.select(F.col("yc_m").alias("centroid_y")).distinct()
+    def update_geometries(self, raw: DataFrame, hemisphere: str) -> None:
+        """Takes the RAW (pre-filter) frame: cells and spacing come from the
+        full coordinate axes (processor.py:156-157), not the rows surviving
+        the sic_mean>0 / dropna mask — see raw_axes."""
+        xs, ys = raw_axes(raw)
         grid = build_cell_grid(xs, ys).withColumn("hemisphere", F.lit(hemisphere))
         # ST_Transform(geom, 4326) twin (processor.py:252): vectorized LAEA
         # inverse, Arrow-batched — runs once per cell, not per forecast row.
@@ -184,11 +211,15 @@ class IceNetPipeline:
         )
         # row_number surrogate with EXPLICIT deterministic ordering (the
         # reference's has no ORDER BY, processor.py:420 — documented fix).
-        w = Window.partitionBy(F.lit(True)).orderBy(
-            "hemisphere", "date_forecast_generated", "date_forecast_for", "cell_id"
-        )
-        out = enriched.select(
-            F.row_number().over(w).cast("long").alias("forecast_id"),
+        # Sequential contract kept via the distributed prefix sum — no
+        # single-partition WindowExec (every latest-snapshot row through one
+        # task at 100 TB).
+        out = sequential_id(
+            enriched,
+            ["hemisphere", "date_forecast_generated", "date_forecast_for", "cell_id"],
+            id_col="forecast_id",
+        ).select(
+            "forecast_id",
             "hemisphere",
             "date_forecast_generated",
             "date_forecast_for",
@@ -244,7 +275,7 @@ class IceNetPipeline:
     ) -> None:
         hemisphere = classify_hemisphere(attrs)
         forecasts = normalize_forecasts(raw, hemisphere)
-        self.update_geometries(forecasts, hemisphere)
+        self.update_geometries(raw, hemisphere)
         self.update_forecasts(forecasts, hemisphere)
         self.update_latest()
         if incremental_meta:
@@ -261,8 +292,7 @@ def latest_view_plan(raw: DataFrame, hemisphere: str) -> DataFrame:
     normalize -> grid -> cell assign -> latest snapshot -> enrich -> number.
     Used by the rows-only ``icenet_pipeline_latest`` driver query."""
     forecasts = normalize_forecasts(raw, hemisphere)
-    xs = forecasts.select(F.col("xc_m").alias("centroid_x")).distinct()
-    ys = forecasts.select(F.col("yc_m").alias("centroid_y")).distinct()
+    xs, ys = raw_axes(raw)
     cells = (
         build_cell_grid(xs, ys)
         .withColumn("hemisphere", F.lit(hemisphere))
@@ -282,11 +312,10 @@ def latest_view_plan(raw: DataFrame, hemisphere: str) -> DataFrame:
         "geom_laea_wkt",
     )
     latest = latest_snapshot(facts, "date_forecast_generated")
-    w = Window.partitionBy(F.lit(True)).orderBy(
-        "date_forecast_for", "cell_id"
-    )
-    return latest.select(
-        F.row_number().over(w).cast("long").alias("forecast_id"),
+    return sequential_id(
+        latest, ["date_forecast_for", "cell_id"], id_col="forecast_id"
+    ).select(
+        "forecast_id",
         "hemisphere",
         "date_forecast_generated",
         "date_forecast_for",

@@ -14,6 +14,7 @@ K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 LSH_BITS = 8
 NEAR_DUP_T = 0.45
+ND_BITS, ND_BANDS = 48, 12  # banded sign-LSH: 12 bands x 4 sign bits
 
 _COS = """
     list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
@@ -35,8 +36,14 @@ def knn_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH near-dup pairs (the scale plan: explode bands,
+    equi-join, cosine refine); the oracle mirrors the identical bands so the
+    hash gate is exact. Recall of this plan vs the all-pairs answer is
+    asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_duplicates(emb, threshold=NEAR_DUP_T)
+    return S.embedding_near_duplicates(
+        emb, threshold=NEAR_DUP_T, num_bits=ND_BITS, bands=ND_BANDS
+    )
 
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,10 +87,16 @@ QUERIES = {
     "embedding_norms": embedding_norms,
 }
 
-_SIGN_BUCKET = lambda t: " || ".join(  # noqa: E731
-    f"(CASE WHEN {t}.embedding[{i + 1}] > 0 THEN '1' ELSE '0' END)"
-    for i in range(LSH_BITS)
-)
+def _sign_string(t: str, n: int) -> str:
+    """SQL twin of sign_bucket(vec, n): '0'/'1' sign string of the first n
+    coordinates (DuckDB lists are 1-indexed)."""
+    return " || ".join(
+        f"(CASE WHEN {t}.embedding[{i + 1}] > 0 THEN '1' ELSE '0' END)"
+        for i in range(n)
+    )
+
+
+_SIGN_BUCKET = lambda t: _sign_string(t, LSH_BITS)  # noqa: E731
 
 ORACLES = {
     "knn_bruteforce": f"""
@@ -116,10 +129,22 @@ ORACLES = {
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
         FROM ranked WHERE rank <= {K}
     """,
+    # Mirrors the banded sign-LSH plan: candidate = agree on ALL bits of ANY
+    # band (band i = sign bits of coords [i*w, (i+1)*w)), then exact-cosine
+    # refine. The OR-join is fine for the oracle's small data; Spark runs the
+    # same semantics as an exploded equi-join.
     "embedding_near_dup": f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {_sign_string("embeddings", ND_BITS)} AS sig
+                   FROM embeddings)
         SELECT * FROM (
             SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS} AS cos
-            FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+            FROM b q JOIN b c
+              ON q.vec_id < c.vec_id
+             AND ({" OR ".join(
+                 f"substr(q.sig, {i * (ND_BITS // ND_BANDS) + 1}, {ND_BITS // ND_BANDS})"
+                 f" = substr(c.sig, {i * (ND_BITS // ND_BANDS) + 1}, {ND_BITS // ND_BANDS})"
+                 for i in range(ND_BANDS))})
         ) WHERE cos >= {NEAR_DUP_T}
     """,
     "embedding_norms": """

@@ -34,6 +34,9 @@ def test_classify_hemisphere():
         classify_hemisphere(FileAttrs(keywords="equatorial"))
     with pytest.raises(IceNetInputError):  # typed-hierarchy catch, __init__.py:21-28
         classify_hemisphere(FileAttrs())
+    # exclusivity (processor.py:145-148): both hemispheres named -> ambiguous
+    with pytest.raises(HemisphereUnresolvedError):
+        classify_hemisphere(FileAttrs(keywords="north and south comparison"))
 
 
 def test_normalize_filters_and_derives(spark):

@@ -175,3 +175,13 @@ def test_connected_components_chain_diameter(spark):
     out = connected_components(pairs).collect()
     assert {r["component_id"] for r in out} == {0}
     assert len(out) == n + 1
+
+
+def test_lsh_bands_must_divide_num_hashes(spark):
+    import pytest
+
+    from icenetetl_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = spark.createDataFrame([(1, 0, 0)], "doc_id long, mh0 long, mh1 long")
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(sigs, num_hashes=10, bands=4)

@@ -40,3 +40,13 @@ def test_expectations_clean_input(spark):
         for r in expect(df, not_null=["tag"], unique=[["k"]]).collect()
     }
     assert rep == {"not_null:tag": 0, "unique:k": 0}
+
+
+def test_expect_no_checks_returns_stable_empty_schema(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    rep = expect(df)
+    assert rep.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in rep.schema.fields] == [
+        ("check", "string"),
+        ("n_violations", "bigint"),
+    ]

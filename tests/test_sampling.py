@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from icenetetl_spark.operators.sampling import (
     pack_contiguous,
+    sequential_id,
     split_by_hash,
     stratified_sample,
 )
@@ -46,3 +47,24 @@ def test_pack_contiguous_invariants_and_partition_independence(spark):
     assert rows == sorted(
         (r["doc_id"], r["n"], r["pack_id"], r["pack_offset"]) for r in out3
     )
+
+
+def test_sequential_id_contiguous_and_ordered(spark):
+    """sequential_id must hand out exactly 1..N following the total order,
+    for any partition count — the SERIAL contract without the global
+    window."""
+    df = spark.createDataFrame(
+        [((i * 37) % 211, f"r{i}") for i in range(211)], "k long, v string"
+    )
+    for n_parts in (1, 3, 8):
+        out = sequential_id(df, ["k"], id_col="rid", num_partitions=n_parts)
+        rows = sorted((r["k"], r["rid"]) for r in out.collect())
+        assert [rid for _, rid in rows] == list(range(1, 212))
+        # id order == key order
+        assert [k for k, _ in rows] == sorted(k for k, _ in rows)
+
+
+def test_sequential_id_start_offset(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    out = sequential_id(df, ["k"], id_col="rid", start=100)
+    assert sorted(r["rid"] for r in out.collect()) == list(range(100, 110))

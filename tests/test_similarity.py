@@ -1,0 +1,88 @@
+"""Similarity-layer invariants: the approximate (bucketed) plans must be
+subsets of the exact answers with measured recall, and the pigeonhole
+SimHash join must reproduce the all-pairs answer exactly."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from icenetetl_spark.operators.dedup import simhash_near_pairs
+from icenetetl_spark.operators.similarity import embedding_near_duplicates
+from icenetetl_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_near_dup_lsh_subset_and_recall(spark, emb):
+    """The bucketed plan returns a subset of the exact all-pairs answer
+    (precision 1.0 — the refine step applies the exact cosine), with
+    recall high enough to be useful. Recall is deterministic here: fixed
+    data, deterministic bucketing."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(emb, 0.45, exact=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(emb, 0.45).collect()
+    }
+    assert lsh <= exact, "banded candidates must all be true near-dups"
+    assert exact, "fixture must contain near-dup pairs for recall to mean anything"
+    recall = len(lsh) / len(exact)
+    # 12 bands x 4 bits on this fixture: measured 0.86 — fails if the
+    # banding regresses (e.g. a band/substring bug collapses candidates).
+    assert recall >= 0.5, f"recall {recall:.2f} collapsed"
+
+
+def test_near_dup_more_bands_higher_recall(spark, emb):
+    """More bands over the same bits = more OR-amplification: candidate set
+    (and thus surviving pairs) is monotone non-decreasing in band count."""
+    one_band = embedding_near_duplicates(emb, 0.45, num_bits=16, bands=1).count()
+    four_bands = embedding_near_duplicates(emb, 0.45, num_bits=16, bands=4).count()
+    assert four_bands >= one_band
+
+
+def test_simhash_pigeonhole_equals_all_pairs(spark):
+    """The segment-join plan is exhaustive for hamming <= max_hamming — it
+    must produce EXACTLY the all-pairs filter answer, not a subset."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    from icenetetl_spark.operators.dedup import simhash
+
+    sim = simhash(docs).cache()
+    a, b = sim.alias("a"), sim.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    for max_h in (0, 2, 3):
+        brute = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_h)
+            .collect()
+        }
+        pigeon = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_pairs(sim, max_hamming=max_h).collect()
+        }
+        assert pigeon == brute, f"max_hamming={max_h}"
+    sim.unpersist()
+
+
+def test_simhash_pigeonhole_plan_has_no_theta_only_join(spark):
+    """The physical plan must be an equi-join (SortMerge/ShuffledHash), not a
+    BroadcastNestedLoop/cartesian driven only by doc_a < doc_b."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    from icenetetl_spark.operators.dedup import simhash
+
+    plan = simhash_near_pairs(simhash(docs))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
