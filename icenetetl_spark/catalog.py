@@ -49,13 +49,16 @@ class ParquetCatalog:
         return os.path.join(self.warehouse, name)
 
     def exists(self, name: str) -> bool:
+        """True iff the table directory holds at least one parquet data file
+        (possibly nested under hive partition dirs). A dir containing only
+        _SUCCESS markers or abandoned staging dirs is NOT a readable table."""
         p = self.path(name)
         if not os.path.isdir(p):
             return False
-        return any(
-            f.endswith(".parquet") or f.startswith("hemisphere=") or "=" in f
-            for f in os.listdir(p)
-        ) or any(os.scandir(p))
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))

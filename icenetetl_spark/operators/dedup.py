@@ -301,6 +301,13 @@ def simhash_near_pairs(
     construction — same DuckDB oracle — but the join is a hash-partitioned
     equi-join: linear shuffle, distributed, survives 100×.
     """
+    if num_bits < max_hamming + 1:
+        raise ValueError(
+            f"num_bits ({num_bits}) must be >= max_hamming + 1 "
+            f"({max_hamming + 1}): fewer bits than segments yields zero-width "
+            "segments whose value is 0 for every row, silently degenerating "
+            "the pigeonhole equi-join into an all-pairs join"
+        )
     nseg = max_hamming + 1
     base, rem = divmod(num_bits, nseg)
     seg_structs, off = [], 0

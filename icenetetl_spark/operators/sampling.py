@@ -54,7 +54,16 @@ def _range_partition_pinned(
     offsets-collect job and the downstream result job could assign rows to
     different ``__pid``s — silently misaligning the prefix sum. Checkpointing
     makes both jobs read the same materialized partitions (same pattern as
-    connected_components' lineage truncation)."""
+    connected_components' lineage truncation).
+
+    Cluster note: ``localCheckpoint`` stores UNREPLICATED executor-local
+    blocks — if an executor is lost (dynamic allocation, preemption) the
+    pinned partitions are unrecoverable and the job fails. On a real cluster
+    swap to reliable ``df.checkpoint()`` with
+    ``sparkContext.setCheckpointDir`` on HDFS/object storage: same pinning
+    semantics, fault-tolerant, one extra write. localCheckpoint is chosen
+    here because the single-JVM test environment has no checkpoint dir and
+    cannot lose executors."""
     order_cols = [F.col(c) for c in order_by]
     n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     part = (
@@ -65,17 +74,21 @@ def _range_partition_pinned(
     return part.localCheckpoint(eager=True)
 
 
-def _offset_expr(totals: dict[int, int]) -> Column:
-    """Exclusive prefix offsets from per-partition totals (k driver rows,
-    k = #partitions — metadata, not data) as a CASE expression on __pid."""
-    offsets, acc = {}, 0
+def _with_offset(part: DataFrame, totals: dict[int, int]) -> DataFrame:
+    """Join the exclusive prefix offsets (k driver rows, k = #partitions —
+    metadata, not data) back onto ``part`` as ``__off`` via a BROADCAST join
+    on __pid. A nested CASE expression would grow linearly deep with the
+    partition count (thousands of WHEN branches at cluster scale — codegen
+    blowup); the broadcast hash join is O(1) depth regardless of k."""
+    offsets, acc = [], 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += totals[pid]
-    expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(expr)
-    return expr
+    spark = part.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [], schema="__pid int, __off long"
+    )
+    return part.join(F.broadcast(off_df), "__pid", "left").na.fill({"__off": 0})
 
 
 def pack_contiguous(
@@ -116,11 +129,12 @@ def pack_contiguous(
         .agg(F.sum(F.col(size_col).cast("long")).alias("t"))
         .collect()
     }
-    cum_exclusive = _offset_expr(totals) + F.col("__cum") - F.col(size_col)
+    cum_exclusive = F.col("__off") + F.col("__cum") - F.col(size_col)
     return (
-        with_local.withColumn("pack_id", F.floor(cum_exclusive / window).cast("long"))
+        _with_offset(with_local, totals)
+        .withColumn("pack_id", F.floor(cum_exclusive / window).cast("long"))
         .withColumn("pack_offset", cum_exclusive.cast("long"))
-        .drop("__pid", "__cum")
+        .drop("__pid", "__cum", "__off")
     )
 
 
@@ -147,12 +161,14 @@ def sequential_id(
         r["__pid"]: r["c"]
         for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
     }
+    numbered = part.withColumn("__rn", F.row_number().over(w).cast("long"))
     return (
-        part.withColumn("__rn", F.row_number().over(w).cast("long"))
+        _with_offset(numbered, counts)
         .withColumn(
-            id_col, (_offset_expr(counts) + F.col("__rn") + F.lit(start - 1)).cast("long")
+            id_col,
+            (F.col("__off") + F.col("__rn") + F.lit(start - 1)).cast("long"),
         )
-        .drop("__pid", "__rn")
+        .drop("__pid", "__rn", "__off")
     )
 
 

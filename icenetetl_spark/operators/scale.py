@@ -30,13 +30,22 @@ def salted_join(
     Only inner/left/left_semi are supported: the replicated right side would
     emit unmatched right rows once PER BUCKET under right/full/anti joins —
     silently wrong, so we refuse.
+
+    The salt is DETERMINISTIC — a hash of the whole row, not rand(): a seeded
+    rand() is partition-layout-dependent, so a task retry or upstream
+    repartition could re-salt the same row differently mid-job. A row hash is
+    retry-stable. Rows identical in every column share a bucket (harmless for
+    correctness; spreading only degrades under massive full-row duplication —
+    pass a unique id column upstream if that is the actual workload).
     """
     if how not in ("inner", "left", "left_outer", "left_semi"):
         raise ValueError(
             f"salted_join supports inner/left/left_semi, not {how!r}: "
             "the replicated right side breaks right/full/anti semantics"
         )
-    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
+    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_buckets)).cast(
+        "int"
+    ).alias("__salt")
     salted_left = skewed.select("*", salt)
     buckets = F.explode(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))

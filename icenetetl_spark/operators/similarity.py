@@ -136,11 +136,18 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     num_bits: int = 48,
     bands: int = 12,
-    exact: bool = False,
+    exact: bool = True,
 ) -> DataFrame:
     """Pairs with cosine >= threshold (id_a < id_b).
 
-    Default (``exact=False``): BANDED sign-LSH — the sign bits of the first
+    ``exact=True`` (the DEFAULT): the all-pairs O(n²) form — exact answer,
+    the small-data oracle twin and the recall baseline. Callers opt INTO the
+    approximate scale plan with ``exact=False``; approximation is an explicit
+    decision at the call site, never a silent default (a caller relying on
+    exact semantics must not lose pairs because a default changed under it).
+    Never the plan to run at 100 TB.
+
+    ``exact=False``: BANDED sign-LSH — the sign bits of the first
     ``num_bits`` coordinates split into ``bands`` bands; candidates are
     pairs agreeing on ALL bits of ANY band (OR-amplification, the same
     banding construction as MinHash LSH), refined with the exact cosine.
@@ -154,9 +161,6 @@ def embedding_near_duplicates(
     identical bands, so the correctness gate is still an exact hash match.
     Production swap: seeded random hyperplanes instead of axis signs, wider
     bands — same plan shape.
-
-    ``exact=True``: the O(n²) all-pairs form — the small-data oracle twin
-    and the recall baseline. Never the plan to run at scale.
     """
     if exact:
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

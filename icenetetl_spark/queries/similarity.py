@@ -41,8 +41,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gate is exact. Recall of this plan vs the all-pairs answer is
     asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # exact=False: this query IS the scale plan; the approximation is an
+    # explicit call-site decision (operator default is the exact form).
     return S.embedding_near_duplicates(
-        emb, threshold=NEAR_DUP_T, num_bits=ND_BITS, bands=ND_BANDS
+        emb, threshold=NEAR_DUP_T, num_bits=ND_BITS, bands=ND_BANDS, exact=False
     )
 
 

@@ -30,7 +30,7 @@ def test_near_dup_lsh_subset_and_recall(spark, emb):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in embedding_near_duplicates(emb, 0.45).collect()
+        for r in embedding_near_duplicates(emb, 0.45, exact=False).collect()
     }
     assert lsh <= exact, "banded candidates must all be true near-dups"
     assert exact, "fixture must contain near-dup pairs for recall to mean anything"
@@ -43,8 +43,12 @@ def test_near_dup_lsh_subset_and_recall(spark, emb):
 def test_near_dup_more_bands_higher_recall(spark, emb):
     """More bands over the same bits = more OR-amplification: candidate set
     (and thus surviving pairs) is monotone non-decreasing in band count."""
-    one_band = embedding_near_duplicates(emb, 0.45, num_bits=16, bands=1).count()
-    four_bands = embedding_near_duplicates(emb, 0.45, num_bits=16, bands=4).count()
+    one_band = embedding_near_duplicates(
+        emb, 0.45, num_bits=16, bands=1, exact=False
+    ).count()
+    four_bands = embedding_near_duplicates(
+        emb, 0.45, num_bits=16, bands=4, exact=False
+    ).count()
     assert four_bands >= one_band
 
 
