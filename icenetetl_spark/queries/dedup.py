@@ -8,11 +8,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from icenetetl_spark.operators import dedup as D
+from icenetetl_spark.operators.scale import cap_document_frequency
 from icenetetl_spark.functions.portable import portable_hash64_sql
 from icenetetl_spark.sources.testdata import load_table
 
 NGRAM_N = 3
 JACCARD_T = 0.8
+# Document-frequency cap applied to the shingle postings BEFORE the
+# inverted-index self-join: a boilerplate shingle shared by 10^6 docs would
+# contribute 10^12 candidate pairs — the last data-dependent quadratic on a
+# default path. 25 = 5% of the sf0.01 corpus; the observed max df there is 7,
+# so the cap is inert at test scale (same answer) and active only against the
+# hot shingles it exists to kill. Mirrored in the oracle via HAVING.
+NGRAM_MAX_DF = 25
 NUM_HASHES = 16
 BANDS = 4
 SIM_BITS = 16
@@ -36,9 +44,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
 
 
+def _capped_shingles(docs: DataFrame) -> DataFrame:
+    """Shared candidate-generation input for the n-gram family: distinct
+    shingles with the document-frequency cap applied (operators/scale.py)."""
+    return cap_document_frequency(
+        D.word_shingles(docs, n=NGRAM_N), NGRAM_MAX_DF
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(D.word_shingles(docs, n=NGRAM_N), threshold=JACCARD_T)
+    return D.jaccard_pairs(_capped_shingles(docs), threshold=JACCARD_T)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,7 +77,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled with the min doc_id of its component. The oracle is a recursive
     CTE computing the same closure."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(D.word_shingles(docs, n=NGRAM_N), threshold=JACCARD_T)
+    pairs = D.jaccard_pairs(_capped_shingles(docs), threshold=JACCARD_T)
     return D.connected_components(pairs)
 
 
@@ -74,7 +90,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icenetetl_spark.operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(D.word_shingles(docs, n=NGRAM_N), threshold=JACCARD_T)
+    pairs = D.jaccard_pairs(_capped_shingles(docs), threshold=JACCARD_T)
     comp = D.connected_components(pairs)
     scored = comp.join(docs, "doc_id").select(
         "doc_id", "component_id", quality_score(F.col("text")).alias("quality")
@@ -158,12 +174,20 @@ from icenetetl_spark.operators.text import STOPWORDS as _STOPWORDS
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
-# shared pair-building CTE chain (used by jaccard / groups / canonical)
+# shared pair-building CTE chain (used by jaccard / groups / canonical).
+# shc mirrors cap_document_frequency: sh is distinct (doc_id, shingle), so
+# count(*) per shingle IS its document frequency; HAVING <= NGRAM_MAX_DF drops
+# the same hot shingles the Spark plan drops.
 _PAIRS_CTES = f"""
-    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shc AS (
+        SELECT sh.doc_id, sh.shingle FROM sh
+        JOIN (SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= {NGRAM_MAX_DF}) ok USING (shingle)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     rawpairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b
+        FROM shc a JOIN shc b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),

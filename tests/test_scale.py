@@ -52,6 +52,34 @@ def test_cap_document_frequency(spark):
     assert jaccard_pairs(capped, threshold=0.9).count() == 0
 
 
+def test_ngram_query_path_caps_hot_shingles(spark):
+    """The REGISTERED n-gram dedup queries must apply the df cap: a
+    boilerplate shingle shared by every doc would otherwise contribute
+    O(n^2) candidate pairs. With the cap, candidate generation is driven
+    only by genuinely shared (low-df) shingles."""
+    from icenetetl_spark.queries.dedup import NGRAM_MAX_DF, _capped_shingles
+
+    n = NGRAM_MAX_DF * 3  # boilerplate df = 3x over the cap
+    docs = spark.createDataFrame(
+        [(i, f"shared boilerplate header text unique{i} tail{i} body{i}")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    uncapped = word_shingles(docs, n=3)
+    # the boilerplate trigrams connect every pair: ~n^2/2 candidates
+    hot = uncapped.groupBy("shingle").count().filter(
+        F.col("count") > NGRAM_MAX_DF
+    )
+    assert hot.count() > 0, "fixture must actually contain hot shingles"
+    capped = _capped_shingles(docs)
+    assert capped.groupBy("shingle").count().filter(
+        F.col("count") > NGRAM_MAX_DF
+    ).count() == 0
+    # with boilerplate removed, no doc pair shares a shingle at all
+    assert jaccard_pairs(capped, threshold=0.0).count() == 0
+    assert jaccard_pairs(uncapped, threshold=0.0).count() == n * (n - 1) / 2
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     a = spark.range(0, 10000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("va")
