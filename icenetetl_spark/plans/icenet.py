@@ -287,16 +287,35 @@ class IceNetPipeline:
             self.update_meta()
 
 
-def latest_view_plan(raw: DataFrame, hemisphere: str) -> DataFrame:
+def latest_view_plan(
+    raw: DataFrame, hemisphere: str, portable_ids: bool = False
+) -> DataFrame:
     """Pure-transform (no table layer) version of the flagship chain:
     normalize -> grid -> cell assign -> latest snapshot -> enrich -> number.
-    Used by the rows-only ``icenet_pipeline_latest`` driver query."""
+    Used by the ``icenet_pipeline_latest`` driver query.
+
+    ``portable_ids=True`` swaps the xxhash64 surrogate cell id for the
+    md5-derived portable hash (functions/portable.py) that DuckDB reproduces
+    bit-for-bit — the driver's hash gate compares cell_id values, and DuckDB
+    has no xxhash64. Production keeps the default (same plan, cheaper hash).
+    """
     forecasts = normalize_forecasts(raw, hemisphere)
     xs, ys = raw_axes(raw)
+    if portable_ids:
+        from icenetetl_spark.functions.portable import portable_hash64
+
+        cell_id = portable_hash64(
+            F.concat_ws(
+                "|", F.col("hemisphere"), F.col("centroid_x"), F.col("centroid_y")
+            ),
+            bits=32,
+        )
+    else:
+        cell_id = surrogate_cell_id()
     cells = (
         build_cell_grid(xs, ys)
         .withColumn("hemisphere", F.lit(hemisphere))
-        .withColumn("cell_id", surrogate_cell_id())
+        .withColumn("cell_id", cell_id)
     )
     facts = forecasts.join(
         F.broadcast(cells),

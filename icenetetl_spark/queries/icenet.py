@@ -1,27 +1,121 @@
-"""The IceNet domain pipeline as a driver query (rows-only check: the
-pipeline consumes synthesized IceNet-shaped fixtures, not the TPC-H tables,
-so no DuckDB oracle — the operator-level twins in queries/core.py cover each
-stage's relational semantics with full hash-matching instead).
+"""The IceNet domain pipeline as a driver query — WITH a DuckDB oracle.
+
+Round-2 closure: the flagship chain was rows-only because its fixture input
+lived only inside the Spark session. Now the deterministic fixture is
+materialized ONCE as a parquet file (at import time, atomic write) and both
+engines read that same file: Spark runs ``latest_view_plan`` over it, DuckDB
+runs the SQL restatement of the identical chain — normalize (filter /
+dropna-any / derive) -> raw-axes grid + polygon WKT -> broadcast cell assign
+-> latest snapshot -> deterministic sequential id. Every stage is
+SQL-expressible (the queries/core.py stage twins prove each individually);
+this oracle proves the COMPOSED chain end-to-end with a value-hash gate.
+
+Reference lifecycle: azfunctions/InputBlobTrigger/__init__.py:22-26;
+matview query processor.py:416-448.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from icenetetl_spark.plans.icenet import latest_view_plan
-from icenetetl_spark.sources.fixtures import make_raw_file
+from icenetetl_spark.functions.portable import portable_hash64_sql
+from icenetetl_spark.sources.fixtures import write_raw_fixture
+
+GEN_DATE = "2024-03-01"
+GRID_SIDE = 16
+
+_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".fixtures",
+    f"icenet_raw_{GEN_DATE}_g{GRID_SIDE}.parquet",
+)
+
+# Materialize at import: queries() and oracle_sql() are both reached through
+# this module, so the file exists before either engine runs. Deterministic
+# (seed-fixed) and write-if-absent, so repeated imports are no-ops.
+write_raw_fixture(_FIXTURE_PATH, GEN_DATE, grid_side=GRID_SIDE)
 
 
 def icenet_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full chain on a deterministic fixture: normalize -> grid/WKT ->
-    broadcast cell-assign -> latest snapshot -> enrich -> deterministic
-    row_number. Rows-only (no oracle): the input is the synthesized
-    melted-NetCDF fixture (seed-fixed), not a testdata table the oracle can
-    see; each stage's relational semantics are hash-gated individually by
-    the queries/core.py twins. sf_dir is unused."""
-    raw, _ = make_raw_file(spark, "2024-03-01", "north", grid_side=16, seed=42)
-    return latest_view_plan(raw, "north")
+    """Full chain on the parquet fixture: normalize -> grid/WKT -> broadcast
+    cell-assign -> latest snapshot -> enrich -> deterministic sequential id.
+    ``portable_ids`` so cell_id is the md5-derived hash DuckDB reproduces
+    (production default is xxhash64 — same plan). sf_dir is unused: the
+    input is the IceNet-shaped fixture, not a testdata table."""
+    raw = spark.read.parquet(_FIXTURE_PATH)
+    return latest_view_plan(raw, "north", portable_ids=True)
 
 
 QUERIES = {"icenet_pipeline_latest": icenet_pipeline_latest}
-ORACLES: dict = {}
+
+# SQL restatement of latest_view_plan over the same parquet file.
+# Engine-portability notes mirrored from the Spark plan:
+# - dropna('any') ≙ NOT isnan(sic_stddev) (the only NaN-bearing column);
+# - Spark's cast(long) TRUNCATES doubles, DuckDB's CAST rounds -> floor()
+#   before casting the half-step;
+# - cell_id = portable md5 hash of 'hemisphere|cx|cy' (functions/portable.py).
+_CELL_ID_SQL = portable_hash64_sql(
+    "'north' || '|' || CAST(centroid_x AS VARCHAR) || '|' || CAST(centroid_y AS VARCHAR)",
+    32,
+)
+
+ORACLES = {
+    "icenet_pipeline_latest": f"""
+        WITH raw AS (SELECT * FROM read_parquet('{_FIXTURE_PATH}')),
+        fc AS (
+            SELECT 'north' AS hemisphere,
+                   CAST(time AS DATE) AS date_forecast_generated,
+                   CAST(time + leadtime * INTERVAL 1 DAY AS DATE)
+                       AS date_forecast_for,
+                   CAST(floor(xc * 1000) AS INTEGER) AS xc_m,
+                   CAST(floor(yc * 1000) AS INTEGER) AS yc_m,
+                   sic_mean, sic_stddev
+            FROM raw
+            WHERE sic_mean > 0 AND NOT isnan(sic_stddev)
+        ),
+        xs AS (SELECT DISTINCT CAST(floor(xc * 1000) AS INTEGER) AS centroid_x
+               FROM raw WHERE xc IS NOT NULL),
+        ys AS (SELECT DISTINCT CAST(floor(yc * 1000) AS INTEGER) AS centroid_y
+               FROM raw WHERE yc IS NOT NULL),
+        sx AS (SELECT (max(centroid_x) - min(centroid_x)) * 1.0
+                      / (count(centroid_x) - 1) AS step_x FROM xs),
+        sy AS (SELECT (max(centroid_y) - min(centroid_y)) * 1.0
+                      / (count(centroid_y) - 1) AS step_y FROM ys),
+        grid AS (
+            SELECT centroid_x, centroid_y,
+                   CAST(floor((step_x + step_y) / 2 / 2) AS BIGINT) AS d
+            FROM xs, ys, sx, sy
+        ),
+        cells AS (
+            SELECT centroid_x, centroid_y,
+                   printf('POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))',
+                          centroid_x - d, centroid_y + d,
+                          centroid_x + d, centroid_y + d,
+                          centroid_x + d, centroid_y - d,
+                          centroid_x - d, centroid_y - d,
+                          centroid_x - d, centroid_y + d) AS geom_laea_wkt,
+                   {_CELL_ID_SQL} AS cell_id
+            FROM grid
+        ),
+        facts AS (
+            SELECT fc.hemisphere, fc.date_forecast_generated,
+                   fc.date_forecast_for, c.cell_id, fc.sic_mean,
+                   fc.sic_stddev, c.geom_laea_wkt
+            FROM fc LEFT JOIN cells c
+              ON fc.xc_m = c.centroid_x AND fc.yc_m = c.centroid_y
+        ),
+        latest AS (
+            SELECT * FROM facts
+            WHERE date_forecast_generated =
+                  (SELECT max(date_forecast_generated) FROM facts)
+        )
+        SELECT row_number() OVER (ORDER BY date_forecast_for, cell_id)
+                   AS forecast_id,
+               hemisphere, date_forecast_generated, date_forecast_for,
+               cell_id, sic_mean, sic_stddev, geom_laea_wkt
+        FROM latest
+    """,
+}

@@ -5,9 +5,16 @@ Includes the features the pipeline must exercise: ~20% rows with
 ``sic_mean <= 0`` (filtered), a few null ``sic_stddev`` (dropped by the
 'any'-semantics dropna), droppable passthrough columns, and an old-format
 variant (``mean``/``stddev`` names).
+
+``write_raw_fixture`` persists the same frame as a parquet file both engines
+can read — this is what gives the flagship ``icenet_pipeline_latest`` query
+a DuckDB oracle (the fixture becomes a table the oracle can see, closing the
+round-2 rows-only gap).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -16,6 +23,61 @@ from pyspark.sql import DataFrame, SparkSession
 
 from icenetetl_spark.plans.icenet import FileAttrs
 from icenetetl_spark.schemas import ICENET_RAW
+
+
+def make_raw_pdf(
+    generated: str,
+    grid_side: int = 16,
+    leadtimes: int = 5,
+    step_km: float = 25.0,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """The fixture as a pandas frame — pure numpy/pandas so it can be built
+    (and written to parquet) without a SparkSession."""
+    rng = np.random.default_rng(seed)
+    xs = np.arange(grid_side) * step_km
+    ys = np.arange(grid_side) * step_km
+    lead, yy, xx = np.meshgrid(
+        np.arange(1, leadtimes + 1), ys, xs, indexing="ij"
+    )
+    n = lead.size
+    sic_mean = rng.uniform(-0.25, 1.0, n).astype(np.float32)  # ~20% <= 0
+    sic_stddev = rng.uniform(0.0, 0.5, n).astype(np.float32)
+    null_mask = rng.uniform(size=n) < 0.02
+    sic_stddev = np.where(null_mask, np.nan, sic_stddev).astype(np.float32)
+
+    return pd.DataFrame(
+        {
+            # microsecond precision: parquet TIMESTAMP(NANOS) would need the
+            # nanosAsLong shim on the Spark side (see sources/testdata.py)
+            "time": pd.Series(
+                [pd.Timestamp(generated)] * n, dtype="datetime64[us]"
+            ),
+            "leadtime": lead.ravel().astype(np.int32),
+            "xc": xx.ravel(),
+            "yc": yy.ravel(),
+            "lat": rng.uniform(60, 90, n),
+            "lon": rng.uniform(-180, 180, n),
+            "Lambert_Azimuthal_Grid": np.int32(0),
+            "sic_mean": sic_mean,
+            "sic_stddev": sic_stddev,
+        }
+    )
+
+
+def write_raw_fixture(path: str, generated: str, **kwargs) -> str:
+    """Write the deterministic fixture to ``path`` (parquet) if absent.
+    Atomic (tmp + rename) so a concurrent reader never sees a partial file.
+    Returns ``path``. Both Spark and the DuckDB oracle read this same file,
+    so their inputs are byte-identical."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pdf = make_raw_pdf(generated, **kwargs)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pdf.to_parquet(tmp, engine="pyarrow", index=False)
+    os.replace(tmp, path)
+    return path
 
 
 def make_raw_file(
@@ -31,31 +93,7 @@ def make_raw_file(
     """One fixture file ≙ one blob event. ``generated`` is the forecast
     generation date (single distinct ``time`` per file, processor.py:368-370).
     """
-    rng = np.random.default_rng(seed)
-    xs = np.arange(grid_side) * step_km
-    ys = np.arange(grid_side) * step_km
-    lead, yy, xx = np.meshgrid(
-        np.arange(1, leadtimes + 1), ys, xs, indexing="ij"
-    )
-    n = lead.size
-    sic_mean = rng.uniform(-0.25, 1.0, n).astype(np.float32)  # ~20% <= 0
-    sic_stddev = rng.uniform(0.0, 0.5, n).astype(np.float32)
-    null_mask = rng.uniform(size=n) < 0.02
-    sic_stddev = np.where(null_mask, np.nan, sic_stddev).astype(np.float32)
-
-    pdf = pd.DataFrame(
-        {
-            "time": pd.Timestamp(generated),
-            "leadtime": lead.ravel().astype(np.int32),
-            "xc": xx.ravel(),
-            "yc": yy.ravel(),
-            "lat": rng.uniform(60, 90, n),
-            "lon": rng.uniform(-180, 180, n),
-            "Lambert_Azimuthal_Grid": np.int32(0),
-            "sic_mean": sic_mean,
-            "sic_stddev": sic_stddev,
-        }
-    )
+    pdf = make_raw_pdf(generated, grid_side, leadtimes, step_km, seed)
     df = spark.createDataFrame(pdf, schema=ICENET_RAW)
     if old_format:
         df = (
