@@ -72,6 +72,79 @@ def _nearest_cells_udf(centroids: np.ndarray, n_probe: int):
     return nearest
 
 
+def knn_ivf_fixed_centroids(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF probe/assign/re-rank plan with a FIXED centroid table
+    (columns ``centroid_id``, ``cvec``) instead of a fitted KMeans model.
+
+    Same physical shape as :func:`knn_ivf` — broadcast the k centroids,
+    assign each corpus vector its nearest cell, probe ``n_probe`` cells per
+    query, equi-join on cell, exact cosine re-rank — but every step is pure
+    column arithmetic (the JVM-side cosine fold), so a DuckDB oracle can
+    reproduce it bit-for-bit. This gives the IVF family its hash gate; the
+    KMeans variant stays rows-only with recall tests (tests/test_ivf.py).
+
+    Scale notes: centroid assignment is corpus ⨯ broadcast(k rows) scored
+    per-row, then argmax via ONE partial-aggregated groupBy (max over a
+    (sim, -centroid_id, cv) struct — lexicographic, ties to the smaller
+    centroid id; the k scored copies of a row are produced in the same task,
+    so map-side combine collapses them before the shuffle). A per-row window
+    would shuffle k×N rows instead.
+    """
+    cents = F.broadcast(centroids)
+    c_scored = corpus.crossJoin(cents).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+        (-F.col("centroid_id")).alias("__negcid"),
+    )
+    corpus_cells = (
+        c_scored.groupBy("neighbor_id")
+        .agg(F.max(F.struct("__sim", "__negcid", "cv")).alias("m"))
+        .select(
+            "neighbor_id",
+            F.col("m.cv").alias("cv"),
+            (-F.col("m.__negcid")).alias("cell"),
+        )
+    )
+    q_scored = queries.crossJoin(cents).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("centroid_id"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+    )
+    scored = (
+        probes.join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,

@@ -81,10 +81,33 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_ivf(queries, emb, k=K, n_cells=16, n_probe=6)
 
 
+# Fixed coarse-quantizer seeds: 16 corpus vectors by id, spread across the
+# table. Makes the IVF assign/probe/re-rank plan SQL-reproducible (both
+# engines read the same centroid rows from the table — no literal dumps to
+# drift). The KMeans-fitted variant (knn_ivf) stays rows-only for recall.
+IVF_CENTROID_IDS = list(range(7, 500, 31))  # 16 ids: 7, 38, ..., 472
+IVF_N_PROBE = 4
+
+
+def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with fixed centroids — the oracle-gated twin of knn_ivf:
+    identical probe/assign/re-rank plan, quantizer replaced by a fixed
+    centroid table so DuckDB mirrors every step bit-for-bit."""
+    from icenetetl_spark.operators.ivf import knn_ivf_fixed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn_ivf_fixed_centroids(queries, emb, cents, k=K, n_probe=IVF_N_PROBE)
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_sign_lsh": knn_sign_lsh,
     "knn_ivf": knn_ivf,
+    "knn_ivf_fixed": knn_ivf_fixed,
     "embedding_near_dup": embedding_near_dup,
     "embedding_norms": embedding_norms,
 }
@@ -148,6 +171,66 @@ ORACLES = {
                  f" = substr(c.sig, {i * (ND_BITS // ND_BANDS) + 1}, {ND_BITS // ND_BANDS})"
                  for i in range(ND_BANDS))})
         ) WHERE cos >= {NEAR_DUP_T}
+    """,
+    # Mirrors knn_ivf_fixed_centroids step for step: nearest-1 cell per
+    # corpus vector (ties -> smaller centroid_id), n_probe nearest cells per
+    # query, equi-join on cell, exact-cosine top-k re-rank.
+    "knn_ivf_fixed": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id IN ({", ".join(map(str, IVF_CENTROID_IDS))})
+        ),
+        c_scored AS (
+            SELECT c.vec_id AS neighbor_id, c.embedding AS cv, ct.centroid_id,
+                   list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(ct.cvec AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
+                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
+            FROM embeddings c, cents ct
+        ),
+        corpus_cells AS (
+            SELECT neighbor_id, cv, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                          ORDER BY sim DESC, centroid_id) AS rk
+                FROM c_scored
+            ) WHERE rk = 1
+        ),
+        q_scored AS (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, ct.centroid_id,
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(ct.cvec AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
+                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
+            FROM embeddings q, cents ct WHERE q.vec_id < {N_QUERIES}
+        ),
+        probes AS (
+            SELECT query_id, qv, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, centroid_id) AS rk
+                FROM q_scored
+            ) WHERE rk <= {IVF_N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, cc.neighbor_id,
+                   list_dot_product(CAST(p.qv AS DOUBLE[]), CAST(cc.cv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(p.qv AS DOUBLE[]),
+                                            CAST(p.qv AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(cc.cv AS DOUBLE[]),
+                                              CAST(cc.cv AS DOUBLE[])))) AS cos
+            FROM probes p JOIN corpus_cells cc ON p.cell = cc.cell
+            WHERE p.query_id != cc.neighbor_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM ranked WHERE rank <= {K}
     """,
     "embedding_norms": """
         WITH norms AS (

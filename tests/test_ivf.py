@@ -31,6 +31,27 @@ def test_ivf_recall_vs_bruteforce(spark):
             assert abs(ec[key] - r["cos"]) < 1e-12
 
 
+def test_ivf_fixed_centroids_recall_and_exact_scores(spark):
+    """The oracle-gated fixed-centroid variant: same plan, SQL-reproducible
+    quantizer. Recall above chance; surviving scores are exact cosines."""
+    from icenetetl_spark.operators.ivf import knn_ivf_fixed_centroids
+
+    emb = _load(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = emb.filter(F.col("vec_id").isin(list(range(7, 500, 31)))).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    exact = knn_bruteforce(queries, emb, k=5)
+    approx = knn_ivf_fixed_centroids(queries, emb, cents, k=5, n_probe=6)
+    e = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in approx.collect()}
+    recall = len(e.keys() & a.keys()) / len(e)
+    assert recall >= 0.4, recall  # fixed seeds are a weaker quantizer than KMeans
+    for key, cos in a.items():
+        if key in e:
+            assert abs(e[key] - cos) < 1e-12
+
+
 def test_ivf_deterministic(spark):
     emb = _load(spark)
     queries = emb.filter(F.col("vec_id") < 5)
