@@ -223,68 +223,100 @@ def simhash(
     return sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. Edges are kept in
+    canonical (hi > lo) orientation throughout."""
+    nbrs = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least("__mv", "u").alias("m"))
+    )
+    # emit (v, m) for v > u; m <= u < v so the result is canonical and
+    # self-loop-free by construction
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node re-points its smaller neighbors
+    (and itself) at the minimum of those neighbors."""
+    smins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    relinked = (
+        edges.join(smins, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    stars = smins.select("hi", F.col("m").alias("lo"))
+    return relinked.unionByName(stars).distinct()
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:
     """Duplicate GROUPS from duplicate PAIRS: transitive closure of the
     near-dup graph, each node labeled with the smallest doc_id reachable
     from it ((doc_id, component_id) rows; isolated docs are simply absent).
 
-    Iterative min-label propagation: per round, every node takes the min of
-    its own label and its neighbors' labels — a join + groupBy-min, both
-    hash-shuffles on doc id, fully distributed. Rounds needed = graph
-    diameter (dup clusters are shallow; typically <5). The driver only
-    evaluates a 1-row convergence count per round. At web scale swap the
-    propagation for the large-star/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC 2014) — same join
-    primitives, provably O(log n) rounds.
+    Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round is two
+    hash-partitioned groupBy-min + join passes over the edge set, and the
+    edge set converges to one star per component centered at the component
+    minimum in O(log^2 n) rounds WORST CASE — independent of graph
+    diameter. The min-label-propagation alternative needs diameter-many
+    rounds: an adversarial near-dup CHAIN of length L (A~B~C~... from
+    sliding boilerplate) would take L rounds and silently return
+    non-converged labels past any fixed iteration cap. Star convergence is
+    verified per round with a 1-row existence check; exhausting ``max_iter``
+    raises instead of returning wrong labels (25 alternations cover graphs
+    astronomically past any real corpus).
     """
+    # canonical orientation: input contract is doc_a < doc_b
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
+        pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
         .distinct()
-    )
-    # Materialize the edge list once; every round joins against it.
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        # Materialize and truncate lineage every round: without this the
+        # plan nests two joins deeper per iteration and each convergence
+        # check re-runs the whole history. Cluster swap: reliable
+        # df.checkpoint() (see operators/sampling.py note).
         .localCheckpoint(eager=True)
     )
+    if edges.isEmpty():
+        return edges.select(
+            F.col("hi").alias("doc_id"), F.col("lo").alias("component_id")
+        )
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            # Truncate lineage each round: without this the plan nests one
-            # join deeper per iteration and every convergence check re-runs
-            # the whole history (O(rounds^2) work, unbounded plan depth).
-            .localCheckpoint(eager=True)
-        )
-        # convergence: did any label shrink this round?
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_edges.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(new_edges).limit(1).count()
         )
-        labels = new_labels
-        if changed == 0:
+        edges = new_edges
+        if not changed:
             break
-    return labels.select("doc_id", F.col("label").alias("component_id"))
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large/small-star rounds"
+        )
+    # fixpoint = disjoint stars: (hi -> lo=root) plus the roots themselves
+    return (
+        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("component_id"))
+        .unionByName(
+            edges.select(
+                F.col("lo").alias("doc_id"), F.col("lo").alias("component_id")
+            )
+        )
+        .distinct()
+    )
 
 
 def simhash_near_pairs(

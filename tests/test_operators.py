@@ -165,16 +165,59 @@ def test_connected_components(spark):
 
 
 def test_connected_components_chain_diameter(spark):
-    """A long path graph exercises multi-round propagation convergence."""
+    """An adversarial CHAIN far longer than the round budget: min-label
+    propagation would need diameter (64) rounds; large/small-star must
+    converge within the 25-round cap (O(log^2 n), diameter-independent)."""
     from icenetetl_spark.operators.dedup import connected_components
 
-    n = 12
+    n = 64
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
     )
     out = connected_components(pairs).collect()
     assert {r["component_id"] for r in out} == {0}
     assert len(out) == n + 1
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """Cross-check star convergence against a driver-side union-find oracle
+    on a seeded random graph (mixed component shapes and sizes)."""
+    import random
+
+    from icenetetl_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(150)}
+    )
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {v for e in edges for v in e}
+    expected = {
+        v: min(u for u in touched if find(u) == find(v)) for v in touched
+    }
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_empty(spark):
+    from icenetetl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
 
 
 def test_lsh_bands_must_divide_num_hashes(spark):
