@@ -190,19 +190,42 @@ class IceNetPipeline:
 
     # -- stage 4: update_latest_forecast (processor.py:409-451) ----------
     def update_latest(self) -> None:
+        self.catalog.overwrite("forecast_latest", self.latest_frame())
+
+    def latest_pruned(self) -> DataFrame:
+        """The per-hemisphere latest snapshot with the max dates applied as
+        LITERAL partition filters — this is the stage whose scan must prune
+        (exposed separately because the downstream sequential_id pins its
+        input with a checkpoint, hiding the scan from the final plan)."""
         forecasts = self.catalog.read("forecasts")
-        cells = self.catalog.read("cells")
         # Per-hemisphere latest snapshot (the reference has one matview per
         # hemisphere table; max is taken within each, processor.py:430).
+        # The max is COLLECTED (k rows, k = #hemispheres = 2 — partition
+        # metadata, not data; the aggregate reads only partition columns, an
+        # empty-schema scan) and applied as a LITERAL filter: with forecasts
+        # partitioned by (hemisphere, date_forecast_generated) this prunes at
+        # the file index, so the recompute scans ONLY the max-date partitions
+        # (asserted by tests/test_icenet_pipeline.py plan inspection). A
+        # broadcast join against the 1-row aggregate would NOT prune: Spark
+        # only inserts a dynamic-pruning subquery when the build side has a
+        # selective predicate, which a bare max() is not — the join form
+        # scans the full history at 100 TB.
         per_hemi_max = forecasts.groupBy("hemisphere").agg(
             F.max("date_forecast_generated").alias("__latest")
         )
-        latest = (
-            forecasts.join(F.broadcast(per_hemi_max), "hemisphere")
-            .filter(F.col("date_forecast_generated") == F.col("__latest"))
-            .drop("__latest")
-        )
-        enriched = latest.join(
+        latest_filter = F.lit(False)
+        for r in per_hemi_max.collect():
+            latest_filter = latest_filter | (
+                (F.col("hemisphere") == r["hemisphere"])
+                & (F.col("date_forecast_generated") == F.lit(r["__latest"]))
+            )
+        return forecasts.filter(latest_filter)
+
+    def latest_frame(self) -> DataFrame:
+        """The matview SELECT as a DataFrame (separated from the write so
+        tests can inspect the plan)."""
+        cells = self.catalog.read("cells")
+        enriched = self.latest_pruned().join(
             F.broadcast(cells.select("cell_id", "geom_4326_wkt", "geom_laea_wkt")),
             "cell_id",
             "inner",
@@ -229,7 +252,7 @@ class IceNetPipeline:
             "geom_4326_wkt",
             "geom_laea_wkt",
         )
-        self.catalog.overwrite("forecast_latest", out)
+        return out
 
     # -- stage 5: update_forecast_meta (processor.py:346-407) ------------
     def update_meta(self, touched: DataFrame | None = None) -> None:

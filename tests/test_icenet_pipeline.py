@@ -144,6 +144,46 @@ def test_pipeline_end_to_end_and_idempotent(spark, warehouse):
     assert before == after
 
 
+def test_latest_recompute_prunes_to_max_date_partitions(spark, warehouse):
+    """The latest-view recompute must reach the forecasts scan with LITERAL
+    partition filters on (hemisphere, date_forecast_generated) — i.e. the
+    file index prunes to the max-date partitions instead of scanning the
+    full history (the reference's scalar-subquery J3, processor.py:430,
+    turned into static pruning metadata)."""
+    cat = ParquetCatalog(spark, warehouse)
+    pipe = IceNetPipeline(cat)
+    for date, hemi, seed in [
+        ("2024-03-01", "north", 1),
+        ("2024-03-08", "north", 2),
+        ("2024-03-05", "south", 3),
+    ]:
+        f, a = make_raw_file(spark, date, hemi, grid_side=6, seed=seed)
+        pipe.run(f, a)
+
+    lf = pipe.latest_pruned()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = lf._jdf.queryExecution().explainString(mode)
+    pf_lines = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("PartitionFilters")
+    ]
+    assert pf_lines, plan
+    for ln in pf_lines:
+        # the partition filter must be the literal max-date equality, not a
+        # bare isnotnull residue of a post-scan join
+        assert "2024-03-08" in ln and "2024-03-05" in ln, ln
+    # and the pruned frame still matches the naive full-scan answer
+    forecasts = cat.read("forecasts")
+    w_max = forecasts.groupBy("hemisphere").agg(
+        F.max("date_forecast_generated").alias("mx")
+    )
+    naive = forecasts.join(w_max, "hemisphere").filter(
+        F.col("date_forecast_generated") == F.col("mx")
+    )
+    assert lf.count() == naive.count()
+
+
 def test_meta_upsert_updates_counts(spark, warehouse):
     """New file for an EXISTING generation date must update (not duplicate)
     the rollup row — ON CONFLICT DO UPDATE semantics (processor.py:395-401)."""
