@@ -88,7 +88,9 @@ def _with_offset(part: DataFrame, totals: dict[int, int]) -> DataFrame:
     off_df = spark.createDataFrame(
         offsets or [], schema="__pid int, __off long"
     )
-    return part.join(F.broadcast(off_df), "__pid", "left").na.fill({"__off": 0})
+    # inner join is exact: the offsets are computed FROM part's own pids,
+    # so every row's __pid is covered (empty partitions contribute no rows)
+    return part.join(F.broadcast(off_df), "__pid")
 
 
 def pack_contiguous(

@@ -21,7 +21,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from icenetetl_spark.plans.icenet import latest_view_plan
-from icenetetl_spark.functions.portable import portable_hash64_sql
 from icenetetl_spark.sources.fixtures import write_raw_fixture
 
 GEN_DATE = "2024-03-01"
@@ -40,12 +39,21 @@ write_raw_fixture(_FIXTURE_PATH, GEN_DATE, grid_side=GRID_SIDE)
 
 
 def icenet_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full chain on the parquet fixture: normalize -> grid/WKT -> broadcast
-    cell-assign -> latest snapshot -> enrich -> deterministic sequential id.
-    ``portable_ids`` so cell_id is the md5-derived hash DuckDB reproduces
-    (production default is xxhash64 — same plan). sf_dir is unused: the
-    input is the IceNet-shaped fixture, not a testdata table."""
-    raw = spark.read.parquet(_FIXTURE_PATH)
+    """Full chain on the deterministic fixture: normalize -> grid/WKT ->
+    broadcast cell-assign -> latest snapshot -> enrich -> deterministic
+    sequential id. ``portable_ids`` so cell_id is the bit-packed key DuckDB
+    reproduces (production default is xxhash64 — same plan). sf_dir is
+    unused: the input is the IceNet-shaped fixture, not a testdata table.
+
+    The Spark side builds the frame in-memory (Arrow local relation — the
+    chain triggers several jobs and a LocalRelation avoids re-scanning a
+    file in each); the oracle reads the parquet twin written at import.
+    Both come from the same seeded generator and the pandas->parquet
+    roundtrip is lossless (us timestamps, float32 incl. NaN), so the two
+    engines still see identical input — the hash gate proves it."""
+    from icenetetl_spark.sources.fixtures import make_raw_file
+
+    raw, _ = make_raw_file(spark, GEN_DATE, "north", grid_side=GRID_SIDE, seed=42)
     return latest_view_plan(raw, "north", portable_ids=True)
 
 
@@ -56,10 +64,10 @@ QUERIES = {"icenet_pipeline_latest": icenet_pipeline_latest}
 # - dropna('any') ≙ NOT isnan(sic_stddev) (the only NaN-bearing column);
 # - Spark's cast(long) TRUNCATES doubles, DuckDB's CAST rounds -> floor()
 #   before casting the half-step;
-# - cell_id = portable md5 hash of 'hemisphere|cx|cy' (functions/portable.py).
-_CELL_ID_SQL = portable_hash64_sql(
-    "'north' || '|' || CAST(centroid_x AS VARCHAR) || '|' || CAST(centroid_y AS VARCHAR)",
-    32,
+# - cell_id = bit-packed natural key (cx << 32 | cy) — see latest_view_plan.
+_CELL_ID_SQL = (
+    "CAST(centroid_x AS BIGINT) * 4294967296"
+    " + (CAST(centroid_y AS BIGINT) & 4294967295)"
 )
 
 ORACLES = {
