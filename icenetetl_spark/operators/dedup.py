@@ -89,10 +89,22 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     least one shingle (inverted-index self-join, no O(n^2) cross join).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+
+    Shuffle budget: per-doc shingle counts ride ALONG the postings as a
+    window column instead of a separate aggregate joined back twice — the
+    count is constant within each (doc, *) group, so the intersection
+    aggregation carries it with min(). That turns the old
+    5-exchange plan (counts groupBy + self-join + pair groupBy + 2 count
+    joins) into: window(doc_id) -> self-join on shingle (both sides are the
+    same subplan — ReuseExchange computes it once) -> pair groupBy.
     """
-    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    from pyspark.sql.window import Window
+
+    sh = shingles.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
     inter = (
         a.join(
             b,
@@ -102,17 +114,18 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            # constant within the group (it's doc_a's/doc_b's shingle count)
+            F.min("a.n_shingles").alias("na"),
+            F.min("b.n_shingles").alias("nb"),
+        )
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
     jac = F.col("inter").cast("double") / (
-        F.col("ca.n_shingles") + F.col("cb.n_shingles") - F.col("inter")
+        F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

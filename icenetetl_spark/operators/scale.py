@@ -66,15 +66,21 @@ def cap_document_frequency(
     A boilerplate shingle occurring in 10^6 documents would contribute
     10^12 candidate pairs — the classic quadratic blowup. Capping is both a
     performance guard and standard dedup practice (ubiquitous shingles carry
-    no signal). The window is keyed by term: fully distributed.
+    no signal).
+
+    Implemented as a count window over ``term_col`` rather than a
+    groupBy+join: ONE hash shuffle instead of two, and the output stays
+    hash-partitioned by the term — a downstream inverted-index self-join on
+    the same key starts from the already-partitioned exchange instead of
+    reshuffling (ReuseExchange then shares it across both join sides).
     """
-    df_counts = postings.groupBy(term_col).agg(
-        F.count(F.lit(1)).alias("__df")
-    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(term_col)
     return (
-        postings.join(
-            df_counts.filter(F.col("__df") <= max_df).select(term_col), term_col
-        )
+        postings.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
     )
 
 
