@@ -125,7 +125,44 @@ def doc_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep chain a real corpus runs END TO END:
+    score quality -> drop low-quality docs -> collapse exact duplicates to
+    their canonical (min-id) doc -> deterministic content-keyed 90/5/5
+    split -> contiguous token packing. Every stage is an operator already
+    hash-gated individually; this query gates the COMPOSITION (stage
+    boundaries are where silent schema/semantic drift hides).
+
+    Packing runs over the whole kept corpus in doc_id order for oracle
+    determinism; per-split packing is the same prefix sum partitioned by
+    split. Scale shape: projections + one fingerprint window + one split
+    assignment + the distributed prefix sum — no all-pairs stage anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from icenetetl_spark.operators.sampling import pack_contiguous, split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp")
+    canon = (
+        kept.withColumn("__mn", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__mn"))
+        .drop("__mn")
+    )
+    split = split_by_hash(canon, "fp", {"train": 90, "val": 5, "test": 5})
+    packed = pack_contiguous(split, "n_tokens", 2048, ["doc_id"])
+    return packed.select("doc_id", "split", "quality", "n_tokens", "pack_id")
+
+
 QUERIES = {
+    "corpus_prep_pipeline": corpus_prep_pipeline,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -169,6 +206,48 @@ _FEATURES = f"""
 """
 
 ORACLES = {
+    "corpus_prep_pipeline": f"""
+        WITH feats AS (
+            SELECT doc_id, md5({_NORM}) AS fp, len({_TOKENS}) AS n_tokens,
+                   {_FEATURES}
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, fp, n_tokens,
+                   distinct_ratio
+                   * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0
+                           THEN 1.0 ELSE 0.5 END)
+                   * (CASE WHEN stopword_ratio <= 0.5 THEN 1.0 ELSE 0.5 END)
+                       AS quality
+            FROM feats
+        ),
+        kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+        canon AS (
+            SELECT doc_id, fp, n_tokens, quality FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS mn FROM kept
+            ) WHERE doc_id = mn
+        ),
+        splits AS (
+            SELECT doc_id, quality, n_tokens,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT *, CAST('0x' || substr(md5(fp), 1, 8) AS BIGINT) % 100
+                           AS bucket
+                FROM canon
+            )
+        ),
+        cum AS (
+            SELECT *, SUM(n_tokens) OVER (ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS cum_excl
+            FROM splits
+        )
+        SELECT doc_id, split, quality, n_tokens,
+               CAST(FLOOR(cum_excl / 2048) AS BIGINT) AS pack_id
+        FROM cum
+    """,
     "text_stats": f"""
         SELECT doc_id, lang, {_FEATURES}
         FROM documents
