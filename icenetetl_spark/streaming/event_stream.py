@@ -40,6 +40,31 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    key_cols: tuple[str, ...] = ("fingerprint",),
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: emit only the FIRST arrival of each key,
+    with state bounded by the watermark.
+
+    The batch twin is ``dropDuplicates(key_cols)``. In streaming mode a
+    plain dropDuplicates keeps every key seen forever — unbounded state on
+    an endless corpus feed — so this uses ``dropDuplicatesWithinWatermark``:
+    a duplicate arriving within the watermark of its first occurrence is
+    dropped, and key state older than the watermark is evicted. The
+    trade-off is explicit and standard for streaming ingest dedup: a
+    duplicate arriving LATER than the watermark delay re-emits, and the
+    idempotent batch-layer dedup (catalog.append_missing, the same anti-join
+    the reference's ON CONFLICT performs) catches it downstream — streaming
+    dedup bounds the volume, the sink guarantees exactness.
+    """
+    return docs.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def start_windowed_stream(
     spark,
     input_dir: str,

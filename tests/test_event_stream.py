@@ -78,3 +78,52 @@ def test_stream_windows_match_batch(spark, tmp_path):
     for r in rows:
         key = (r["window_start"], r["event_type"])
         assert want_map[key] == (r["n_events"], r["sum_value"])
+
+def test_dedup_stream_first_arrival_only(spark, tmp_path):
+    """Streaming exact-dedup: duplicates across micro-batches within the
+    watermark emit once; output matches batch dropDuplicates on the union."""
+    from icenetetl_spark.streaming.event_stream import dedup_stream
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("fingerprint", StringType()),
+        ]
+    )
+    # 2 chunks = 2 micro-batches; fingerprints f0..f9, every one duplicated
+    # within and across chunks
+    c1 = spark.createDataFrame(
+        [(i, base + timedelta(seconds=i), f"f{i % 10}") for i in range(20)],
+        doc_schema,
+    )
+    c2 = spark.createDataFrame(
+        [(100 + i, base + timedelta(seconds=60 + i), f"f{i % 10}") for i in range(10)],
+        doc_schema,
+    )
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    c1.coalesce(1).write.parquet(os.path.join(input_dir, "chunk1"))
+    c2.coalesce(1).write.parquet(os.path.join(input_dir, "chunk2"))
+
+    stream = spark.readStream.schema(doc_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir + "/*/")
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    fps = [r["fingerprint"] for r in got.select("fingerprint").collect()]
+    # exactly one row per distinct fingerprint — same cardinality as the
+    # batch twin on the unioned input
+    assert sorted(fps) == sorted(f"f{i}" for i in range(10))
+    batch_twin = c1.unionByName(c2).dropDuplicates(["fingerprint"])
+    assert got.count() == batch_twin.count()
