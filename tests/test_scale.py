@@ -169,6 +169,49 @@ def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
     assert cat.read("t").count() == 20000
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew-join split — the automatic counterpart of
+    salted_join — demonstrated end-to-end: a 95%-hot key join re-plans to
+    SortMergeJoin(skew=true) with the hot partition split across tasks.
+    Thresholds are lowered to trip on test-scale data (production keeps the
+    defaults: 256MB/5x); forceOptimizeSkewedJoin because at this size the
+    split's extra shuffle would otherwise be judged not worth it. All are
+    runtime SQL confs — set on the shared session and restored."""
+    confs = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") < 190000, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(5000).select(
+            F.col("id").alias("k"), F.lit("x").alias("t")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 190000  # hot key matches; ids >= 190000 miss
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salted_join_rejects_unsound_join_types(spark):
     import pytest
 
