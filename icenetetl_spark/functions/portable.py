@@ -47,18 +47,43 @@ def epoch_bucket(ts: Column | str, seconds: int, alias: str) -> Column:
     ).alias(alias)
 
 
-def portable_hash64(col: Column | str, bits: int = 32) -> Column:
-    """Deterministic non-negative integer hash computable identically in
-    DuckDB: integer value of the first ``bits/4`` hex chars of md5.
+# Which hash backs portable_hash64 by default: 'md5' is DuckDB-reproducible
+# (the oracle gate needs bit-identical values in both engines); 'xxhash64'
+# is the production swap — same plan shape, JVM-native, roughly an order of
+# magnitude cheaper per row, but not reproducible in the SQL oracle. Flip
+# once at deployment with set_default_hash_impl('xxhash64'); every MinHash /
+# SimHash / bucketing / split call site follows.
+_DEFAULT_HASH_IMPL = "md5"
 
-    Spark:  conv(substring(md5(s), 1, k), 16, 10)::long
-    DuckDB: CAST('0x' || substr(md5(s), 1, k) AS BIGINT)
 
-    Used for MinHash / SimHash / bucketing where both engines must agree.
-    (At 100 TB scale prefer ``F.xxhash64`` — same plan shape, cheaper hash;
-    md5 is chosen here only because DuckDB can reproduce it.)
+def set_default_hash_impl(impl: str) -> str:
+    """Set the process-wide default ('md5' | 'xxhash64'); returns the
+    previous value so callers/tests can restore it."""
+    global _DEFAULT_HASH_IMPL
+    if impl not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash impl {impl!r}: use 'md5' or 'xxhash64'")
+    prev, _DEFAULT_HASH_IMPL = _DEFAULT_HASH_IMPL, impl
+    return prev
+
+
+def portable_hash64(
+    col: Column | str, bits: int = 32, impl: str | None = None
+) -> Column:
+    """Deterministic non-negative ``bits``-bit integer hash.
+
+    impl='md5' (default): computable identically in DuckDB —
+      Spark:  conv(substring(md5(s), 1, k), 16, 10)::long
+      DuckDB: CAST('0x' || substr(md5(s), 1, k) AS BIGINT)
+    impl='xxhash64': production swap (pmod(xxhash64(s), 2^bits)) — same
+      plan shape and value range, ~10x cheaper, no SQL-oracle twin.
+
+    Used for MinHash / SimHash / bucketing where determinism matters;
+    ``impl=None`` follows the process default (set_default_hash_impl).
     """
     c = F.col(col) if isinstance(col, str) else col
+    impl = impl or _DEFAULT_HASH_IMPL
+    if impl == "xxhash64":
+        return F.pmod(F.xxhash64(c), F.lit(1 << bits)).cast("long")
     k = bits // 4
     return F.conv(F.substring(F.md5(c), 1, k), 16, 10).cast("long")
 

@@ -68,3 +68,41 @@ def test_sequential_id_start_offset(spark):
     df = spark.range(10).select(F.col("id").alias("k"))
     out = sequential_id(df, ["k"], id_col="rid", start=100)
     assert sorted(r["rid"] for r in out.collect()) == list(range(100, 110))
+
+
+def test_production_hash_impl_swap(spark):
+    """The xxhash64 production swap: same plan shape and value contract
+    (deterministic, non-negative, bits-bounded), cheap JVM hash. Split
+    fractions stay approximately honored under the swapped hash."""
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.functions.portable import (
+        portable_hash64,
+        set_default_hash_impl,
+    )
+    from icenetetl_spark.operators.sampling import split_by_hash
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    h = df.select(portable_hash64(F.col("k"), bits=32, impl="xxhash64").alias("h"))
+    vals = [r["h"] for r in h.collect()]
+    assert all(0 <= v < 2**32 for v in vals)
+    assert vals == [r["h"] for r in h.collect()]  # deterministic
+
+    prev = set_default_hash_impl("xxhash64")
+    try:
+        out = split_by_hash(
+            df.withColumn("id", F.col("k")), "k",
+            {"train": 90, "val": 5, "test": 5},
+        )
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert 0.85 <= counts["train"] / 2000 <= 0.95
+        assert counts["train"] + counts.get("val", 0) + counts.get("test", 0) == 2000
+        # run-to-run determinism under the swapped default
+        again = {r["split"]: r["n"] for r in split_by_hash(
+            df.withColumn("id", F.col("k")), "k",
+            {"train": 90, "val": 5, "test": 5},
+        ).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == again
+    finally:
+        set_default_hash_impl(prev)
