@@ -1,0 +1,78 @@
+"""Streaming corpus ingest: the LLM-training-data twin of ingest_stream.
+
+A document feed lands as parquet drops; each micro-batch is scored,
+filtered, exact-deduped, and appended to the ``corpus`` catalog table.
+Two-layer dedup, mirroring the reference's queue-once + ON CONFLICT split
+(SURVEY.md §2.8):
+
+1. IN-STREAM: ``dedup_stream`` (dropDuplicatesWithinWatermark) drops repeats
+   arriving within the watermark — bounds the volume that reaches the sink
+   with state that is itself bounded by the watermark.
+2. AT THE SINK: ``catalog.append_missing`` (anti-join on the content
+   fingerprint ≙ INSERT ... ON CONFLICT DO NOTHING) guarantees exactness —
+   late duplicates past the watermark, and replays after a checkpoint
+   restart, land as no-ops.
+
+Scale notes: every stage is a projection or the watermark-bounded dedup
+state; the sink anti-join prunes to the fingerprint column of the existing
+table (projection pushdown). No stage holds unbounded state; no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from icenetetl_spark.catalog import ParquetCatalog
+from icenetetl_spark.operators.text import fingerprint, quality_score, token_count
+from icenetetl_spark.streaming.event_stream import dedup_stream
+
+QUALITY_MIN = 0.5
+
+
+def prepare_documents(docs: DataFrame) -> DataFrame:
+    """The per-batch transform — works identically on batch and streaming
+    frames (one plan, two modes): score -> filter -> project the columns the
+    corpus table keeps."""
+    return (
+        docs.withColumn("fingerprint", fingerprint(F.col("text")))
+        .withColumn("quality", quality_score(F.col("text")))
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .filter(F.col("quality") >= QUALITY_MIN)
+        .select("doc_id", "ts", "fingerprint", "quality", "n_tokens", "text")
+    )
+
+
+def start_corpus_stream(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    schema,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``input_dir`` for document parquet drops; maintain the deduped,
+    quality-filtered ``corpus`` table."""
+    catalog = ParquetCatalog(spark, warehouse)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # exactness layer: fingerprint-keyed ON CONFLICT DO NOTHING
+        catalog.append_missing("corpus", batch_df, ["fingerprint"])
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    prepared = dedup_stream(
+        prepare_documents(stream),
+        key_cols=("fingerprint",),
+        watermark_col="ts",
+        watermark=watermark,
+    )
+    writer = (
+        prepared.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
