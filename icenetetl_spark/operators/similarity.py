@@ -129,6 +129,73 @@ def knn_sign_lsh(
     )
 
 
+def _bucket_with_flips(bucket: Column, num_bits: int) -> Column:
+    """The bucket itself plus every 1-bit-flipped variant (num_bits + 1
+    strings) — the classic multi-probe sequence for sign LSH (probe the
+    buckets most likely to hold near neighbors: those differing in the one
+    hyperplane the query sits closest to; flipping every bit is the
+    exhaustive hamming-1 shell, deterministic and oracle-portable)."""
+    variants = [bucket]
+    for i in range(num_bits):
+        ch = F.substring(bucket, i + 1, 1)
+        flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        variants.append(
+            F.concat(
+                F.substring(bucket, 1, i),
+                flipped,
+                F.substring(bucket, i + 2, num_bits - i - 1),
+            )
+        )
+    return F.array(*variants)
+
+
+def knn_sign_lsh_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe variant of :func:`knn_sign_lsh`: each query searches its
+    own bucket AND all hamming-1 neighbor buckets (num_bits + 1 probes),
+    recovering most of the recall a single bucket loses while still doing
+    ONE equi-join shuffle on bucket id — candidate volume grows by at most
+    (num_bits + 1)x on the query side only, never all-pairs. Corpus vectors
+    keep exactly one bucket, so a (query, neighbor) pair meets at most once
+    (the probe list is distinct by construction) — no dedup stage needed.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            _bucket_with_flips(sign_bucket(F.col(vec_col), num_bits), num_bits)
+        ).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket(F.col(vec_col), num_bits).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float,

@@ -35,6 +35,15 @@ def knn_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_sign_lsh(queries, emb, k=K, num_bits=LSH_BITS)
 
 
+def knn_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: the query's bucket plus every hamming-1
+    neighbor bucket — the standard recall lever over single-bucket LSH
+    (recall asserted monotone vs knn_sign_lsh in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.knn_sign_lsh_multiprobe(queries, emb, k=K, num_bits=LSH_BITS)
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH near-dup pairs (the scale plan: explode bands,
     equi-join, cosine refine); the oracle mirrors the identical bands so the
@@ -106,6 +115,7 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_sign_lsh": knn_sign_lsh,
+    "knn_sign_lsh_multiprobe": knn_sign_lsh_multiprobe,
     "knn_ivf": knn_ivf,
     "knn_ivf_fixed": knn_ivf_fixed,
     "embedding_near_dup": embedding_near_dup,
@@ -146,6 +156,33 @@ ORACLES = {
         scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos
             FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM ranked WHERE rank <= {K}
+    """,
+    # Multi-probe: UNION of the query bucket and each 1-bit-flipped variant,
+    # then the same bucket equi-join + exact top-k as knn_sign_lsh.
+    "knn_sign_lsh_multiprobe": f"""
+        WITH qb AS (SELECT vec_id, embedding, {_SIGN_BUCKET('embeddings')} AS b
+                    FROM embeddings WHERE vec_id < {N_QUERIES}),
+             probes AS (
+                 SELECT vec_id, embedding, b AS bucket FROM qb
+                 {"".join(
+                     f" UNION ALL SELECT vec_id, embedding,"
+                     f" substr(b, 1, {i}) ||"
+                     f" (CASE WHEN substr(b, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) ||"
+                     f" substr(b, {i + 2}, {LSH_BITS - i - 1}) AS bucket FROM qb"
+                     for i in range(LSH_BITS))}
+             ),
+             c AS (SELECT vec_id, embedding, {_SIGN_BUCKET('embeddings')} AS bucket
+                   FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos
+            FROM probes q JOIN c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
         ), ranked AS (
             SELECT *, row_number() OVER (PARTITION BY query_id
                                          ORDER BY cos DESC, neighbor_id) AS rank

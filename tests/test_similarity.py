@@ -90,3 +90,35 @@ def test_simhash_pigeonhole_plan_has_no_theta_only_join(spark):
     plan = simhash_near_pairs(simhash(docs))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, emb):
+    """Multi-probe LSH must recover at least the single-bucket recall vs
+    exact brute force (its candidate set is a strict superset), and all its
+    emitted scores are exact cosines."""
+    from icenetetl_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_sign_lsh,
+        knn_sign_lsh_multiprobe,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(queries, emb, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_sign_lsh(queries, emb, k=5, num_bits=8).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_sign_lsh_multiprobe(queries, emb, k=5, num_bits=8).collect()
+    }
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    # the structural claim is DOMINANCE (superset candidate generation);
+    # absolute recall on random gaussian vectors is the known LSH worst case
+    # (pairwise cosines concentrate near 0), so only a loose floor here
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi > 0, "multi-probe found no true neighbors at all"
