@@ -187,6 +187,44 @@ def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day
 
 
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user reaches
+    step i+1 only with an event STRICTLY AFTER their earliest completion of
+    step i (the standard product-analytics funnel). Three per-user min
+    aggregations chained by semi-join-shaped inner joins — every stage is an
+    equi-shuffle on user_id, so the funnel distributes; no window over all
+    events, no per-user collect."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, out: str) -> DataFrame:
+        step = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            step.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev.columns[1]))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = first_after(u1, "click", "t2")
+    u3 = first_after(u2, "purchase", "t3")
+    rows = [
+        u1.agg(F.lit("1_view").alias("step"), F.count(F.lit(1)).alias("n_users")),
+        u2.agg(F.lit("2_click").alias("step"), F.count(F.lit(1)).alias("n_users")),
+        u3.agg(
+            F.lit("3_purchase").alias("step"), F.count(F.lit(1)).alias("n_users")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "ev_window_rollup": ev_window_rollup,
     "ev_json_extract": ev_json_extract,
@@ -195,9 +233,33 @@ QUERIES = {
     "ev_asof_join": ev_asof_join,
     "ev_range_join": ev_range_join,
     "ev_hypertable_rollup": ev_hypertable_rollup,
+    "ev_funnel": ev_funnel,
 }
 
 ORACLES = {
+    "ev_funnel": """
+        WITH u1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        u2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN u1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > u1.t1
+            GROUP BY e.user_id
+        ),
+        u3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN u2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS step, count(*) AS n_users FROM u1
+        UNION ALL
+        SELECT '2_click', count(*) FROM u2
+        UNION ALL
+        SELECT '3_purchase', count(*) FROM u3
+    """,
     "ev_window_rollup": """
         SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS bucket_start,
                event_type,
