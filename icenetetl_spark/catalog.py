@@ -113,20 +113,36 @@ class ParquetCatalog:
         name: str,
         cols: Sequence[str],
         num_files: int | None = None,
+        zorder: bool = False,
     ) -> None:
-        """Rewrite the table range-partitioned + sorted on ``cols`` — the
-        single-dimension analog of Delta's OPTIMIZE ZORDER. Each output file
-        then covers a disjoint range of the leading column, so parquet
-        min/max footer stats let filtered scans skip whole files/row-groups
-        (this engine's replacement for the reference's secondary B-tree
-        read-path indexes on date_forecast_for / cell_id,
-        processor.py:286-288)."""
+        """Rewrite the table clustered on ``cols`` so parquet min/max footer
+        stats let filtered scans skip whole files/row-groups (this engine's
+        replacement for the reference's secondary B-tree read-path indexes
+        on date_forecast_for / cell_id, processor.py:286-288).
+
+        ``zorder=False``: range-partition + sort — each file covers a
+        disjoint range of the LEADING column (perfect skipping on it,
+        nothing on the others). ``zorder=True`` (exactly 2 cols): cluster on
+        the Morton-interleaved key (operators/scale.zorder_key) — Delta's
+        OPTIMIZE ZORDER — so every file covers a small rectangle of BOTH
+        dimensions and filters on either column skip files."""
         df = self.read(name)
         if num_files is None:
             num_files = max(8, df.rdd.getNumPartitions())
-        clustered = df.repartitionByRange(num_files, *cols).sortWithinPartitions(
-            *cols
-        )
+        if zorder:
+            from icenetetl_spark.operators.scale import zorder_key
+
+            key = zorder_key(df, cols).alias("__z")
+            clustered = (
+                df.withColumn("__z", key)
+                .repartitionByRange(num_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            clustered = df.repartitionByRange(num_files, *cols).sortWithinPartitions(
+                *cols
+            )
         staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
         # plain (non-hive-partitioned) layout: clustering replaces
         # partitioning for high-cardinality columns

@@ -84,6 +84,56 @@ def cap_document_frequency(
     )
 
 
+def _spread_bits(x: F.Column) -> F.Column:
+    """Spread the low 32 bits of ``x`` so bit i lands at position 2i (the
+    standard mask-shift Morton spread) — pure codegen arithmetic."""
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return x
+
+
+def morton_code(x: F.Column, y: F.Column) -> F.Column:
+    """Interleave the bits of two non-negative bucket ids into one Z-order
+    key: points close in BOTH dimensions get close codes, so sorting by the
+    code co-locates them — the mechanism behind Delta's OPTIMIZE ZORDER.
+    Inputs must already be bounded non-negative ints (bucketed ranks or
+    scaled values); see ``zorder_key`` for the scaling wrapper."""
+    return _spread_bits(x.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits(y.cast("long")), 1)
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 16
+) -> F.Column:
+    """Z-order key over two columns: each column is min/max-scaled to a
+    ``bits``-bit bucket (one 1-row aggregate collected as metadata — the
+    same k-row-driver-state pattern as the prefix-sum operators), then
+    Morton-interleaved. Linear scaling assumes roughly uniform columns; for
+    heavily skewed ones substitute range-bucketed ranks (what Delta does
+    with boundary sampling) — same interleave."""
+    if len(cols) != 2:
+        raise ValueError("zorder_key interleaves exactly 2 columns")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    buckets = []
+    for c in cols:
+        lo, hi = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+        span = max(float(hi) - float(lo), 1e-300)
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(span)
+            * F.lit((1 << bits) - 1)
+        )
+        buckets.append(F.floor(scaled).cast("long"))
+    return morton_code(buckets[0], buckets[1])
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

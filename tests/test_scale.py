@@ -222,3 +222,55 @@ def test_salted_join_rejects_unsound_join_types(spark):
     for how in ("right", "full", "left_anti"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(left, right, ["k"], how=how)
+
+
+def test_zorder_clustering_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order (Morton) clustering: every output file covers a small
+    rectangle of BOTH columns, so footer min/max stats skip files for
+    filters on either dimension — unlike lexicographic clustering, which
+    only narrows the leading column."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from icenetetl_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    # two independent pseudo-uniform dimensions
+    df = spark.range(20000).select(
+        F.pmod(F.xxhash64("id"), F.lit(10000)).alias("a"),
+        F.pmod(F.xxhash64((F.col("id") + 1).cast("string")), F.lit(10000)).alias("b"),
+    )
+    cat.overwrite("t", df.repartition(8))
+
+    def per_file_spreads(col_idx):
+        spreads = []
+        for root, _d, files in os.walk(cat.path("t")):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(root, f))
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    spreads.append((max(maxs) - min(mins)) / 10000.0)
+        return spreads
+
+    # lexicographic on (a, b): a narrows, b stays ~full-range per file
+    cat.cluster_by("t", ["a", "b"], num_files=16)
+    lex_a, lex_b = per_file_spreads(0), per_file_spreads(1)
+    assert len(lex_a) >= 8
+    assert sum(lex_a) / len(lex_a) < 0.3, "leading column must narrow"
+    assert sum(lex_b) / len(lex_b) > 0.7, "trailing column cannot narrow"
+
+    # z-order: BOTH dimensions narrow per file
+    cat.cluster_by("t", ["a", "b"], num_files=16, zorder=True)
+    z_a, z_b = per_file_spreads(0), per_file_spreads(1)
+    assert len(z_a) >= 8
+    assert sum(z_a) / len(z_a) < 0.6, f"a spread {sum(z_a)/len(z_a):.2f}"
+    assert sum(z_b) / len(z_b) < 0.6, f"b spread {sum(z_b)/len(z_b):.2f}"
+    # rows preserved
+    assert cat.read("t").count() == 20000
