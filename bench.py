@@ -7,6 +7,13 @@ Each query is materialized via a count-style action (no driver collect of
 payload rows — we time the full plan execution, not result transfer).
 A warmup query first touches every table so JVM/codegen/page-cache warmup
 isn't attributed to the first measured query.
+
+Timings are the PER-QUERY MEDIAN over $SPARK_GRAFT_BENCH_RUNS passes
+(default 3): single runs at sf0.1 show ~3s random stalls on arbitrary
+queries (GC pause / page-cache eviction / codegen-cache churn), so a
+one-shot number can misreport a query by 2-3x. The median of three is
+stable to one such stall per query while still penalizing consistent
+slowness.
 """
 
 from __future__ import annotations
@@ -99,15 +106,22 @@ def main() -> None:
         "left",
     ).count()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # force full materialization of every column, not just count paths
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for _ in range(runs):
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # force full materialization of every column, not just count paths
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
 
+    import statistics
+
+    timings = {
+        n: round(statistics.median(s), 3) for n, s in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

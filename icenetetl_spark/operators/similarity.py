@@ -242,11 +242,24 @@ def embedding_near_duplicates(
     if num_bits % bands:
         raise ValueError(f"num_bits ({num_bits}) must be divisible by bands ({bands})")
     w = num_bits // bands
-    full = sign_bucket(F.col(vec_col), num_bits)
+    # Each band signature is built from ITS OWN w-bit slice, not substring'd
+    # out of one full num_bits signature: embedding the full concat-of-whens
+    # in every struct compiles bands*num_bits CASE branches into the explode
+    # stage (576 at 48/12), which blows janino's 64 KB method limit and drops
+    # the whole stage out of codegen. Slicing keeps it at num_bits total.
+    def _band_sig(i: int) -> Column:
+        bits = [
+            F.when(F.col(vec_col).getItem(i * w + j) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for j in range(w)
+        ]
+        return F.concat(*bits)
+
     band_structs = [
         F.struct(
             F.lit(i).alias("band_idx"),
-            F.substring(full, i * w + 1, w).alias("band_sig"),
+            _band_sig(i).alias("band_sig"),
         )
         for i in range(bands)
     ]
