@@ -123,3 +123,76 @@ def fingerprint(text: Column) -> Column:
     rolling-hash variant for shingle-level matching lives in
     operators.dedup.word_shingles + portable_hash64)."""
     return F.md5(normalize_text(text))
+
+
+def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition signal: the fraction of all tokens taken by
+    the single most frequent token (Gopher-style "fraction of characters in
+    most common n-gram" family, n=1). High values flag degenerate/spammy
+    documents a quality gate should drop.
+
+    Plan: explode tokens -> count per (doc, token) -> per-doc max/sum. Two
+    hash aggregations, the second a map-side-combinable rollup of the first
+    (both keyed by doc_id) — fully distributed, no skew risk beyond a single
+    pathological document, which is exactly the thing being measured.
+    Reporting only the fraction (not the winning token) keeps the output
+    deterministic under count ties.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return per_tok.groupBy("doc_id").agg(
+        F.max("n").alias("top_token_n"),
+        F.sum("n").alias("n_tokens"),
+        (F.max("n").cast("double") / F.sum("n")).alias("top_token_fraction"),
+    )
+
+
+def contamination(
+    train,
+    benchmark,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+):
+    """Benchmark decontamination: per training document, how many of its
+    distinct word n-gram shingles also occur anywhere in the benchmark set
+    (the standard eval-overlap check run before pretraining — docs with
+    nonzero overlap are quarantined or dropped).
+
+    Plan: inverted-index equi-join of training shingles against the DISTINCT
+    benchmark shingle set, then a left join back onto per-doc shingle counts
+    so clean documents still appear (n_contaminated = 0). Benchmark suites
+    are small relative to the corpus, so the distinct shingle set broadcasts
+    by default — the 100 TB path touches each training shingle exactly once
+    with NO shuffle on the corpus side; set ``broadcast_benchmark=False`` to
+    fall back to a hash join when the benchmark itself is huge.
+    """
+    from icenetetl_spark.operators.dedup import word_shingles
+
+    tsh = word_shingles(train, n=n, id_col=id_col, text_col=text_col)
+    bsh = word_shingles(benchmark, n=n, id_col=id_col, text_col=text_col).select(
+        "shingle"
+    ).distinct()
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    totals = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tsh.join(bsh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+        )
+    )

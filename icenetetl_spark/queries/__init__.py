@@ -21,11 +21,12 @@ from icenetetl_spark.queries import (
     multimodal,
     similarity,
     text,
+    warehouse,
 )
 
 _MODULES = [
-    core, headline, extended, analytics, events, dedup, text, similarity,
-    multimodal, icenet,
+    core, headline, extended, warehouse, analytics, events, dedup, text,
+    similarity, multimodal, icenet,
 ]
 
 

@@ -125,6 +125,25 @@ def doc_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# benchmark split for the decontamination check: every 17th doc plays the
+# role of the held-out eval suite; the rest is the training corpus
+_BENCH_MOD = 17
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-token-fraction repetition signal per document."""
+    return T.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-overlap check: per training doc, distinct 3-gram shingles shared
+    with the benchmark split (doc_id % 17 == 0 plays the eval suite)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return T.contamination(train, bench, n=3)
+
+
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep chain a real corpus runs END TO END:
     score quality -> drop low-quality docs -> collapse exact duplicates to
@@ -162,6 +181,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_repetition": text_repetition,
+    "text_decontaminate": text_decontaminate,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -205,7 +226,57 @@ _FEATURES = f"""
     CAST({_STOP_COUNT} AS DOUBLE) / len({_TOKENS}) AS stopword_ratio
 """
 
+# shingle CTE over a filtered slice of documents (mirrors
+# operators.dedup.word_shingles: raw-text single-space split, distinct per
+# doc, docs shorter than n produce no shingles)
+def _shingle_cte(name: str, where: str) -> str:
+    return f"""
+        {name}_words AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE {where}
+        ),
+        {name} AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
+            FROM {name}_words,
+                 LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) t
+            WHERE len(w) >= 3
+        )
+    """
+
+
 ORACLES = {
+    "text_repetition": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+        ),
+        per_tok AS (
+            SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               max(n) AS top_token_n,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT)
+                   AS top_token_fraction
+        FROM per_tok GROUP BY doc_id
+    """,
+    "text_decontaminate": f"""
+        WITH {_shingle_cte("tsh", f"doc_id % {_BENCH_MOD} <> 0")},
+        {_shingle_cte("bsh_full", f"doc_id % {_BENCH_MOD} = 0")},
+        bsh AS (SELECT DISTINCT shingle FROM bsh_full),
+        totals AS (
+            SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT doc_id, count(*) AS n_contaminated
+            FROM tsh JOIN bsh USING (shingle) GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_shingles,
+               coalesce(h.n_contaminated, 0) AS n_contaminated,
+               CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles
+                   AS contamination_ratio
+        FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
     "corpus_prep_pipeline": f"""
         WITH feats AS (
             SELECT doc_id, md5({_NORM}) AS fp, len({_TOKENS}) AS n_tokens,

@@ -1,0 +1,321 @@
+"""Warehouse analytics shapes completing the classic decision-support
+vocabulary on the testdata schema (TPC-H Q7/Q8/Q10/Q14/Q15/Q17 forms,
+adapted to the columns that exist — no partsupp/shipmode here):
+
+- dual-dimension joins where the same dim table enters twice under
+  different roles (supplier nation vs customer nation),
+- conditional-aggregate ratios (market share, promo effect),
+- scalar-subquery filters (top supplier = revenue equal to global max),
+- correlated-aggregate filters rewritten as groupBy + join
+  (quantity below 20% of the per-part average).
+
+Every double SUM goes through the decimal accumulator
+(functions.portable.dsum) so the DuckDB oracle hash-matches exactly;
+ratio queries divide two such sums as doubles — identical IEEE ops on
+identical inputs in both engines.
+
+Scale notes: nation/region/supplier/part dims are broadcast (no shuffle
+on the fact side for dim joins); the only shuffles are the fact-fact
+orders⋈lineitem join and the final aggregations. The correlated Q17
+rewrite aggregates per part BEFORE joining back, so the per-part average
+never rescans lineitem per row (the classic decorrelation Catalyst also
+applies to scalar subqueries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from icenetetl_spark.functions.portable import dsum
+from icenetetl_spark.sources.testdata import load_table
+
+_DISC = "l_extendedprice * (1 - l_discount)"
+
+# nation-pair for q7 (both directions); the supplier/customer nations for q8
+_N1, _N2 = "NATION_1", "NATION_2"
+_Q8_NATION, _Q8_REGION = "NATION_3", "AMERICA"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dim joins TWICE under different roles
+    (supplier's nation vs customer's nation); symmetric pair predicate;
+    rollup by (supp_nation, cust_nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") <= F.lit("1997-12-31").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == _N1) & (F.col("cust_nation") == _N2))
+            | ((F.col("supp_nation") == _N2) & (F.col("cust_nation") == _N1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).alias("l_year"),
+        )
+        .agg(dsum(disc, "revenue", scale=6))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional order volume for one
+    part type, by year — a conditional-aggregate ratio over a 7-table join."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q8_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    national = F.when(F.col("supp_nation") == _Q8_NATION, disc).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            (
+                F.sum(national).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a quarter,
+    deterministic top-20."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(disc, "revenue", scale=6))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of one month's revenue — conditional
+    aggregate over a broadcast dim join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(disc).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-subquery filter — supplier(s) whose quarterly
+    revenue equals the global max. The revenue aggregate is computed once;
+    its max is a 1-row broadcast joined back (Catalyst's decorrelation of
+    the = (SELECT max(...)) form, written explicitly)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(disc, "total_revenue", scale=6)
+    )
+    top = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.__max_rev)
+        .join(supplier, rev.supplier_no == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated-aggregate filter (quantity < 20% of the
+    per-part average), decorrelated into a per-part aggregate joined back.
+    The brand filter shrinks the part side to a broadcast BEFORE either
+    lineitem pass, so the per-part averages are only computed for the
+    ~1/|brands| of parts that can survive."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), branded.l_partkey == avg_qty.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_avg": q17_small_qty_avg,
+}
+
+ORACLES = {
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INTEGER)
+                   AS l_year,
+               CAST(SUM(CAST({_DISC} AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <= DATE '1997-12-31'
+          AND ((n1.n_name = '{_N1}' AND n2.n_name = '{_N2}')
+            OR (n1.n_name = '{_N2}' AND n2.n_name = '{_N1}'))
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": f"""
+        SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INTEGER)
+                   AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = '{_Q8_NATION}'
+                             THEN CAST({_DISC} AS DECIMAL(18,6))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST({_DISC} AS DECIMAL(18,6))) AS DOUBLE)
+                   AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = '{_Q8_REGION}'
+        GROUP BY 1
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM(CAST({_DISC} AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q14_promo_effect": f"""
+        SELECT 100.0
+               * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST({_DISC} AS DECIMAL(18,6))
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST({_DISC} AS DECIMAL(18,6))) AS DOUBLE)
+                   AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST({_DISC} AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_revenue
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q17_small_qty_avg": """
+        WITH branded AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#23'
+        ),
+        avg_qty AS (
+            SELECT l_partkey AS pk,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_qty
+            FROM branded GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM branded JOIN avg_qty ON l_partkey = pk
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+}

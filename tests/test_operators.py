@@ -228,3 +228,47 @@ def test_lsh_bands_must_divide_num_hashes(spark):
     sigs = spark.createDataFrame([(1, 0, 0)], "doc_id long, mh0 long, mh1 long")
     with pytest.raises(ValueError, match="divisible"):
         lsh_candidate_pairs(sigs, num_hashes=10, bands=4)
+
+
+def test_repetition_signals(spark):
+    from icenetetl_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam eggs"),          # 4/5 repetition
+            (2, "all tokens here are distinct ok"),   # 1/6
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert got[1]["top_token_n"] == 4
+    assert got[1]["n_tokens"] == 5
+    assert abs(got[1]["top_token_fraction"] - 0.8) < 1e-12
+    assert got[2]["top_token_n"] == 1
+    assert abs(got[2]["top_token_fraction"] - 1 / 6) < 1e-12
+
+
+def test_contamination_flags_overlap_and_keeps_clean_docs(spark):
+    from icenetetl_spark.operators.text import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 3-gram "quick brown fox" (and "the quick brown")
+            (1, "once the quick brown fox ran"),
+            # no 3-gram overlap with the benchmark
+            (2, "entirely unrelated training content here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination(train, bench, n=3).collect()}
+    # doc 1: 4 shingles, of which "the quick brown" + "quick brown fox" +
+    # "brown fox ran"? only first two occur in benchmark (bench has
+    # "brown fox jumps", not "brown fox ran")
+    assert got[1]["n_contaminated"] == 2
+    assert got[1]["contamination_ratio"] > 0
+    # clean doc still present, zero hits
+    assert got[2]["n_contaminated"] == 0
+    assert got[2]["contamination_ratio"] == 0.0
