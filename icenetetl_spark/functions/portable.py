@@ -58,7 +58,18 @@ _DEFAULT_HASH_IMPL = "md5"
 
 def set_default_hash_impl(impl: str) -> str:
     """Set the process-wide default ('md5' | 'xxhash64'); returns the
-    previous value so callers/tests can restore it."""
+    previous value so callers/tests can restore it.
+
+    HAZARD — this hash PARTITIONS PERSISTED DATA. Every split_by_hash
+    bucket, dedup fingerprint, and MinHash/SimHash signature computed under
+    one impl is incompatible with the other: flipping the default between
+    runs silently reassigns every document's train/val/test split (train→test
+    contamination) and invalidates stored signatures, with no error anywhere.
+    Flip it ONCE at deployment bootstrap, record the choice alongside any
+    persisted outputs, and never change it for a corpus that already has
+    materialized splits/signatures. Per-call-site ``impl=`` overrides exist
+    for mixed regimes. The md5 default is what the DuckDB oracles mirror —
+    gated environments must keep it."""
     global _DEFAULT_HASH_IMPL
     if impl not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash impl {impl!r}: use 'md5' or 'xxhash64'")

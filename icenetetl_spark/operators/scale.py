@@ -117,10 +117,20 @@ def zorder_key(
     with boundary sampling) — same interleave."""
     if len(cols) != 2:
         raise ValueError("zorder_key interleaves exactly 2 columns")
+    # bits=32 would spread a bucket's bit 31 to position 62, and the y side's
+    # extra shift lands it on the int64 SIGN bit — high-y rows would sort
+    # before low-y ones, silently destroying the clustering. Beyond 32 the
+    # spread masks drop bits. 31 is the widest sign-safe width.
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     stats = df.agg(*aggs).collect()[0]
+    if any(stats[f"__mn_{c}"] is None or stats[f"__mx_{c}"] is None for c in cols):
+        # empty table or an all-null clustering column: nothing to order —
+        # a constant key makes cluster_by a no-op instead of a TypeError
+        return F.lit(0).cast("long")
     buckets = []
     for c in cols:
         lo, hi = stats[f"__mn_{c}"], stats[f"__mx_{c}"]

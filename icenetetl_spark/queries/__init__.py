@@ -30,10 +30,18 @@ _MODULES = [
 ]
 
 
+_LAST_VERIFIED_CACHE: dict[str, int] | None = None
+
+
 def _last_verified_round() -> dict[str, int]:
     """Most recent driver round in which each query's CORRECTNESS row came
     back clean (hash-green, or a documented rows-only check). Read from the
-    CORRECTNESS_r*.json files the driver leaves at the repo root."""
+    CORRECTNESS_r*.json files the driver leaves at the repo root; memoized
+    per process (the files can't change mid-run, and every consumer calls
+    both all_queries() and all_oracles())."""
+    global _LAST_VERIFIED_CACHE
+    if _LAST_VERIFIED_CACHE is not None:
+        return _LAST_VERIFIED_CACHE
     import glob
     import json
     import re
@@ -69,6 +77,7 @@ def _last_verified_round() -> dict[str, int]:
                 last[name] = max(last.get(name, -1), rnd)
             else:
                 last.setdefault(name, -1)
+    _LAST_VERIFIED_CACHE = last
     return last
 
 

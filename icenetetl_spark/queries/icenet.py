@@ -32,10 +32,21 @@ _FIXTURE_PATH = os.path.join(
     f"icenet_raw_{GEN_DATE}_g{GRID_SIDE}.parquet",
 )
 
-# Materialize at import: queries() and oracle_sql() are both reached through
-# this module, so the file exists before either engine runs. Deterministic
-# (seed-fixed) and write-if-absent, so repeated imports are no-ops.
-write_raw_fixture(_FIXTURE_PATH, GEN_DATE, grid_side=GRID_SIDE)
+def _ensure_fixture() -> str:
+    """Materialize the parquet twin the DuckDB oracle reads (always
+    rewritten — see write_raw_fixture — so generator edits can't leave a
+    stale file)."""
+    return write_raw_fixture(_FIXTURE_PATH, GEN_DATE, grid_side=GRID_SIDE)
+
+
+# Best-effort at import so the oracle file exists even if a driver runs the
+# SQL before the Spark query. Swallowing OSError keeps a read-only checkout
+# usable for every OTHER registry consumer (bench/cli/__spark_entry__ all
+# import this module); the query call below re-attempts and raises there.
+try:
+    _ensure_fixture()
+except OSError:
+    pass
 
 
 def icenet_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,6 +64,7 @@ def icenet_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines still see identical input — the hash gate proves it."""
     from icenetetl_spark.sources.fixtures import make_raw_file
 
+    _ensure_fixture()  # oracle twin; raises clearly if truly unwritable
     raw, _ = make_raw_file(spark, GEN_DATE, "north", grid_side=GRID_SIDE, seed=42)
     return latest_view_plan(raw, "north", portable_ids=True)
 

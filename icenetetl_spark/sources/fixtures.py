@@ -66,12 +66,15 @@ def make_raw_pdf(
 
 
 def write_raw_fixture(path: str, generated: str, **kwargs) -> str:
-    """Write the deterministic fixture to ``path`` (parquet) if absent.
-    Atomic (tmp + rename) so a concurrent reader never sees a partial file.
+    """Write the deterministic fixture to ``path`` (parquet), ALWAYS
+    rewriting: a write-if-absent cache would silently desynchronize the
+    DuckDB oracle's input from the Spark side's in-memory frame the moment
+    the generator changes (same filename, stale bytes — a hash-gate
+    mismatch that masquerades as an engine-semantics bug). The frame is
+    ~1k rows, so regenerating per process costs milliseconds. Atomic
+    (tmp + rename) so a concurrent reader never sees a partial file.
     Returns ``path``. Both Spark and the DuckDB oracle read this same file,
     so their inputs are byte-identical."""
-    if os.path.exists(path):
-        return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pdf = make_raw_pdf(generated, **kwargs)
     tmp = f"{path}.tmp-{os.getpid()}"

@@ -274,3 +274,28 @@ def test_zorder_clustering_skips_on_both_dimensions(spark, tmp_path):
     assert sum(z_b) / len(z_b) < 0.6, f"b spread {sum(z_b)/len(z_b):.2f}"
     # rows preserved
     assert cat.read("t").count() == 20000
+
+
+def test_zorder_key_rejects_sign_unsafe_bits(spark):
+    import pytest
+
+    from icenetetl_spark.operators.scale import zorder_key
+
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    with pytest.raises(ValueError, match=r"\[1, 31\]"):
+        zorder_key(df, ["a", "b"], bits=32)
+
+
+def test_zorder_key_empty_table_is_noop(spark):
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.scale import zorder_key
+
+    df = spark.createDataFrame([], "a double, b double")
+    key = zorder_key(df, ["a", "b"])
+    # constant key -> selecting it over the empty frame still works
+    assert df.select(key.alias("z")).count() == 0
+    # and on an all-null column with rows present
+    df2 = spark.createDataFrame([(None, 1.0), (None, 2.0)], "a double, b double")
+    out = df2.select(zorder_key(df2, ["a", "b"]).alias("z")).collect()
+    assert [r["z"] for r in out] == [0, 0]
