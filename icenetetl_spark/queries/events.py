@@ -225,7 +225,34 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; n_active =
+    distinct users of each cohort active exactly ``day_offset`` days later
+    (the standard product-analytics retention triangle).
+
+    Plan: one per-user min aggregation (cohort assignment), one distinct
+    over (user, day), one equi-join on user_id, one final rollup — every
+    stage a hash shuffle on user_id or (cohort, offset); the cohort table is
+    |users|-sized, so at 100 TB of events it still broadcasts or co-shuffles
+    cheaply. No window over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("day"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = {
+    "ev_retention": ev_retention,
     "ev_window_rollup": ev_window_rollup,
     "ev_json_extract": ev_json_extract,
     "ev_sessionize": ev_sessionize,
@@ -237,6 +264,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_retention": """
+        WITH firsts AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+            FROM events GROUP BY user_id
+        ),
+        act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        SELECT f.cohort_date,
+               CAST(date_diff('day', f.cohort_date, a.day) AS INTEGER)
+                   AS day_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM act a JOIN firsts f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
     "ev_funnel": """
         WITH u1 AS (
             SELECT user_id, min(ts) AS t1 FROM events
