@@ -48,6 +48,12 @@ ANSI_ORACLES = [
     "a_pivot_returnflag",
     "f_string_funcs",
     "ev_top_users",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_avg",
 ]
 
 
