@@ -77,6 +77,42 @@ def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select("o_orderkey", "o_custkey", ma.alias("moving_avg_price"))
 
 
+def a_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the relational form of the reference's P3 melt stage):
+    two measure columns rotated into (measure, value) rows via the native
+    DataFrame.unpivot — a zero-shuffle Expand node, NOT a self-union that
+    would scan the table once per measure."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+def w_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining window vocabulary in one pass: lag/lead/first_value/ntile
+    over the per-customer order sequence, rank/dense_rank over price. Both
+    window specs share the o_custkey hash partitioning, so the plan is ONE
+    shuffle with two sorts — Spark collapses same-partitioning windows into
+    adjacent Window nodes over a single exchange."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice", 1).over(seq).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(seq).alias("next_price"),
+        F.first_value("o_totalprice").over(seq).alias("first_price"),
+        F.ntile(4).over(seq).alias("quartile"),
+        F.rank().over(price).alias("price_rank"),
+        F.dense_rank().over(price).alias("price_dense_rank"),
+    )
+
+
 def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data-quality profile of lineitem (operators/quality.py)."""
     from icenetetl_spark.operators.quality import profile
@@ -91,6 +127,8 @@ QUERIES = {
     "a_pivot_returnflag": a_pivot_returnflag,
     "f_string_funcs": f_string_funcs,
     "w_moving_avg": w_moving_avg,
+    "w_lag_lead_rank": w_lag_lead_rank,
+    "a_unpivot_measures": a_unpivot_measures,
     "dq_profile": dq_profile,
 }
 
@@ -139,6 +177,26 @@ ORACLES = {
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                    AS moving_avg_price
         FROM orders
+    """,
+    "a_unpivot_measures": """
+        SELECT p_partkey, 'p_size' AS measure,
+               CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+        FROM part
+    """,
+    "w_lag_lead_rank": """
+        SELECT o_orderkey, o_custkey,
+               lag(o_totalprice, 1) OVER seq AS prev_price,
+               lead(o_totalprice, 1) OVER seq AS next_price,
+               first_value(o_totalprice) OVER seq AS first_price,
+               CAST(ntile(4) OVER seq AS INTEGER) AS quartile,
+               CAST(rank() OVER price AS INTEGER) AS price_rank,
+               CAST(dense_rank() OVER price AS INTEGER) AS price_dense_rank
+        FROM orders
+        WINDOW seq AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+               price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
     """,
     "dq_profile": " UNION ALL ".join(
         f"""
