@@ -5,6 +5,7 @@ trigger does). Here:
     python -m icenetetl_spark ingest FILE.parquet --warehouse WH \
         [--hemisphere north|south] [--keywords "..."] [--incremental-meta]
     python -m icenetetl_spark query NAME [--sf-dir DIR] [--limit N]
+    python -m icenetetl_spark sql "SELECT ..." [--sf-dir DIR] [--limit N]
     python -m icenetetl_spark list
 
 ``ingest`` accepts a long-form parquet drop (the Parquet landing-zone path);
@@ -62,6 +63,19 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc ANSI SQL over the testdata tables (registered as temp views) —
+    the migration path for users bringing their own SQL: the same statements
+    the oracle gate proves portable run here verbatim through Catalyst."""
+    from icenetetl_spark.sources.testdata import register_views
+
+    spark = _spark()
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.statement)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from icenetetl_spark.queries import all_oracles, all_queries
 
@@ -89,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pq.add_argument("--limit", type=int, default=20)
     pq.set_defaults(fn=cmd_query)
+
+    ps = sub.add_parser("sql", help="run ad-hoc SQL over the testdata views")
+    ps.add_argument("statement")
+    ps.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ps.add_argument("--limit", type=int, default=20)
+    ps.set_defaults(fn=cmd_sql)
 
     pl = sub.add_parser("list", help="list registered queries")
     pl.set_defaults(fn=cmd_list)

@@ -57,3 +57,22 @@ def test_entry_importable_without_repo_on_path():
         assert len(mod.queries()) > 0
     finally:
         sys.path = saved
+
+
+def test_cli_sql_and_list(spark, capsys):
+    from icenetetl_spark.cli import main
+
+    assert main(["list"]) == 0
+    assert (
+        main(
+            [
+                "sql",
+                "SELECT r_name, count(*) AS n FROM region GROUP BY r_name",
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "ASIA" in out
