@@ -125,6 +125,43 @@ def doc_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus "data recipe" table: per source, document/token volume,
+    token share of the whole corpus, exact-dup count, and mean quality —
+    the report that drives per-source sampling weights in a pretraining
+    mix. One projection + one groupBy + a 1-row broadcast for the global
+    token total (never a partition-less window, which would serialize on
+    one task at scale)."""
+    from icenetetl_spark.functions.portable import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        (dsum("quality", "__qs", scale=9) / F.count(F.lit(1))).alias(
+            "mean_quality"
+        ),
+    )
+    total = agg.agg(F.sum("n_tokens").alias("__total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("__total")).alias(
+            "token_share"
+        ),
+        "n_exact_dups",
+        "mean_quality",
+    )
+
+
 # benchmark split for the decontamination check: every 17th doc plays the
 # role of the held-out eval suite; the rest is the training corpus
 _BENCH_MOD = 17
@@ -181,6 +218,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus_source_mix": corpus_source_mix,
     "text_repetition": text_repetition,
     "text_decontaminate": text_decontaminate,
     "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -246,6 +284,34 @@ def _shingle_cte(name: str, where: str) -> str:
 
 
 ORACLES = {
+    "corpus_source_mix": f"""
+        WITH feats AS (
+            SELECT source, md5({_NORM}) AS fp, {_FEATURES}
+            FROM documents
+        ),
+        scored AS (
+            SELECT source, fp, n_tokens,
+                   distinct_ratio
+                   * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0
+                           THEN 1.0 ELSE 0.5 END)
+                   * (CASE WHEN stopword_ratio <= 0.5 THEN 1.0 ELSE 0.5 END)
+                       AS quality
+            FROM feats
+        ),
+        agg AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   count(*) - count(DISTINCT fp) AS n_exact_dups,
+                   CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE)
+                       / count(*) AS mean_quality
+            FROM scored GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM agg)
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / total AS token_share,
+               n_exact_dups, mean_quality
+        FROM agg, tot
+    """,
     "text_repetition": f"""
         WITH toks AS (
             SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
