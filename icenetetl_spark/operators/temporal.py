@@ -66,6 +66,53 @@ def range_join_points_to_intervals(
     return joined.drop("__bin").distinct()
 
 
+def gapfill_locf(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    step: int,
+) -> DataFrame:
+    """Time-bucket gap-fill with last-observation-carry-forward (the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` pair): per key, emit EVERY
+    bucket between that key's first and last observed bucket; buckets with
+    no data carry the previous bucket's value forward and are flagged
+    ``is_gap``.
+
+    ``df`` must already be aggregated to one row per (keys…, bucket) with
+    integer buckets (e.g. ``epoch_bucket``); ``step`` is the bucket width in
+    the same units.
+
+    Plan shape: per-key min/max bounds (|keys| rows) -> sequence+explode
+    generates the dense grid WITHOUT a cross join against a global calendar
+    table -> left join actuals on (keys…, bucket) -> one carry-forward
+    window per key. Every stage shuffles on the key — distributed, and the
+    grid size is bounded by (span/step) per key, never |keys| x global-span.
+    """
+    keys = list(keys)
+    bounds = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.lit(step))
+        ).alias(bucket_col),
+    )
+    joined = grid.join(df, [*keys, bucket_col], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        bucket_col,
+        F.last(F.col(value_col), ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNull().alias("is_gap"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

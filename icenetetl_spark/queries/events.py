@@ -251,7 +251,24 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill + locf: 15-minute per-type value sums with every
+    missing bucket emitted and carry-forward filled (operators/temporal.
+    gapfill_locf). The dense grid is generated per key from its own bounds
+    via sequence+explode — no calendar cross join."""
+    from icenetetl_spark.operators.temporal import gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", epoch_bucket("ts", 900, "bucket_qh")
+    ).agg(dsum("value", "sum_value", scale=6))
+    return gapfill_locf(
+        per_bucket, ["event_type"], "bucket_qh", "sum_value", 900
+    )
+
+
 QUERIES = {
+    "ev_gapfill_locf": ev_gapfill_locf,
     "ev_retention": ev_retention,
     "ev_window_rollup": ev_window_rollup,
     "ev_json_extract": ev_json_extract,
@@ -264,6 +281,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ev_gapfill_locf": """
+        WITH actual AS (
+            SELECT event_type,
+                   CAST(FLOOR(EPOCH(ts) / 900) * 900 AS BIGINT) AS bucket_qh,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(bucket_qh) AS mn, max(bucket_qh) AS mx
+            FROM actual GROUP BY event_type
+        ),
+        grid AS (
+            SELECT event_type, unnest(generate_series(mn, mx, 900))
+                       AS bucket_qh
+            FROM bounds
+        ),
+        j AS (
+            SELECT g.event_type, g.bucket_qh, a.sum_value
+            FROM grid g LEFT JOIN actual a
+              ON g.event_type = a.event_type AND g.bucket_qh = a.bucket_qh
+        )
+        SELECT event_type, bucket_qh,
+               last_value(sum_value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket_qh
+                   ROWS UNBOUNDED PRECEDING) AS sum_value,
+               sum_value IS NULL AS is_gap
+        FROM j
+    """,
     "ev_retention": """
         WITH firsts AS (
             SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date

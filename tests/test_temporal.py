@@ -85,3 +85,27 @@ def test_range_join_bins_match_theta(spark):
     got = sorted((r["event_id"], r["iv_id"]) for r in binned.collect())
     want = sorted((r["event_id"], r["iv_id"]) for r in theta.collect())
     assert got == want and len(got) > 0
+
+
+def test_gapfill_locf_fills_and_flags(spark):
+    from icenetetl_spark.operators.temporal import gapfill_locf
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 1.0),
+            ("a", 30, 4.0),   # gaps at 10, 20
+            ("b", 10, 7.0),   # single bucket, no gaps
+        ],
+        "k string, b long, v double",
+    )
+    got = {
+        (r["k"], r["b"]): (r["v"], r["is_gap"])
+        for r in gapfill_locf(df, ["k"], "b", "v", 10).collect()
+    }
+    assert got == {
+        ("a", 0): (1.0, False),
+        ("a", 10): (1.0, True),
+        ("a", 20): (1.0, True),
+        ("a", 30): (4.0, False),
+        ("b", 10): (7.0, False),
+    }
