@@ -14,13 +14,21 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+def dsum_col(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
+    """Unaliased :func:`dsum` — for composing into ratios/conditionals where
+    the alias goes on the composite expression. Keeping every decimal
+    accumulator behind this one definition means a precision change can
+    never silently diverge between call sites and their oracle mirrors."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
 def dsum(col: Column | str, alias: str, scale: int = 2, precision: int = 18) -> Column:
     """Order-independent SUM of a double column via decimal accumulation.
 
     Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE) AS alias``.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double").alias(alias)
+    return dsum_col(col, scale, precision).alias(alias)
 
 
 def davg(col: Column | str, alias: str, scale: int = 2, precision: int = 18) -> Column:

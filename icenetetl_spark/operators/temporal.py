@@ -72,6 +72,7 @@ def gapfill_locf(
     bucket_col: str,
     value_col: str,
     step: int,
+    validate: bool = True,
 ) -> DataFrame:
     """Time-bucket gap-fill with last-observation-carry-forward (the
     TimescaleDB ``time_bucket_gapfill`` + ``locf`` pair): per key, emit EVERY
@@ -90,6 +91,30 @@ def gapfill_locf(
     grid size is bounded by (span/step) per key, never |keys| x global-span.
     """
     keys = list(keys)
+    if validate:
+        # A bucket off the mn + k*step lattice would MISS the generated grid
+        # in the left join — the observed row silently vanishes. Alignment
+        # to the lattice ⟺ all buckets within a key share one residue mod
+        # step, so one aggregation over the (already aggregated, small)
+        # input catches it. Opt out with validate=False once the producer
+        # is trusted (e.g. epoch_bucket output, residue 0 by construction).
+        bad = (
+            df.groupBy(*keys)
+            .agg(
+                F.countDistinct(F.pmod(F.col(bucket_col), F.lit(step))).alias(
+                    "__r"
+                )
+            )
+            .filter(F.col("__r") > 1)
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"gapfill_locf: {bucket_col} values are not aligned to a "
+                f"step-{step} lattice within every key — off-lattice rows "
+                "would be silently dropped by the grid join"
+            )
     bounds = df.groupBy(*keys).agg(
         F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
     )

@@ -162,34 +162,33 @@ def contamination(
     (the standard eval-overlap check run before pretraining — docs with
     nonzero overlap are quarantined or dropped).
 
-    Plan: inverted-index equi-join of training shingles against the DISTINCT
-    benchmark shingle set, then a left join back onto per-doc shingle counts
-    so clean documents still appear (n_contaminated = 0). Benchmark suites
-    are small relative to the corpus, so the distinct shingle set broadcasts
-    by default — the 100 TB path touches each training shingle exactly once
-    with NO shuffle on the corpus side; set ``broadcast_benchmark=False`` to
-    fall back to a hash join when the benchmark itself is huge.
+    Plan: ONE pass over the training shingles — left join against the
+    DISTINCT benchmark shingle set (marker column), then a single
+    groupBy(doc_id) counting rows and markers together. Benchmark suites
+    are small relative to the corpus, so the marked set broadcasts by
+    default: each training shingle is touched exactly once and the only
+    corpus-side shuffle is the final per-doc aggregation; set
+    ``broadcast_benchmark=False`` to fall back to a hash join when the
+    benchmark itself is huge. Clean documents keep n_contaminated = 0
+    (left-join semantics, count of a null marker is 0).
     """
     from icenetetl_spark.operators.dedup import word_shingles
 
     tsh = word_shingles(train, n=n, id_col=id_col, text_col=text_col)
-    bsh = word_shingles(benchmark, n=n, id_col=id_col, text_col=text_col).select(
-        "shingle"
-    ).distinct()
+    bsh = (
+        word_shingles(benchmark, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     if broadcast_benchmark:
         bsh = F.broadcast(bsh)
-    totals = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        tsh.join(bsh, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
     return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        tsh.join(bsh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
         )
         .withColumn(
             "contamination_ratio",

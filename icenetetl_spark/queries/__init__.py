@@ -30,18 +30,18 @@ _MODULES = [
 ]
 
 
-_LAST_VERIFIED_CACHE: dict[str, int] | None = None
+_LAST_VERIFIED_CACHE: tuple[tuple, dict[str, int]] | None = None
 
 
 def _last_verified_round() -> dict[str, int]:
     """Most recent driver round in which each query's CORRECTNESS row came
     back clean (hash-green, or a documented rows-only check). Read from the
     CORRECTNESS_r*.json files the driver leaves at the repo root; memoized
-    per process (the files can't change mid-run, and every consumer calls
-    both all_queries() and all_oracles())."""
+    per process KEYED on the file set + mtimes (every consumer calls both
+    all_queries() and all_oracles(), but a long-lived process that observes
+    a new round file landing must still see the rotated order — stat calls
+    are cheap, re-parsing every file twice per call is not)."""
     global _LAST_VERIFIED_CACHE
-    if _LAST_VERIFIED_CACHE is not None:
-        return _LAST_VERIFIED_CACHE
     import glob
     import json
     import re
@@ -50,11 +50,22 @@ def _last_verified_round() -> dict[str, int]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+    def _mtime(p):
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return None
+
+    cache_key = tuple((p, _mtime(p)) for p in paths)
+    if _LAST_VERIFIED_CACHE is not None and _LAST_VERIFIED_CACHE[0] == cache_key:
+        return _LAST_VERIFIED_CACHE[1]
     # a rows-only record only "counts" while the query still has no oracle;
     # once an oracle exists, the query deserves a fresh hash-gated slot
     has_oracle = {name for m in _MODULES for name in m.ORACLES}
     last: dict[str, int] = {}
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    for path in paths:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -77,7 +88,7 @@ def _last_verified_round() -> dict[str, int]:
                 last[name] = max(last.get(name, -1), rnd)
             else:
                 last.setdefault(name, -1)
-    _LAST_VERIFIED_CACHE = last
+    _LAST_VERIFIED_CACHE = (cache_key, last)
     return last
 
 

@@ -26,10 +26,28 @@ from icenetetl_spark.sources.fixtures import write_raw_fixture
 GEN_DATE = "2024-03-01"
 GRID_SIDE = 16
 
+
+def _generator_fingerprint() -> str:
+    """Content-address the fixture filename by the generator's source +
+    parameters: after any edit to make_raw_pdf, the oracle SQL references a
+    NEW filename, so a stale pre-built file can never be silently read —
+    even on a read-only checkout where the rewrite below fails. The failure
+    mode becomes an explicit missing-file error pointing at the fixture,
+    not a hash-gate mismatch masquerading as an engine-semantics bug."""
+    import hashlib
+    import inspect
+
+    from icenetetl_spark.sources import fixtures
+
+    src = inspect.getsource(fixtures.make_raw_pdf)
+    key = f"{src}|{GEN_DATE}|{GRID_SIDE}".encode()
+    return hashlib.md5(key).hexdigest()[:8]
+
+
 _FIXTURE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".fixtures",
-    f"icenet_raw_{GEN_DATE}_g{GRID_SIDE}.parquet",
+    f"icenet_raw_{GEN_DATE}_g{GRID_SIDE}_{_generator_fingerprint()}.parquet",
 )
 
 def _ensure_fixture() -> str:

@@ -132,7 +132,7 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix. One projection + one groupBy + a 1-row broadcast for the global
     token total (never a partition-less window, which would serialize on
     one task at scale)."""
-    from icenetetl_spark.functions.portable import dsum
+    from icenetetl_spark.functions.portable import dsum_col
 
     docs = load_table(spark, sf_dir, "documents")
     per = docs.select(
@@ -145,7 +145,7 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
-        (dsum("quality", "__qs", scale=9) / F.count(F.lit(1))).alias(
+        (dsum_col("quality", scale=9) / F.count(F.lit(1))).alias(
             "mean_quality"
         ),
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from icenetetl_spark.functions.portable import dsum
+from icenetetl_spark.functions.portable import dsum, dsum_col
 from icenetetl_spark.sources.testdata import load_table
 
 _DISC = "l_extendedprice * (1 - l_discount)"
@@ -92,11 +92,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_supp = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     national = F.when(F.col("supp_nation") == _Q8_NATION, disc).otherwise(
-        F.lit(0).cast("decimal(18,6)")
+        F.lit(0.0)
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -108,10 +106,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
         .agg(
-            (
-                F.sum(national).cast("double")
-                / F.sum(disc).cast("double")
-            ).alias("mkt_share")
+            (dsum_col(national, scale=6) / dsum_col(disc, scale=6)).alias(
+                "mkt_share"
+            )
         )
     )
 
@@ -148,17 +145,11 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.to_date("l_shipdate") < F.lit("1997-10-01").cast("date"))
     )
     part = load_table(spark, sf_dir, "part")
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
-        F.lit(0).cast("decimal(18,6)")
-    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
         (
-            F.lit(100.0)
-            * F.sum(promo).cast("double")
-            / F.sum(disc).cast("double")
+            F.lit(100.0) * dsum_col(promo, scale=6) / dsum_col(disc, scale=6)
         ).alias("promo_revenue_pct")
     )
 
@@ -197,22 +188,12 @@ def q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     avg_qty = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
+        (dsum_col("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
         branded.join(F.broadcast(avg_qty), branded.l_partkey == avg_qty.pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
-                )
-                / F.lit(7.0)
-            ).alias("avg_yearly")
-        )
+        .agg((dsum_col("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 

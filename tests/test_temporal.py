@@ -109,3 +109,18 @@ def test_gapfill_locf_fills_and_flags(spark):
         ("a", 30): (4.0, False),
         ("b", 10): (7.0, False),
     }
+
+
+def test_gapfill_locf_rejects_off_lattice_buckets(spark):
+    import pytest
+
+    from icenetetl_spark.operators.temporal import gapfill_locf
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 15, 9.0), ("a", 30, 4.0)],
+        "k string, b long, v double",
+    )
+    # bucket 15 is off the step-10 lattice: the grid join would silently
+    # drop the 9.0 observation — the guard must refuse instead
+    with pytest.raises(ValueError, match="lattice"):
+        gapfill_locf(df, ["k"], "b", "v", 10).collect()
