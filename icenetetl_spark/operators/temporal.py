@@ -90,7 +90,75 @@ def gapfill_locf(
     window per key. Every stage shuffles on the key — distributed, and the
     grid size is bounded by (span/step) per key, never |keys| x global-span.
     """
+    joined = _dense_grid(df, list(keys), bucket_col, step, validate)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        bucket_col,
+        F.last(F.col(value_col), ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNull().alias("is_gap"),
+    )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    step: int,
+    validate: bool = True,
+) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION between the surrounding observations
+    (the Timescale ``interpolate`` twin to :func:`gapfill_locf`): a missing
+    bucket gets prev + (next - prev) * (t - t_prev) / (t_next - t_prev).
+    Same dense-grid plan plus ONE extra window pass in the opposite
+    direction (carry-backward for the next observation) — still one shuffle
+    on the key. By construction the grid never extends past a key's first/
+    last observation, so both neighbors always exist for every gap.
+    """
     keys = list(keys)
+    joined = _dense_grid(df, keys, bucket_col, step, validate)
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    b = F.col(bucket_col).cast("double")
+    obs_b = F.when(F.col(value_col).isNotNull(), b)
+    pv = F.last(F.col(value_col), ignorenulls=True).over(fwd)
+    pb = F.last(obs_b, ignorenulls=True).over(fwd)
+    nv = F.first(F.col(value_col), ignorenulls=True).over(bwd)
+    nb = F.first(obs_b, ignorenulls=True).over(bwd)
+    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        pv + (nv - pv) * (b - pb) / (nb - pb)
+    )
+    return joined.select(
+        *keys,
+        bucket_col,
+        interp.alias(value_col),
+        F.col(value_col).isNull().alias("is_gap"),
+    )
+
+
+def _dense_grid(
+    df: DataFrame,
+    keys: list[str],
+    bucket_col: str,
+    step: int,
+    validate: bool,
+) -> DataFrame:
+    """Shared gap-fill machinery: per-key bounds -> sequence+explode dense
+    bucket grid -> left join actuals. Missing buckets surface as NULL
+    ``value`` rows for the fill strategy to resolve."""
     if validate:
         # A bucket off the mn + k*step lattice would MISS the generated grid
         # in the left join — the observed row silently vanishes. Alignment
@@ -111,7 +179,7 @@ def gapfill_locf(
         )
         if bad:
             raise ValueError(
-                f"gapfill_locf: {bucket_col} values are not aligned to a "
+                f"gapfill: {bucket_col} values are not aligned to a "
                 f"step-{step} lattice within every key — off-lattice rows "
                 "would be silently dropped by the grid join"
             )
@@ -124,18 +192,7 @@ def gapfill_locf(
             F.sequence(F.col("__mn"), F.col("__mx"), F.lit(step))
         ).alias(bucket_col),
     )
-    joined = grid.join(df, [*keys, bucket_col], "left")
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(bucket_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
-        *keys,
-        bucket_col,
-        F.last(F.col(value_col), ignorenulls=True).over(w).alias(value_col),
-        F.col(value_col).isNull().alias("is_gap"),
-    )
+    return grid.join(df, [*keys, bucket_col], "left")
 
 
 def asof_join(

@@ -267,8 +267,24 @@ def ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill over the same 15-minute per-type sums
+    (operators/temporal.gapfill_interpolate) — the Timescale ``interpolate``
+    companion to ev_gapfill_locf."""
+    from icenetetl_spark.operators.temporal import gapfill_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", epoch_bucket("ts", 900, "bucket_qh")
+    ).agg(dsum("value", "sum_value", scale=6))
+    return gapfill_interpolate(
+        per_bucket, ["event_type"], "bucket_qh", "sum_value", 900
+    )
+
+
 QUERIES = {
     "ev_gapfill_locf": ev_gapfill_locf,
+    "ev_gapfill_interp": ev_gapfill_interp,
     "ev_retention": ev_retention,
     "ev_window_rollup": ev_window_rollup,
     "ev_json_extract": ev_json_extract,
@@ -309,6 +325,51 @@ ORACLES = {
                    ROWS UNBOUNDED PRECEDING) AS sum_value,
                sum_value IS NULL AS is_gap
         FROM j
+    """,
+    "ev_gapfill_interp": """
+        WITH actual AS (
+            SELECT event_type,
+                   CAST(FLOOR(EPOCH(ts) / 900) * 900 AS BIGINT) AS bucket_qh,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(bucket_qh) AS mn, max(bucket_qh) AS mx
+            FROM actual GROUP BY event_type
+        ),
+        grid AS (
+            SELECT event_type, unnest(generate_series(mn, mx, 900))
+                       AS bucket_qh
+            FROM bounds
+        ),
+        j AS (
+            SELECT g.event_type, g.bucket_qh, a.sum_value
+            FROM grid g LEFT JOIN actual a
+              ON g.event_type = a.event_type AND g.bucket_qh = a.bucket_qh
+        ),
+        nb AS (
+            SELECT event_type, bucket_qh, sum_value,
+                   last_value(sum_value IGNORE NULLS) OVER fwd AS pv,
+                   last_value(CASE WHEN sum_value IS NOT NULL
+                                   THEN CAST(bucket_qh AS DOUBLE) END
+                              IGNORE NULLS) OVER fwd AS pb,
+                   first_value(sum_value IGNORE NULLS) OVER bwd AS nv,
+                   first_value(CASE WHEN sum_value IS NOT NULL
+                                    THEN CAST(bucket_qh AS DOUBLE) END
+                               IGNORE NULLS) OVER bwd AS nb
+            FROM j
+            WINDOW fwd AS (PARTITION BY event_type ORDER BY bucket_qh
+                           ROWS UNBOUNDED PRECEDING),
+                   bwd AS (PARTITION BY event_type ORDER BY bucket_qh
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, bucket_qh,
+               CASE WHEN sum_value IS NOT NULL THEN sum_value
+                    ELSE pv + (nv - pv) * (CAST(bucket_qh AS DOUBLE) - pb)
+                              / (nb - pb) END AS sum_value,
+               sum_value IS NULL AS is_gap
+        FROM nb
     """,
     "ev_retention": """
         WITH firsts AS (

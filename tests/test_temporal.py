@@ -124,3 +124,22 @@ def test_gapfill_locf_rejects_off_lattice_buckets(spark):
     # drop the 9.0 observation — the guard must refuse instead
     with pytest.raises(ValueError, match="lattice"):
         gapfill_locf(df, ["k"], "b", "v", 10).collect()
+
+
+def test_gapfill_interpolate_linear_values(spark):
+    from icenetetl_spark.operators.temporal import gapfill_interpolate
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 30, 4.0)],
+        "k string, b long, v double",
+    )
+    got = {
+        r["b"]: (r["v"], r["is_gap"])
+        for r in gapfill_interpolate(df, ["k"], "b", "v", 10).collect()
+    }
+    assert got == {
+        0: (1.0, False),
+        10: (2.0, True),   # 1 + (4-1) * 10/30
+        20: (3.0, True),
+        30: (4.0, False),
+    }
