@@ -91,3 +91,40 @@ def test_latest_snapshot_law(spark, rows):
         assert sorted((r["k"], r["v"]) for r in out) == sorted(
             (k, v) for k, v in rows if k == mx
         )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    obs=st.dictionaries(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 8)),
+        st.integers(-5, 5),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gapfill_locf_laws(spark, obs):
+    """LOCF laws vs a pure-Python model: per key the output buckets are
+    exactly the dense [min..max] lattice, observed rows keep their value
+    un-flagged, and every gap row carries the latest preceding value."""
+    from icenetetl_spark.operators.temporal import gapfill_locf
+
+    rows = [(k, b * 10, float(v)) for (k, b), v in obs.items()]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    got = {
+        (r["k"], r["b"]): (r["v"], r["is_gap"])
+        for r in gapfill_locf(df, ["k"], "b", "v", 10).collect()
+    }
+    model = {}
+    per_key = {}
+    for k, b, v in rows:
+        per_key.setdefault(k, {})[b] = v
+    for k, seen in per_key.items():
+        lo, hi = min(seen), max(seen)
+        last = None
+        for b in range(lo, hi + 1, 10):
+            if b in seen:
+                last = seen[b]
+                model[(k, b)] = (last, False)
+            else:
+                model[(k, b)] = (last, True)
+    assert got == model
