@@ -196,6 +196,52 @@ def knn_sign_lsh_multiprobe(
     )
 
 
+def vector_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    scale: int = 9,
+) -> DataFrame:
+    """Element-wise mean vector per group (cluster/class centroids — the
+    aggregation behind IVF training, class prototypes, and drift monitors).
+
+    Plan: posexplode to (group, pos, x) -> one hash aggregation on
+    (group, pos) with a DECIMAL accumulator -> per-group reassembly of the
+    d positions via sort_array(collect_list) (d values per group — driver-
+    safe). Two shuffles, both keyed and distributed; no vector ever passes
+    through Python.
+
+    The decimal accumulator makes the cross-row sum order-independent and
+    engine-exact: float32 inputs promote losslessly to float64, and no
+    float64 sits exactly on a decimal half-boundary (10^-scale halves need
+    a factor 5^scale in the denominator; binary fractions have none), so
+    HALF_UP (Spark) and round-half-even (DuckDB) can never disagree.
+    """
+    ex = df.select(
+        *group_cols, F.posexplode(F.col(vec_col)).alias("__pos", "__x")
+    )
+    # float32 -> DOUBLE first, explicitly, on BOTH engines: a direct
+    # float->decimal cast is engine-defined (shortest-string vs binary
+    # expansion of the float), while double->decimal of the exact promoted
+    # value is identical everywhere.
+    per = ex.groupBy(*group_cols, "__pos").agg(
+        (
+            F.sum(
+                F.col("__x").cast("double").cast(f"decimal(18,{scale})")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__m"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    return per.groupBy(*group_cols).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__pos", "__m"))),
+            lambda s: s["__m"],
+        ).alias("centroid"),
+        F.min("__c").alias("n_vectors"),
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float,

@@ -112,6 +112,16 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_fixed_centroids(queries, emb, cents, k=K, n_probe=IVF_N_PROBE)
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (operators/similarity.vector_mean): the
+    element-wise mean aggregation behind IVF training, class prototypes,
+    and embedding-drift monitors."""
+    from icenetetl_spark.operators.similarity import vector_mean
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return vector_mean(emb, ["label"])
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_sign_lsh": knn_sign_lsh,
@@ -120,6 +130,7 @@ QUERIES = {
     "knn_ivf_fixed": knn_ivf_fixed,
     "embedding_near_dup": embedding_near_dup,
     "embedding_norms": embedding_norms,
+    "embedding_centroids": embedding_centroids,
 }
 
 def _sign_string(t: str, n: int) -> str:
@@ -134,6 +145,24 @@ def _sign_string(t: str, n: int) -> str:
 _SIGN_BUCKET = lambda t: _sign_string(t, LSH_BITS)  # noqa: E731
 
 ORACLES = {
+    "embedding_centroids": """
+        WITH ex AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS x
+            FROM embeddings
+        ),
+        per AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))
+                        AS DOUBLE) / count(*) AS m,
+                   count(*) AS c
+            FROM ex GROUP BY label, pos
+        )
+        SELECT label, list(m ORDER BY pos) AS centroid,
+               min(c) AS n_vectors
+        FROM per GROUP BY label
+    """,
     "knn_bruteforce": f"""
         WITH scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
