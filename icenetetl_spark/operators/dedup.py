@@ -153,6 +153,46 @@ def minhash_signatures(
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_estimate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs WITH their MinHash-estimated Jaccard: the
+    fraction of agreeing signature components (the unbiased estimator, the
+    'estimate' step between candidate generation and exact verification —
+    at 100 TB the estimate prunes candidates WITHOUT touching the shingle
+    sets again, deferring the exact-Jaccard join to the survivors).
+
+    Plan: candidate pairs from the banded self-join, then ONE join back to
+    the K-column signature table per side (K ints per doc — the signature
+    table is |docs| rows, not |shingles|) and a pure-codegen K-way
+    agreement count.
+    """
+    pairs = lsh_candidate_pairs(signatures, num_hashes, bands)
+    sig_a = signatures.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{h}").alias(f"a{h}") for h in range(num_hashes)],
+    )
+    sig_b = signatures.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{h}").alias(f"b{h}") for h in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:

@@ -63,6 +63,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
 
 
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates with MinHash-estimated Jaccard (signature-agreement
+    fraction) — the estimate step that prunes candidates without re-touching
+    the shingle sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(D.word_shingles(docs, n=NGRAM_N), NUM_HASHES)
+    return D.minhash_estimate_pairs(sigs, NUM_HASHES, BANDS)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load_table(spark, sf_dir, "documents"), num_bits=SIM_BITS)
 
@@ -112,6 +121,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_groups": dedup_groups,
@@ -277,6 +287,23 @@ ORACLES = {
         FROM banded a JOIN banded b
           ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
+    """,
+    "dedup_minhash_estimate": f"""
+        WITH {_SHINGLES_CTE},
+        {_minhash_sig_sql()},
+        banded AS ({_banded_sql()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST({" + ".join(f"(CASE WHEN sa.mh{h} = sb.mh{h} THEN 1 ELSE 0 END)" for h in range(NUM_HASHES))}
+                    AS DOUBLE) / {NUM_HASHES} AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
     """,
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": f"""
