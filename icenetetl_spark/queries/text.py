@@ -79,6 +79,29 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies, top-50 deterministic — the n=2
+    vocabulary pass (all occurrences, NOT per-doc distinct like the dedup
+    shingles: frequency estimation wants multiplicity). The token split is
+    materialized in its own projection before the transform lambda — same
+    O(words²) pitfall as word_shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    wdf = docs.select(T.tokens(F.col("text")).alias("__w"))
+    w = F.col("__w")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    return (
+        wdf.filter(F.size(w) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document length distribution in 100-char buckets — the standard
     pre-filter diagnostic before length-based quality cuts."""
@@ -227,6 +250,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_top_tokens": text_top_tokens,
+    "text_top_bigrams": text_top_bigrams,
     "text_length_histogram": text_length_histogram,
     "doc_train_split": doc_train_split,
     "doc_stratified_sample": doc_stratified_sample,
@@ -421,6 +445,19 @@ ORACLES = {
         FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
         GROUP BY token
         ORDER BY n DESC, token
+        LIMIT 50
+    """,
+    "text_top_bigrams": f"""
+        WITH words AS (SELECT {_TOKENS} AS w FROM documents),
+        bi AS (
+            SELECT concat_ws(' ', w[i+1], w[i+2]) AS bigram
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(0, len(w) - 2)) AS i) t
+            WHERE len(w) >= 2
+        )
+        SELECT bigram, count(*) AS n
+        FROM bi GROUP BY bigram
+        ORDER BY n DESC, bigram
         LIMIT 50
     """,
     "text_length_histogram": """
