@@ -130,6 +130,25 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich.exceptAll(big_orders.distinct()).distinct()
 
 
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join vocabulary: rich customers vs big-spender order
+    rollups — rows survive from BOTH unmatched sides (rich customers with
+    no big orders, big spenders below the balance cut)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal"
+    )
+    big = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    return rich.join(big, "custkey", "full_outer").select(
+        "custkey", "c_acctbal", "n_big_orders"
+    )
+
+
 def p10_first_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 parity (processor.py:368-370): the single distinct scalar of a
     one-file-equivalent slice (one order's date)."""
@@ -168,6 +187,7 @@ QUERIES = {
     "set_union_distinct": set_union_distinct,
     "set_intersect": set_intersect,
     "set_except": set_except,
+    "j_full_outer": j_full_outer,
     "p10_first_distinct": p10_first_distinct,
 }
 
@@ -235,6 +255,17 @@ ORACLES = {
         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 2000
         EXCEPT
         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+    "j_full_outer": """
+        SELECT coalesce(r.custkey, b.custkey) AS custkey,
+               r.c_acctbal, b.n_big_orders
+        FROM (SELECT c_custkey AS custkey, c_acctbal FROM customer
+              WHERE c_acctbal > 8000) r
+        FULL OUTER JOIN
+             (SELECT o_custkey AS custkey, count(*) AS n_big_orders
+              FROM orders WHERE o_totalprice > 450000
+              GROUP BY o_custkey) b
+          ON r.custkey = b.custkey
     """,
     "p10_first_distinct": """
         SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_generated
