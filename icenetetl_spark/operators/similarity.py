@@ -217,28 +217,42 @@ def vector_mean(
     a factor 5^scale in the denominator; binary fractions have none), so
     HALF_UP (Spark) and round-half-even (DuckDB) can never disagree.
     """
+    per = vector_mean_long(df, group_cols, vec_col=vec_col, scale=scale)
+    return per.groupBy(*group_cols).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s["mean"],
+        ).alias("centroid"),
+        F.min("n_vectors").alias("n_vectors"),
+    )
+
+
+def vector_mean_long(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    scale: int = 9,
+) -> DataFrame:
+    """The per-position stage of :func:`vector_mean` in long form:
+    one row per (group, pos) with the element-wise mean and the group
+    count. This IS the centroid — callers that need the array shape
+    reassemble it (``vector_mean``); callers that hash/compare results
+    keep the long form (scalar columns canonicalize, arrays don't)."""
     ex = df.select(
-        *group_cols, F.posexplode(F.col(vec_col)).alias("__pos", "__x")
+        *group_cols, F.posexplode(F.col(vec_col)).alias("pos", "__x")
     )
     # float32 -> DOUBLE first, explicitly, on BOTH engines: a direct
     # float->decimal cast is engine-defined (shortest-string vs binary
     # expansion of the float), while double->decimal of the exact promoted
     # value is identical everywhere.
-    per = ex.groupBy(*group_cols, "__pos").agg(
+    return ex.groupBy(*group_cols, "pos").agg(
         (
             F.sum(
                 F.col("__x").cast("double").cast(f"decimal(18,{scale})")
             ).cast("double")
             / F.count(F.lit(1))
-        ).alias("__m"),
-        F.count(F.lit(1)).alias("__c"),
-    )
-    return per.groupBy(*group_cols).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("__pos", "__m"))),
-            lambda s: s["__m"],
-        ).alias("centroid"),
-        F.min("__c").alias("n_vectors"),
+        ).alias("mean"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
 
 

@@ -113,13 +113,16 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid vectors (operators/similarity.vector_mean): the
-    element-wise mean aggregation behind IVF training, class prototypes,
-    and embedding-drift monitors."""
-    from icenetetl_spark.operators.similarity import vector_mean
+    """Per-label centroid vectors (operators/similarity.vector_mean_long):
+    the element-wise mean aggregation behind IVF training, class
+    prototypes, and embedding-drift monitors. Registered in the long form
+    (label, pos, mean, n_vectors) — scalar columns hash-canonicalize;
+    API callers wanting the array shape use vector_mean (same plan plus
+    one reassembly aggregation, equality pinned in tests)."""
+    from icenetetl_spark.operators.similarity import vector_mean_long
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return vector_mean(emb, ["label"])
+    return vector_mean_long(emb, ["label"])
 
 
 QUERIES = {
@@ -148,20 +151,15 @@ ORACLES = {
     "embedding_centroids": """
         WITH ex AS (
             SELECT label,
-                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
                    unnest(embedding) AS x
             FROM embeddings
-        ),
-        per AS (
-            SELECT label, pos,
-                   CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))
-                        AS DOUBLE) / count(*) AS m,
-                   count(*) AS c
-            FROM ex GROUP BY label, pos
         )
-        SELECT label, list(m ORDER BY pos) AS centroid,
-               min(c) AS n_vectors
-        FROM per GROUP BY label
+        SELECT label, pos,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))
+                    AS DOUBLE) / count(*) AS mean,
+               count(*) AS n_vectors
+        FROM ex GROUP BY label, pos
     """,
     "knn_bruteforce": f"""
         WITH scored AS (
