@@ -197,6 +197,91 @@ def q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the multi-EXISTS/NOT-EXISTS self-join chain — the
+    hardest decorrelation form. A supplier is "waiting-guilty" on an order
+    when its line failed (adapted: l_returnflag = 'R'; testdata has no
+    commit/receipt dates), ANOTHER supplier is on the same order (EXISTS →
+    left-semi self-join), and NO other supplier on that order also failed
+    (NOT EXISTS → left-anti self-join). Both correlated subqueries become
+    self-joins on l_orderkey with a suppkey-inequality residual — one
+    shuffle key shared by the inner join and both semi/anti probes, so at
+    scale all three hash-join on the same orderkey partitioning
+    (ReuseExchange collapses the scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "leftanti",
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+# Q22's "country codes" stand-in (testdata has no c_phone): nation keys.
+_Q22_NATIONS = [3, 7, 11, 14, 19, 22, 24]
+# Q22's "no orders in 7 years": no orders on/after this date (every testdata
+# customer has SOME order, so the unfiltered anti join would be vacuous).
+_Q22_CUTOFF = "2000-01-01"
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: anti join + scalar-average subquery — customers in
+    selected countries (adapted: c_nationkey set; no c_phone in testdata)
+    with above-average positive balance and no RECENT orders (Q22's
+    "no orders for 7 years"). The scalar avg is a 1-row aggregate broadcast
+    back (never a window); the NOT EXISTS is a left-anti join against the
+    date-filtered orders on custkey — the filter is pushed to the orders
+    scan so the anti join's build side shrinks before the shuffle."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(_Q22_NATIONS)
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("date"))
+        .select("o_custkey")
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum_col("c_acctbal", scale=2) / F.count(F.lit(1))).alias("__avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum_col("c_acctbal", scale=2).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -204,6 +289,8 @@ QUERIES = {
     "q14_promo_effect": q14_promo_effect,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_qty_avg": q17_small_qty_avg,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_global_sales": q22_global_sales,
 }
 
 ORACLES = {
@@ -281,6 +368,50 @@ ORACLES = {
         SELECT s_suppkey, s_name, total_revenue
         FROM supplier JOIN rev ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q21_waiting_supplier": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "q22_global_sales": f"""
+        WITH cust AS (
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer
+            WHERE c_nationkey IN ({", ".join(map(str, _Q22_NATIONS))})
+        )
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM cust
+        WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*)
+                FROM cust WHERE c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND CAST(o_orderdate AS DATE) >= DATE '{_Q22_CUTOFF}'
+              )
+        GROUP BY c_nationkey
     """,
     "q17_small_qty_avg": """
         WITH branded AS (
