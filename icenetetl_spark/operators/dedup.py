@@ -348,9 +348,15 @@ def connected_components(
         )
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # ONE symmetric-difference job per round (both inputs are distinct
+        # non-null (hi, lo) sets, so two anti joins unioned under a
+        # limit(1) decide equality; the former two exceptAll probes cost a
+        # second scan of both checkpointed sides every round).
         changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            or edges.exceptAll(new_edges).limit(1).count()
+            new_edges.join(edges, ["hi", "lo"], "leftanti")
+            .unionByName(edges.join(new_edges, ["hi", "lo"], "leftanti"))
+            .limit(1)
+            .count()
         )
         edges = new_edges
         if not changed:
