@@ -52,6 +52,43 @@ def test_ivf_fixed_centroids_recall_and_exact_scores(spark):
             assert abs(e[key] - cos) < 1e-12
 
 
+def test_ivf_equals_fixed_centroids_on_fitted_centroids(spark):
+    """Closes the gate gap on the KMeans variant: feed the FITTED centroids
+    back into the hash-gated fixed-centroid plan and pin the two outputs
+    equal. knn_ivf's only non-SQL-reproducible step is the KMeans fit, so
+    with the quantizer held fixed the remaining assign/probe/re-rank must
+    agree pair-for-pair (and the hash gate on knn_ivf_fixed then covers
+    this shared plan). Tie-break parity: numpy argsort is stable (ties to
+    the lower centroid index) and the JVM path orders by ascending
+    centroid_id — same rule."""
+    from icenetetl_spark.operators.ivf import (
+        fit_coarse_quantizer,
+        knn_ivf_fixed_centroids,
+    )
+
+    emb = _load(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    fitted = fit_coarse_quantizer(emb, n_cells=16, seed=42)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(fitted)],
+        "centroid_id INT, cvec ARRAY<DOUBLE>",
+    )
+    via_kmeans = knn_ivf(queries, emb, k=5, n_cells=16, n_probe=6, seed=42)
+    via_fixed = knn_ivf_fixed_centroids(queries, emb, cents, k=5, n_probe=6)
+    a = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["cos"])
+        for r in via_kmeans.collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["cos"])
+        for r in via_fixed.collect()
+    }
+    assert a.keys() == b.keys()
+    for key, (rank, cos) in a.items():
+        assert b[key][0] == rank, key
+        assert abs(b[key][1] - cos) < 1e-12, key
+
+
 def test_ivf_deterministic(spark):
     emb = _load(spark)
     queries = emb.filter(F.col("vec_id") < 5)
