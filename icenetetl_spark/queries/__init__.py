@@ -12,6 +12,7 @@ import os
 
 from icenetetl_spark.queries import (
     analytics,
+    approx,
     core,
     dedup,
     events,
@@ -25,8 +26,8 @@ from icenetetl_spark.queries import (
 )
 
 _MODULES = [
-    core, headline, extended, warehouse, analytics, events, dedup, text,
-    similarity, multimodal, icenet,
+    core, headline, extended, warehouse, analytics, approx, events, dedup,
+    text, similarity, multimodal, icenet,
 ]
 
 
