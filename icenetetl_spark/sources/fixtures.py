@@ -83,6 +83,80 @@ def write_raw_fixture(path: str, generated: str, **kwargs) -> str:
     return path
 
 
+def make_netcdf_bytes(
+    generated: str,
+    hemisphere: str = "north",
+    grid_side: int = 16,
+    leadtimes: int = 5,
+    step_km: float = 25.0,
+    seed: int = 42,
+    old_format: bool = False,
+) -> bytes:
+    """The same fixture as a REAL NetCDF-3 classic file (sources.netcdf3
+    writer): dims (time, leadtime, yc, xc), CF-dated time axis, 2-D lat/lon
+    aux coords, hemisphere global attrs. The sic arrays are
+    ``make_raw_pdf``'s columns reshaped, so a pipeline fed from these bytes
+    must produce IDENTICAL catalog tables to one fed the in-memory fixture
+    with the same parameters (lat/lon differ but are dropped before any
+    output; neither carries nulls, so dropna row selection is unaffected).
+    """
+    from icenetetl_spark.sources.netcdf3 import NC3Var, write_netcdf3
+
+    pdf = make_raw_pdf(generated, grid_side, leadtimes, step_km, seed)
+    shape = (1, leadtimes, grid_side, grid_side)
+    xs = (np.arange(grid_side) * step_km).astype(np.float64)
+    days = np.array(
+        [(pd.Timestamp(generated) - pd.Timestamp("1970-01-01")).days],
+        dtype=np.int32,
+    )
+    lat_sign = 1.0 if hemisphere == "north" else -1.0
+    yy, xx = np.meshgrid(np.arange(grid_side), np.arange(grid_side), indexing="ij")
+    lat2d = lat_sign * (60.0 + 30.0 * yy / max(grid_side - 1, 1))
+    lon2d = -180.0 + 360.0 * xx / grid_side
+    mean_name = "mean" if old_format else "sic_mean"
+    std_name = "stddev" if old_format else "sic_stddev"
+    variables = [
+        NC3Var("time", ("time",), {"units": "days since 1970-01-01"}, days),
+        NC3Var(
+            "leadtime",
+            ("leadtime",),
+            {},
+            np.arange(1, leadtimes + 1, dtype=np.int32),
+        ),
+        NC3Var("yc", ("yc",), {"units": "km"}, xs.copy()),
+        NC3Var("xc", ("xc",), {"units": "km"}, xs),
+        NC3Var("lat", ("yc", "xc"), {}, lat2d),
+        NC3Var("lon", ("yc", "xc"), {}, lon2d),
+        NC3Var(
+            "Lambert_Azimuthal_Grid", (), {}, np.array(0, dtype=np.int32)
+        ),
+        NC3Var(
+            mean_name,
+            ("time", "leadtime", "yc", "xc"),
+            {},
+            pdf["sic_mean"].to_numpy().reshape(shape),
+        ),
+        NC3Var(
+            std_name,
+            ("time", "leadtime", "yc", "xc"),
+            {},
+            pdf["sic_stddev"].to_numpy().reshape(shape),
+        ),
+    ]
+    attrs = {
+        "keywords": f"sea ice forecast {hemisphere}",
+    }
+    if hemisphere == "north":
+        attrs["geospatial_lat_max"] = np.float64(85.0)
+    else:
+        attrs["geospatial_lat_min"] = np.float64(-85.0)
+    return write_netcdf3(
+        {"time": 1, "leadtime": leadtimes, "yc": grid_side, "xc": grid_side},
+        variables,
+        attrs,
+    )
+
+
 def make_raw_file(
     spark: SparkSession,
     generated: str,
