@@ -26,10 +26,17 @@ def test_binary_file_scan(spark, tmp_path):
 
 @pytest.mark.skipif(HAS_XARRAY, reason="gate test requires xarray absent")
 def test_netcdf_gate(spark, tmp_path):
+    """Without xarray the classic parser handles .nc ingest; inputs it
+    cannot own fail with a pointed error, not a silent wrong parse."""
     p = tmp_path / "blobs"
     os.makedirs(p)
     (p / "a.nc").write_bytes(b"not-a-real-netcdf")
     df = melt_netcdf_files(read_binary_files(spark, str(p)))
-    # plan construction succeeds; execution raises the documented gate error
+    # plan construction succeeds; execution flags the malformed bytes
+    with pytest.raises(Exception, match="classic"):
+        df.collect()
+    (p / "a.nc").write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    df = melt_netcdf_files(read_binary_files(spark, str(p)))
+    # NetCDF-4 needs the xarray backend; the error says so
     with pytest.raises(Exception, match="xarray"):
         df.collect()
