@@ -1,0 +1,187 @@
+"""Product-quantization ANN (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011): split each d-dim vector into M
+subvectors, quantize each against a per-subspace codebook of K codes, and
+score queries against the M-byte codes instead of the full vectors
+(asymmetric distance computation, ADC). The memory-bound scale path: a
+10^9-vector corpus stores M bytes + id per vector, and candidate scoring
+never touches the raw embedding column.
+
+Plan shape (all distributed, no Python boundary):
+1. encode: explode each corpus vector into its M subvectors (map-side),
+   broadcast-join the M x K codebook, argmin per (vector, subspace) via ONE
+   partial-aggregated groupBy (lexicographic min over a (dist, code) struct
+   — ties to the smaller code id; the K scored copies collapse map-side).
+2. ADC table: the same explode+join on the (small) query side yields
+   dist(query_sub_m, code) for every (query, m, code) — M*K rows per query,
+   broadcastable.
+3. score: equi-join corpus codes to the ADC table on (m, code) and sum the
+   M partial distances per (query, neighbor) — again partial-aggregated.
+4. refine: exact-cosine re-rank of the top ``k * refine_factor`` ADC
+   candidates per query (FAISS's IVFADC refinement step).
+
+Engine-exactness (the oracle hash gate): every distance is the three-dot
+identity |a-c|^2 = (a.a + c.c) - 2*a.c computed with the same sequential-
+fold dot product the cosine path uses (bit-identical to DuckDB's
+list_dot_product), combined in the same operation order; the cross-subspace
+ADC sum goes through a DECIMAL accumulator so its value is independent of
+Spark's aggregation order. Codebooks here are FIXED corpus rows (like
+knn_ivf_fixed's centroids) so both engines read identical codes; a
+KMeans-per-subspace trained codebook is the production variant and drops
+into the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from icenetetl_spark.operators.similarity import _dot, cosine
+
+# decimal scale for the order-independent cross-subspace ADC sum
+_ADC_SCALE = 12
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 via the three-dot identity, in the exact op order the
+    SQL oracle mirrors: (a.a + b.b) - 2*a.b."""
+    return (_dot(a, a) + _dot(b, b)) - F.lit(2.0) * _dot(a, b)
+
+
+def _subvectors(
+    df: DataFrame, id_alias: str, m: int, w: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, m, sub): each vector exploded into its M width-w slices —
+    map-side only (sequence+explode+slice, no shuffle)."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        id_alias,
+        "m",
+        F.slice(F.col("__v"), F.col("m") * w + 1, w).alias("sub"),
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    code_ids: list[int],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed codebook from corpus rows: (m, code_id, csub) — K rows per
+    subspace, K = len(code_ids). Deterministic and SQL-reproducible."""
+    d_width = _vector_width(corpus, vec_col) // m
+    return _subvectors(
+        corpus.filter(F.col(id_col).isin(code_ids)),
+        "code_id",
+        m,
+        d_width,
+        id_col,
+        vec_col,
+    ).select("m", "code_id", F.col("sub").alias("csub"))
+
+
+def _vector_width(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the schema when declared, else from one
+    row (metadata-sized driver fetch, same class as partition counts)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
+
+
+def encode_pq(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, m, code): nearest code per (vector, subspace).
+    One broadcast join + one partial-aggregated groupBy — the K scored
+    copies of each (vector, subspace) collapse map-side before the
+    shuffle, so the exchange carries N*M rows, not N*M*K."""
+    w = _vector_width(corpus, vec_col) // m
+    sub = _subvectors(corpus, "neighbor_id", m, w, id_col, vec_col)
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        "neighbor_id",
+        "m",
+        F.struct(
+            _l2sq(F.col("sub"), F.col("csub")).alias("d"),
+            F.col("code_id").alias("c"),
+        ).alias("dc"),
+    )
+    return scored.groupBy("neighbor_id", "m").agg(
+        F.min("dc").alias("mn")
+    ).select("neighbor_id", "m", F.col("mn.c").alias("code"))
+
+
+def knn_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    code_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k with exact re-rank: (query_id, neighbor_id, rank, cos).
+
+    ``rank`` orders the exact cosine within the ``k * refine_factor`` ADC
+    candidates (ties -> smaller neighbor id), mirroring knn_ivf_fixed's
+    output contract so the oracle and recall tests compose."""
+    w = _vector_width(corpus, vec_col) // m
+    codebook = pq_codebook(corpus, code_ids, m, id_col, vec_col)
+    codes = encode_pq(corpus, codebook, m, id_col, vec_col)
+
+    q_sub = _subvectors(queries, "query_id", m, w, id_col, vec_col)
+    adc_table = q_sub.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "m",
+        F.col("code_id").alias("code"),
+        _l2sq(F.col("sub"), F.col("csub")).alias("qdist"),
+    )
+    adc = (
+        codes.join(F.broadcast(adc_table), ["m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                F.col("qdist").cast(f"decimal(27,{_ADC_SCALE})")
+            )
+            .cast("double")
+            .alias("adc")
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    candidates = (
+        adc.withColumn("__rk", F.row_number().over(wa))
+        .filter(F.col("__rk") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    refined = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -112,6 +112,29 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_fixed_centroids(queries, emb, cents, k=K, n_probe=IVF_N_PROBE)
 
 
+# Fixed PQ codebook: 16 corpus rows per subspace (slices of the same 16
+# vectors), spread across the table. M=8 subspaces over d=64; exact-cosine
+# re-rank of the top k*PQ_REFINE ADC candidates.
+PQ_CODE_IDS = list(range(3, 500, 31))  # 16 ids: 3, 34, ..., 468
+PQ_M = 8
+PQ_REFINE = 4
+
+
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.knn_pq): the memory-bound
+    scale path — M-byte codes replace raw vectors during candidate
+    scoring. Fixed corpus-row codebooks keep every step SQL-reproducible
+    (same construction as knn_ivf_fixed); the KMeans-trained-codebook
+    variant drops into the identical plan."""
+    from icenetetl_spark.operators.pq import knn_pq as _knn_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return _knn_pq(
+        queries, emb, PQ_CODE_IDS, k=K, m=PQ_M, refine_factor=PQ_REFINE
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (operators/similarity.vector_mean_long):
     the element-wise mean aggregation behind IVF training, class
@@ -131,6 +154,7 @@ QUERIES = {
     "knn_sign_lsh_multiprobe": knn_sign_lsh_multiprobe,
     "knn_ivf": knn_ivf,
     "knn_ivf_fixed": knn_ivf_fixed,
+    "knn_pq": knn_pq,
     "embedding_near_dup": embedding_near_dup,
     "embedding_norms": embedding_norms,
     "embedding_centroids": embedding_centroids,
@@ -295,6 +319,72 @@ ORACLES = {
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
         FROM ranked WHERE rank <= {K}
+    """,
+    # Mirrors operators/pq.knn_pq step for step with the same fixed
+    # codebook rows. Distances use the identical three-dot identity in the
+    # identical op order ((a.a + b.b) - 2*a.b over list_dot_product); the
+    # cross-subspace ADC sum goes through the same DECIMAL(27,12)
+    # accumulator, so candidate sets and ranks match bit-for-bit.
+    "knn_pq": f"""
+        WITH codebook AS (
+            {" UNION ALL ".join(
+                f"SELECT {mm} AS m, vec_id AS code_id,"
+                f" CAST(embedding[{mm * 8 + 1}:{mm * 8 + 8}] AS DOUBLE[]) AS csub"
+                f" FROM embeddings WHERE vec_id IN ({', '.join(map(str, range(3, 500, 31)))})"
+                for mm in range(8))}
+        ),
+        c_sub AS (
+            {" UNION ALL ".join(
+                f"SELECT vec_id AS neighbor_id, {mm} AS m,"
+                f" CAST(embedding[{mm * 8 + 1}:{mm * 8 + 8}] AS DOUBLE[]) AS sub"
+                f" FROM embeddings"
+                for mm in range(8))}
+        ),
+        codes AS (
+            SELECT neighbor_id, m, code_id AS code FROM (
+                SELECT neighbor_id, m, code_id,
+                       row_number() OVER (
+                           PARTITION BY neighbor_id, m
+                           ORDER BY (list_dot_product(sub, sub)
+                                     + list_dot_product(csub, csub))
+                                    - 2 * list_dot_product(sub, csub),
+                                    code_id) AS rk
+                FROM c_sub JOIN codebook USING (m)
+            ) WHERE rk = 1
+        ),
+        adc_table AS (
+            SELECT c_sub.neighbor_id AS query_id, m, code_id AS code,
+                   (list_dot_product(sub, sub) + list_dot_product(csub, csub))
+                   - 2 * list_dot_product(sub, csub) AS qdist
+            FROM c_sub JOIN codebook USING (m)
+            WHERE c_sub.neighbor_id < {N_QUERIES}
+        ),
+        adc AS (
+            SELECT query_id, neighbor_id,
+                   CAST(SUM(CAST(qdist AS DECIMAL(27,12))) AS DOUBLE) AS adc
+            FROM codes JOIN adc_table USING (m, code)
+            WHERE query_id != neighbor_id
+            GROUP BY query_id, neighbor_id
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc, neighbor_id) AS rk
+                FROM adc
+            ) WHERE rk <= {K * 4}
+        ),
+        refined AS (
+            SELECT cand.query_id, cand.neighbor_id, {_COS} AS cos
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM refined
+        ) WHERE rank <= {K}
     """,
     "embedding_norms": """
         WITH norms AS (

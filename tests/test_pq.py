@@ -1,0 +1,70 @@
+"""Product-quantization ANN: encoding invariants, recall vs brute force,
+and the exactness of the re-rank stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icenetetl_spark.operators.pq import encode_pq, knn_pq, pq_codebook
+from icenetetl_spark.operators.similarity import knn_bruteforce
+
+CODE_IDS = list(range(3, 500, 31))  # 16 codes, mirrors the registry query
+
+
+def _load(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_encode_emits_one_code_per_subspace(spark):
+    emb = _load(spark)
+    m = 8
+    codebook = pq_codebook(emb, CODE_IDS, m=m)
+    assert codebook.count() == m * len(CODE_IDS)
+    codes = encode_pq(emb, codebook, m=m)
+    n = emb.count()
+    assert codes.count() == n * m
+    per = codes.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("m").alias("dm"),
+    )
+    bad = per.filter((F.col("n") != m) | (F.col("dm") != m)).count()
+    assert bad == 0
+    # every emitted code is a codebook member
+    valid = {int(r["code"]) for r in codes.select("code").distinct().collect()}
+    assert valid <= set(CODE_IDS)
+
+
+def test_pq_recall_and_exact_rerank_scores(spark):
+    emb = _load(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(queries, emb, k=5)
+    approx = knn_pq(queries, emb, CODE_IDS, k=5, m=8, refine_factor=4)
+    e = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in approx.collect()}
+    recall = len(e.keys() & a.keys()) / len(e)
+    # random 64-d vectors + a 16-code corpus-sampled codebook are a worst
+    # case for PQ; chance recall@5 is 5/500 = 1% — demand well above it
+    assert recall >= 0.15, recall
+    for key, cos in a.items():  # re-rank computes the exact cosine
+        if key in e:
+            assert abs(e[key] - cos) < 1e-12
+
+
+def test_pq_widening_refine_does_not_reduce_recall(spark):
+    """A larger ADC candidate pool can only add true neighbors (the
+    re-rank is exact), so recall must be monotone in refine_factor."""
+    emb = _load(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(queries, emb, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def rec(rf):
+        a = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_pq(
+                queries, emb, CODE_IDS, k=5, m=8, refine_factor=rf
+            ).collect()
+        }
+        return len(e & a) / len(e)
+
+    assert rec(8) >= rec(1)
