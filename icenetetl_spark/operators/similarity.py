@@ -129,6 +129,80 @@ def knn_sign_lsh(
     )
 
 
+def hyperplane_buckets(
+    df: DataFrame,
+    normals: DataFrame,
+    id_alias: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, bucket) with bucket = the sign-bit string of the vector's
+    dot products against the ``normals`` table (columns ``bit_idx``,
+    ``nvec``) — TRUE random-hyperplane LSH (Charikar, STOC 2002), where
+    ``sign_bucket`` is its axis-aligned degenerate. One broadcast join
+    producing B rows per vector that collapse in the same task via
+    partial collect (B is tiny; the exchange carries one string per
+    vector)."""
+    scored = df.crossJoin(F.broadcast(normals)).select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias("__v"),
+        F.struct(
+            F.col("bit_idx"),
+            F.when(_dot(F.col(vec_col), F.col("nvec")) > 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            .alias("bit"),
+        ).alias("ib"),
+    )
+    return scored.groupBy(id_alias).agg(
+        F.first("__v").alias("__v"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("ib")), lambda s: s["bit"]
+            ),
+            "",
+        ).alias("bucket"),
+    )
+
+
+def knn_hyperplane_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    normals: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with PROJECTION-based LSH buckets: candidates
+    share the sign pattern across all hyperplanes in ``normals``, then
+    exact cosine rank within the bucket. Same shuffle shape as
+    knn_sign_lsh (one bucket equi-join); the hyperplanes here come from
+    a table — fixed corpus rows for the oracle-gated query, seeded
+    gaussian draws in production (identical plan either way)."""
+    q = hyperplane_buckets(queries, normals, "query_id", id_col, vec_col)
+    c = hyperplane_buckets(corpus, normals, "neighbor_id", id_col, vec_col)
+    scored = (
+        q.select("query_id", F.col("__v").alias("qv"), "bucket")
+        .join(
+            c.select("neighbor_id", F.col("__v").alias("cv"), "bucket"),
+            "bucket",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def _bucket_with_flips(bucket: Column, num_bits: int) -> Column:
     """The bucket itself plus every 1-bit-flipped variant (num_bits + 1
     strings) — the classic multi-probe sequence for sign LSH (probe the

@@ -113,6 +113,37 @@ def w_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution windows (cume_dist / percent_rank) — the last
+    window-function family not yet in the vocabulary. Ordering includes
+    the unique o_orderkey so tie groups are single rows and both engines
+    agree exactly."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+def a_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — completes the
+    grouping-sets family beyond a_rollup_grouping (ROLLUP). The bitmask
+    disambiguates real NULL group values from subtotal markers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
 def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data-quality profile of lineitem (operators/quality.py)."""
     from icenetetl_spark.operators.quality import profile
@@ -128,6 +159,8 @@ QUERIES = {
     "f_string_funcs": f_string_funcs,
     "w_moving_avg": w_moving_avg,
     "w_lag_lead_rank": w_lag_lead_rank,
+    "w_cume_percent": w_cume_percent,
+    "a_cube_grouping": a_cube_grouping,
     "a_unpivot_measures": a_unpivot_measures,
     "dq_profile": dq_profile,
 }
@@ -146,6 +179,22 @@ ORACLES = {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "w_cume_percent": """
+        SELECT o_orderkey, o_orderpriority,
+               cume_dist() OVER w AS cd,
+               percent_rank() OVER w AS pr
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    "a_cube_grouping": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "a_pivot_returnflag": """
         SELECT l_linestatus,

@@ -6,6 +6,7 @@ fold on both engines — verified bit-identical to DuckDB's list_dot_product.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from icenetetl_spark.operators import similarity as S
 from icenetetl_spark.sources.testdata import load_table
@@ -112,6 +113,28 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_fixed_centroids(queries, emb, cents, k=K, n_probe=IVF_N_PROBE)
 
 
+# Fixed hyperplane normals for projection LSH: 6 corpus rows -> 64 buckets
+# over the 500-vector table (bucket occupancy ~8, enough for candidates).
+HP_NORMAL_IDS = list(range(11, 500, 83))  # 6 ids: 11, 94, ..., 426
+
+
+def knn_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True random-hyperplane LSH (Charikar SRP) with table-sourced
+    normals — the trained/seeded-projection upgrade over the axis-sign
+    degenerate (knn_sign_lsh). Fixed corpus rows keep it oracle-exact;
+    production swaps in seeded gaussian normals on the same plan."""
+    from icenetetl_spark.operators.similarity import knn_hyperplane_lsh as _hp
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # global-order window over SIX rows (the normals table), not data
+    normals = emb.filter(F.col("vec_id").isin(HP_NORMAL_IDS)).select(
+        F.row_number().over(Window.orderBy("vec_id")).alias("bit_idx"),
+        F.col("embedding").alias("nvec"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return _hp(queries, emb, normals, k=K)
+
+
 # Fixed PQ codebook: 16 corpus rows per subspace (slices of the same 16
 # vectors), spread across the table. M=8 subspaces over d=64; exact-cosine
 # re-rank of the top k*PQ_REFINE ADC candidates.
@@ -155,6 +178,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "knn_ivf_fixed": knn_ivf_fixed,
     "knn_pq": knn_pq,
+    "knn_hyperplane_lsh": knn_hyperplane_lsh,
     "embedding_near_dup": embedding_near_dup,
     "embedding_norms": embedding_norms,
     "embedding_centroids": embedding_centroids,
@@ -315,6 +339,41 @@ ORACLES = {
         ranked AS (
             SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM ranked WHERE rank <= {K}
+    """,
+    # Mirrors knn_hyperplane_lsh: normals = the same 6 corpus rows indexed
+    # by vec_id order; bucket = sign string of list_dot_product against
+    # each normal (same fold => same signs); then the usual bucket join +
+    # exact-cosine top-k.
+    "knn_hyperplane_lsh": f"""
+        WITH normals AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS bit_idx,
+                   embedding AS nvec
+            FROM embeddings
+            WHERE vec_id IN ({", ".join(map(str, HP_NORMAL_IDS))})
+        ),
+        buckets AS (
+            SELECT e.vec_id, e.embedding,
+                   string_agg(
+                       CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(n.nvec AS DOUBLE[])) > 0
+                            THEN '1' ELSE '0' END,
+                       '' ORDER BY n.bit_idx) AS bucket
+            FROM embeddings e CROSS JOIN normals n
+            GROUP BY e.vec_id, e.embedding
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos
+            FROM buckets q JOIN buckets c
+              ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos

@@ -122,3 +122,35 @@ def test_multiprobe_recall_dominates_single_bucket(spark, emb):
     # (pairwise cosines concentrate near 0), so only a loose floor here
     assert r_multi >= r_single, (r_multi, r_single)
     assert r_multi > 0, "multi-probe found no true neighbors at all"
+
+
+def test_hyperplane_lsh_exact_within_bucket(spark):
+    """Projection-LSH results are exact cosines of true bucket-mates:
+    every returned pair shares the full sign pattern against the normals,
+    and its score matches the brute-force cosine."""
+    from icenetetl_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_hyperplane_lsh,
+    )
+    from pyspark.sql.window import Window
+
+    full = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    normals = full.filter(F.col("vec_id").isin([11, 94, 177, 260, 343, 426])).select(
+        F.row_number().over(Window.orderBy("vec_id")).alias("bit_idx"),
+        F.col("embedding").alias("nvec"),
+    )
+    queries = full.filter(F.col("vec_id") < 10)
+    approx = knn_hyperplane_lsh(queries, full, normals, k=5)
+    rows = approx.collect()
+    assert rows, "some bucket-mates must exist at 6 bits over 500 vectors"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in knn_bruteforce(queries, full, k=500).collect()
+    }
+    for r in rows:
+        assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cos"]) < 1e-12
