@@ -240,6 +240,72 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "split", "quality", "n_tokens", "pack_id")
 
 
+# BM25 retrieval over the corpus: fixed query terms, Robertson idf,
+# k1/b at their standard values. Every arithmetic step is written in the
+# same operation order as the SQL oracle (and the per-doc cross-term sum
+# goes through the decimal accumulator), so scores hash-match.
+BM25_QUERY = ["spark", "vector", "stream"]
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval — the scoring behind retrieval-based corpus
+    curation (nearest public shape: Robertson & Zaragoza, "The
+    Probabilistic Relevance Framework: BM25 and Beyond"). Plan: one
+    explode->groupBy for per-doc term frequencies, a 3-row broadcast of
+    per-term document frequencies, a 1-row broadcast of (N, avgdl), score
+    arithmetic fully JVM-side, decimal-accumulated per-doc sum, top-k
+    window. The token shuffle is the only data-sized exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # N and avgdl from two exact longs -> identical double division
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtf = tf.filter(F.col("term").isin(BM25_QUERY))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n, dfc = F.col("n_docs").cast("double"), F.col("df").cast("double")
+    tfd, dld = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    weight = idf * (
+        tfd
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            tfd
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dld / F.col("avgdl"))
+        )
+    )
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(weight.cast("decimal(27,12)")).cast("double").alias("score")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # distributed top-k (TakeOrderedAndProject: per-partition partial
+    # top-k, never a global single-partition window over all scored docs);
+    # the rank window then runs over exactly k rows
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
+        BM25_TOPK
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return topk.select(
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("rank"),
+        "score",
+    )
+
+
 QUERIES = {
     "corpus_source_mix": corpus_source_mix,
     "text_repetition": text_repetition,
@@ -255,6 +321,7 @@ QUERIES = {
     "doc_train_split": doc_train_split,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_contiguous": doc_pack_contiguous,
+    "text_bm25_topk": text_bm25_topk,
 }
 
 
@@ -308,6 +375,47 @@ def _shingle_cte(name: str, where: str) -> str:
 
 
 ORACLES = {
+    # Mirrors text_bm25_topk with the IDENTICAL operation order in every
+    # float expression (ln argument, tf saturation, per-doc decimal sum).
+    "text_bm25_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl
+        ),
+        dfreq AS (
+            SELECT term, count(*) AS df FROM tf
+            WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(SUM(CAST(
+                       ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE))
+                                 + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                       * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+                          / (CAST(tf AS DOUBLE)
+                             + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                                + ({BM25_B!r} * CAST(dl AS DOUBLE)) / avgdl)))
+                   AS DECIMAL(27,12))) AS DOUBLE) AS score
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, score FROM (
+            SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM scored
+        ) WHERE rank <= {BM25_TOPK}
+    """,
     "corpus_source_mix": f"""
         WITH feats AS (
             SELECT source, md5({_NORM}) AS fp, {_FEATURES}
