@@ -72,6 +72,32 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_estimate_pairs(sigs, NUM_HASHES, BANDS)
 
 
+# "new batch" split for the incremental-index query: every 5th doc arrives
+# after the index was built over the rest.
+INCR_MOD = 5
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH-index maintenance (operators/dedup.lsh_probe_pairs):
+    the new batch probes the persisted band index — pairs touching the
+    batch, WITHOUT rescanning the indexed corpus. Signatures/bands are
+    per-doc (no corpus-dependent state), so this must equal the batch
+    answer filtered to pairs involving a new doc — exactly what the
+    oracle computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    new = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+
+    def bands(d):
+        return D.lsh_band_index(
+            D.minhash_signatures(D.word_shingles(d, n=NGRAM_N), NUM_HASHES),
+            NUM_HASHES,
+            BANDS,
+        )
+
+    return D.lsh_probe_pairs(bands(old), bands(new))
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load_table(spark, sf_dir, "documents"), num_bits=SIM_BITS)
 
@@ -122,6 +148,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_estimate": dedup_minhash_estimate,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_groups": dedup_groups,
@@ -287,6 +314,19 @@ ORACLES = {
         FROM banded a JOIN banded b
           ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
+    """,
+    # the batch answer restricted to pairs involving a new-batch doc —
+    # the exact contract of lsh_probe_pairs (signatures are per-doc, so
+    # incremental == filtered batch)
+    "dedup_minhash_incremental": f"""
+        WITH {_SHINGLES_CTE},
+        {_minhash_sig_sql()},
+        banded AS ({_banded_sql()})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {INCR_MOD} = 0 OR b.doc_id % {INCR_MOD} = 0
     """,
     "dedup_minhash_estimate": f"""
         WITH {_SHINGLES_CTE},

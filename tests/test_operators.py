@@ -87,6 +87,44 @@ def test_minhash_lsh_finds_identical(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in cands} == {(1, 2)}
 
 
+def test_lsh_incremental_probe_equals_batch(spark):
+    """Index+probe maintenance is lossless: pairs(old) ∪ probe(index(old),
+    new) must equal the full-corpus batch answer — no pair is missed and
+    none is invented when a batch lands incrementally."""
+    from icenetetl_spark.operators.dedup import lsh_band_index, lsh_probe_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    def bands(d):
+        return lsh_band_index(
+            minhash_signatures(word_shingles(d, n=3), 16), 16, 4
+        )
+
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(word_shingles(docs, n=3), 16), 16, 4
+        ).collect()
+    }
+    old_only = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(word_shingles(old, n=3), 16), 16, 4
+        ).collect()
+    }
+    probe = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_probe_pairs(bands(old), bands(new)).collect()
+    }
+    assert old_only | probe == batch
+    assert not (old_only & probe), "probe pairs must all touch the new batch"
+
+
 def test_simhash_deterministic_and_near(spark):
     docs = spark.createDataFrame(
         [(1, "w x y z " * 10), (2, "w x y z " * 10), (3, "completely other words")],
