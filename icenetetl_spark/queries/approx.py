@@ -78,9 +78,45 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# heavy hitters over o_orderpriority (5 values; the truly-frequent ones
+# carry >= HH_SUPPORT of rows). freqItems (Karp/Misra-Gries streaming
+# summary) guarantees CONTAINMENT — every item above support is returned,
+# false positives possible — with a candidate set bounded by 1/support.
+HH_SUPPORT = 0.15
+
+
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters — the streaming-sketch side of the approx family.
+    The emitted rows are the TRULY frequent values with their exact
+    counts (hash-gated); the booleans assert the sketch's guarantees on
+    them: containment (every truly-frequent value is in the sketch
+    result) and the 1/support candidate-set bound. The sketch is a
+    fixed-size mergeable summary — the only driver-held state, same
+    class as partition metadata."""
+    orders = load_table(spark, sf_dir, "orders")
+    col = "o_orderpriority"
+    sketch_items = set(
+        orders.stat.freqItems([col], support=HH_SUPPORT).first()[0]
+    )
+    total = orders.count()
+    counts = orders.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    frequent = counts.filter(
+        F.col("n") >= F.lit(float(HH_SUPPORT)) * F.lit(total)
+    ).collect()
+    bounded = len(sketch_items) <= int(1.0 / HH_SUPPORT)
+    # k rows (k <= 1/support): re-parallelized with the verdicts attached
+    rows = [
+        (r[col], r["n"], r[col] in sketch_items, bounded) for r in frequent
+    ]
+    return spark.createDataFrame(
+        rows, f"{col} STRING, n BIGINT, in_sketch BOOLEAN, sketch_bounded BOOLEAN"
+    )
+
+
 QUERIES = {
     "approx_distinct_suppliers": approx_distinct_suppliers,
     "approx_price_percentiles": approx_price_percentiles,
+    "approx_heavy_hitters": approx_heavy_hitters,
 }
 
 ORACLES = {
@@ -102,5 +138,12 @@ ORACLES = {
                TRUE AS approx_median_ok,
                TRUE AS approx_p90_ok
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "approx_heavy_hitters": f"""
+        SELECT o_orderpriority, count(*) AS n,
+               TRUE AS in_sketch, TRUE AS sketch_bounded
+        FROM orders
+        GROUP BY o_orderpriority
+        HAVING count(*) >= {HH_SUPPORT} * (SELECT count(*) FROM orders)
     """,
 }
