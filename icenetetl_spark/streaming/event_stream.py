@@ -65,6 +65,89 @@ def dedup_stream(
     )
 
 
+def attribute_events(
+    triggers: DataFrame,
+    responses: DataFrame,
+    key_col: str = "user_id",
+    max_delay: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join with event-time bounds — the attribution
+    shape (view -> click, send -> open): each response joins the trigger
+    it followed within ``max_delay``. One plan, two modes: on batch frames
+    it is an ordinary range join; on streams the watermarks plus the
+    two-sided time-range predicate are exactly what lets Spark bound and
+    evict join state (without them a 100 TB stream accumulates state
+    forever — the query would be rejected in append mode).
+
+    Returns (key, trigger_id, trigger_ts, response_id, response_ts,
+    delay_seconds); a response matching several triggers inside the window
+    attributes to EACH (downstream pick-first is a groupBy-min away —
+    kept out of the operator so the join's semantics stay symmetric).
+    """
+    t = (
+        triggers.withWatermark("ts", watermark)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("event_id").alias("trigger_id"),
+            F.col("ts").alias("trigger_ts"),
+        )
+    )
+    r = (
+        responses.withWatermark("ts", watermark)
+        .select(
+            F.col(key_col).alias("rkey"),
+            F.col("event_id").alias("response_id"),
+            F.col("ts").alias("response_ts"),
+        )
+    )
+    joined = t.join(
+        r,
+        (F.col("key") == F.col("rkey"))
+        & (F.col("response_ts") >= F.col("trigger_ts"))
+        & (
+            F.col("response_ts")
+            <= F.col("trigger_ts") + F.expr(f"INTERVAL {max_delay}")
+        ),
+    )
+    return joined.select(
+        "key",
+        "trigger_id",
+        "trigger_ts",
+        "response_id",
+        "response_ts",
+        (
+            F.unix_timestamp("response_ts") - F.unix_timestamp("trigger_ts")
+        ).alias("delay_seconds"),
+    )
+
+
+def start_attribution_stream(
+    spark,
+    trigger_dir: str,
+    response_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_col: str = "user_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Two file-source streams -> watermarked stream-stream join ->
+    append parquet sink."""
+    t = spark.readStream.schema(schema).parquet(trigger_dir)
+    r = spark.readStream.schema(schema).parquet(response_dir)
+    joined = attribute_events(t, r, key_col=key_col)
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_windowed_stream(
     spark,
     input_dir: str,

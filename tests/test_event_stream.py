@@ -127,3 +127,48 @@ def test_dedup_stream_first_arrival_only(spark, tmp_path):
     assert sorted(fps) == sorted(f"f{i}" for i in range(10))
     batch_twin = c1.unionByName(c2).dropDuplicates(["fingerprint"])
     assert got.count() == batch_twin.count()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream join must produce exactly the batch
+    range-join answer once both streams drain (availableNow)."""
+    from icenetetl_spark.streaming.event_stream import (
+        attribute_events,
+        start_attribution_stream,
+    )
+
+    join_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    # triggers every minute per user; responses 0-7 min later (some outside
+    # the 5-minute attribution window, some before any trigger)
+    triggers = [
+        (100 + i, i % 3, base + timedelta(minutes=i)) for i in range(12)
+    ]
+    responses = [
+        (200 + i, i % 3, base + timedelta(minutes=i, seconds=30 + 60 * (i % 7)))
+        for i in range(12)
+    ] + [(299, 0, base - timedelta(minutes=1))]
+    t_df = spark.createDataFrame(triggers, join_schema)
+    r_df = spark.createDataFrame(responses, join_schema)
+
+    batch = sorted(
+        map(str, attribute_events(t_df, r_df, max_delay="5 minutes").collect())
+    )
+    assert batch, "fixture must produce attributions"
+
+    t_dir, r_dir = str(tmp_path / "t"), str(tmp_path / "r")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t_df.coalesce(1).write.parquet(os.path.join(t_dir, "c1"))
+    r_df.coalesce(1).write.parquet(os.path.join(r_dir, "c1"))
+    q = start_attribution_stream(
+        spark, t_dir + "/*/", r_dir + "/*/", out, ckpt, join_schema
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(str, spark.read.parquet(out).collect()))
+    assert streamed == batch
