@@ -306,6 +306,79 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# temperature for the source-rebalancing exponent (alpha=0.5 == sqrt
+# tempering, the multilingual/pretraining standard); sqrt is IEEE
+# correctly-rounded, so both engines derive identical rates.
+MIX_HASH_BUCKETS = 1_000_000
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (alpha=0.5): target share per
+    source ∝ sqrt(token_share), scaled so the largest feasible rate is
+    1.0 (no source oversampled), then DETERMINISTIC per-doc sampling by
+    portable-hash threshold — re-running the pipeline keeps exactly the
+    same documents. The rate table is k rows (one per source), broadcast
+    back for the keep filter; every float step is ordered identically to
+    the oracle and the cross-source normalizer goes through the decimal
+    accumulator."""
+    from icenetetl_spark.functions.portable import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        (
+            portable_hash64(F.col("doc_id").cast("string"), bits=32)
+            % MIX_HASH_BUCKETS
+        ).alias("bucket"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    tot = agg.agg(F.sum("n_tokens").cast("double").alias("__total"))
+    share = F.col("n_tokens").cast("double") / F.col("__total")
+    sh = agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        share.alias("share"),
+        F.sqrt(share).alias("w"),
+    )
+    z = sh.agg(
+        F.sum(F.col("w").cast("decimal(27,15)")).cast("double").alias("__z")
+    )
+    p = sh.crossJoin(F.broadcast(z)).select(
+        "source", "n_docs", "share", (F.col("w") / F.col("__z")).alias("p")
+    )
+    c = p.agg(F.min(F.col("share") / F.col("p")).alias("__c"))
+    rates = p.crossJoin(F.broadcast(c)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0), (F.col("__c") * F.col("p")) / F.col("share")
+        ).alias("rate"),
+    )
+    kept = (
+        per.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(
+            F.col("bucket")
+            < F.floor(F.col("rate") * MIX_HASH_BUCKETS).cast("long")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            "rate",
+        )
+    )
+
+
 QUERIES = {
     "corpus_source_mix": corpus_source_mix,
     "text_repetition": text_repetition,
@@ -322,6 +395,7 @@ QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_contiguous": doc_pack_contiguous,
     "text_bm25_topk": text_bm25_topk,
+    "corpus_temperature_mix": corpus_temperature_mix,
 }
 
 
@@ -374,7 +448,53 @@ def _shingle_cte(name: str, where: str) -> str:
     """
 
 
+from icenetetl_spark.functions.portable import portable_hash64_sql as _ph_sql
+
 ORACLES = {
+    # Mirrors corpus_temperature_mix: same tempering arithmetic in the
+    # same order (sqrt shares, decimal normalizer, min-scaled rates) and
+    # the same md5 hash threshold per document.
+    "corpus_temperature_mix": f"""
+        WITH per AS (
+            SELECT source, doc_id, len({_TOKENS}) AS n_tokens,
+                   {_ph_sql("CAST(doc_id AS VARCHAR)", 32)} % {MIX_HASH_BUCKETS}
+                       AS bucket
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM per GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM agg),
+        sh AS (
+            SELECT source, n_docs,
+                   CAST(n_tokens AS DOUBLE) / total AS share,
+                   sqrt(CAST(n_tokens AS DOUBLE) / total) AS w
+            FROM agg CROSS JOIN tot
+        ),
+        z AS (
+            SELECT CAST(SUM(CAST(w AS DECIMAL(27,15))) AS DOUBLE) AS z
+            FROM sh
+        ),
+        p AS (
+            SELECT source, n_docs, share, w / z AS p FROM sh CROSS JOIN z
+        ),
+        c AS (SELECT MIN(share / p) AS c FROM p),
+        rates AS (
+            SELECT source, n_docs,
+                   LEAST(1.0, (c * p) / share) AS rate
+            FROM p CROSS JOIN c
+        ),
+        kept AS (
+            SELECT per.source, count(*) AS n_kept
+            FROM per JOIN rates ON per.source = rates.source
+            WHERE bucket < CAST(FLOOR(rate * {MIX_HASH_BUCKETS}) AS BIGINT)
+            GROUP BY per.source
+        )
+        SELECT source, n_docs, COALESCE(n_kept, 0) AS n_kept, rate
+        FROM rates LEFT JOIN kept USING (source)
+    """,
     # Mirrors text_bm25_topk with the IDENTICAL operation order in every
     # float expression (ln argument, tf saturation, per-doc decimal sum).
     "text_bm25_topk": f"""
