@@ -8,8 +8,11 @@ trigger does). Here:
     python -m icenetetl_spark sql "SELECT ..." [--sf-dir DIR] [--limit N]
     python -m icenetetl_spark list
 
-``ingest`` accepts a long-form parquet drop (the Parquet landing-zone path);
-``.nc`` files route through sources.netcdf and require xarray.
+``ingest`` accepts a long-form parquet drop (the Parquet landing-zone path)
+or a ``.nc`` file (sources.netcdf: xarray when installed, else the built-in
+NetCDF-3 classic parser). For ``.nc`` input the hemisphere is read from the
+file's own global attributes when ``--hemisphere`` is not given — the same
+routing the reference's trigger performs (processor.py:137-153).
 """
 
 from __future__ import annotations
@@ -31,15 +34,22 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     from icenetetl_spark.sources.netcdf import melt_netcdf_files, read_binary_files
 
     spark = _spark()
+    attrs = None
     if args.file.endswith(".nc"):
         raw = melt_netcdf_files(read_binary_files(spark, args.file, glob="*"))
+        if not args.hemisphere:
+            from icenetetl_spark.sources.netcdf import file_attrs
+
+            with open(args.file, "rb") as f:  # header-only routing read
+                attrs = file_attrs(f.read())
     else:
         raw = spark.read.parquet(args.file)
-    attrs = FileAttrs(
-        geospatial_lat_max=85.0 if args.hemisphere == "north" else None,
-        geospatial_lat_min=-85.0 if args.hemisphere == "south" else None,
-        keywords=args.keywords or "",
-    )
+    if attrs is None:
+        attrs = FileAttrs(
+            geospatial_lat_max=85.0 if args.hemisphere == "north" else None,
+            geospatial_lat_min=-85.0 if args.hemisphere == "south" else None,
+            keywords=args.keywords or "",
+        )
     timer = StageTimer()
     timer.start("ingest")
     pipeline = IceNetPipeline(ParquetCatalog(spark, args.warehouse))
