@@ -116,6 +116,62 @@ def encode_pq(
     ).select("neighbor_id", "m", F.col("mn.c").alias("code"))
 
 
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """TRAINED codebooks: per-subspace KMeans over the corpus's subvector
+    slices (the production quantizer; Jégou TPAMI'11 trains exactly this).
+    Returns the same (m, code_id, csub) shape as :func:`pq_codebook`, so
+    it drops into the identical encode/ADC/refine plan — mirroring the
+    knn_ivf (trained, rows-only) vs knn_ivf_fixed (hash-gated) split.
+    Driver state is M codebooks of k x (d/M) floats — O(d * k), corpus-
+    size-independent. Seeded => deterministic locally; not reproducible
+    in a SQL oracle, so callers gate recall via tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    w = _vector_width(corpus, vec_col) // m
+    rows = []
+    for mi in range(m):
+        sub = corpus.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), mi * w + 1, w).cast("array<double>")
+            ).alias("__features")
+        )
+        model = KMeans(
+            k=k_codes, seed=seed + mi, featuresCol="__features", maxIter=20
+        ).fit(sub)
+        for ci, center in enumerate(model.clusterCenters()):
+            rows.append((mi, ci, [float(x) for x in center]))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        rows, "m INT, code_id INT, csub ARRAY<DOUBLE>"
+    )
+
+
+def knn_pq_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ ANN with the trained quantizer — identical plan to
+    :func:`knn_pq`, codebook swapped for :func:`fit_pq_codebooks`."""
+    codebook = fit_pq_codebooks(corpus, m, k_codes, vec_col, seed)
+    return _knn_pq_with_codebook(
+        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col
+    )
+
+
 def knn_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -131,8 +187,23 @@ def knn_pq(
     ``rank`` orders the exact cosine within the ``k * refine_factor`` ADC
     candidates (ties -> smaller neighbor id), mirroring knn_ivf_fixed's
     output contract so the oracle and recall tests compose."""
-    w = _vector_width(corpus, vec_col) // m
     codebook = pq_codebook(corpus, code_ids, m, id_col, vec_col)
+    return _knn_pq_with_codebook(
+        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col
+    )
+
+
+def _knn_pq_with_codebook(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: DataFrame,
+    k: int,
+    m: int,
+    refine_factor: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    w = _vector_width(corpus, vec_col) // m
     codes = encode_pq(corpus, codebook, m, id_col, vec_col)
 
     q_sub = _subvectors(queries, "query_id", m, w, id_col, vec_col)

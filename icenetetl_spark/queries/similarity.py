@@ -158,6 +158,21 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with per-subspace KMeans codebooks — the production quantizer
+    on the identical plan as knn_pq (which is its hash-gated fixed twin,
+    the same split as knn_ivf / knn_ivf_fixed). Rows-only: seeded KMeans
+    is not SQL-reproducible; recall-vs-fixed dominance is pinned in
+    tests/test_pq.py."""
+    from icenetetl_spark.operators.pq import knn_pq_trained as _pq_trained
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return _pq_trained(
+        queries, emb, k=K, m=PQ_M, k_codes=16, refine_factor=PQ_REFINE
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (operators/similarity.vector_mean_long):
     the element-wise mean aggregation behind IVF training, class
@@ -178,6 +193,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "knn_ivf_fixed": knn_ivf_fixed,
     "knn_pq": knn_pq,
+    "knn_pq_trained": knn_pq_trained,
     "knn_hyperplane_lsh": knn_hyperplane_lsh,
     "embedding_near_dup": embedding_near_dup,
     "embedding_norms": embedding_norms,

@@ -68,3 +68,35 @@ def test_pq_widening_refine_does_not_reduce_recall(spark):
         return len(e & a) / len(e)
 
     assert rec(8) >= rec(1)
+
+
+def test_trained_codebooks_beat_or_match_fixed(spark):
+    """The per-subspace KMeans quantizer must not lose to corpus-sampled
+    codes (it minimizes the quantization error the fixed rows only
+    sample), and the family mirrors IVF: trained = rows-only + recall
+    tests, fixed = the hash-gated twin on the same plan."""
+    from icenetetl_spark.operators.pq import knn_pq_trained
+
+    emb = _load(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(queries, emb, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def rec(df):
+        a = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(e & a) / len(e)
+
+    r_fixed = rec(knn_pq(queries, emb, CODE_IDS, k=5, m=8, refine_factor=4))
+    r_trained = rec(
+        knn_pq_trained(queries, emb, k=5, m=8, k_codes=16, refine_factor=4)
+    )
+    assert r_trained >= r_fixed, (r_trained, r_fixed)
+
+
+def test_trained_codebooks_deterministic(spark):
+    from icenetetl_spark.operators.pq import fit_pq_codebooks
+
+    emb = _load(spark)
+    a = sorted(map(str, fit_pq_codebooks(emb, m=4, k_codes=8).collect()))
+    b = sorted(map(str, fit_pq_codebooks(emb, m=4, k_codes=8).collect()))
+    assert a == b
