@@ -152,6 +152,23 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"])
 
 
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation (operators/quality.expect — the Deequ shape):
+    nullability, key uniqueness, and value-range expectations as a
+    (check, n_violations) report. Each check is a full-scan aggregate or
+    a keyed groupBy — no driver-side row iteration; the report is k rows
+    for k checks."""
+    from icenetetl_spark.operators.quality import expect
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expect(
+        li,
+        not_null=["l_orderkey", "l_quantity", "l_shipdate"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        ranges={"l_quantity": (1.0, 50.0), "l_discount": (0.0, 0.1)},
+    )
+
+
 QUERIES = {
     "a_median_percentile": a_median_percentile,
     "a_rollup_grouping": a_rollup_grouping,
@@ -161,6 +178,7 @@ QUERIES = {
     "w_lag_lead_rank": w_lag_lead_rank,
     "w_cume_percent": w_cume_percent,
     "a_cube_grouping": a_cube_grouping,
+    "dq_expectations": dq_expectations,
     "a_unpivot_measures": a_unpivot_measures,
     "dq_profile": dq_profile,
 }
@@ -179,6 +197,39 @@ ORACLES = {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "dq_expectations": """
+        SELECT 'not_null:l_orderkey' AS check,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'not_null:l_quantity',
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'not_null:l_shipdate',
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'unique:l_orderkey,l_linenumber',
+               CAST(COALESCE(SUM(__n - 1), 0) AS BIGINT)
+        FROM (
+            SELECT count(*) AS __n FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+        )
+        UNION ALL
+        SELECT 'range:l_quantity',
+               CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'range:l_discount',
+               CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
     """,
     "w_cume_percent": """
         SELECT o_orderkey, o_orderpriority,
