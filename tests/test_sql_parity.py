@@ -54,6 +54,12 @@ ANSI_ORACLES = [
     "q14_promo_effect",
     "q15_top_supplier",
     "q17_small_qty_avg",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "w_cume_percent",
+    "dq_expectations",
+    "approx_distinct_suppliers",
+    "approx_heavy_hitters",
 ]
 
 
