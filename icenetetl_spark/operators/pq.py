@@ -69,10 +69,11 @@ def pq_codebook(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    width: int | None = None,
 ) -> DataFrame:
     """Fixed codebook from corpus rows: (m, code_id, csub) — K rows per
     subspace, K = len(code_ids). Deterministic and SQL-reproducible."""
-    d_width = _vector_width(corpus, vec_col) // m
+    d_width = (width or _vector_width(corpus, vec_col)) // m
     return _subvectors(
         corpus.filter(F.col(id_col).isin(code_ids)),
         "code_id",
@@ -96,12 +97,13 @@ def encode_pq(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    width: int | None = None,
 ) -> DataFrame:
     """(neighbor_id, m, code): nearest code per (vector, subspace).
     One broadcast join + one partial-aggregated groupBy — the K scored
     copies of each (vector, subspace) collapse map-side before the
     shuffle, so the exchange carries N*M rows, not N*M*K."""
-    w = _vector_width(corpus, vec_col) // m
+    w = (width or _vector_width(corpus, vec_col)) // m
     sub = _subvectors(corpus, "neighbor_id", m, w, id_col, vec_col)
     scored = sub.join(F.broadcast(codebook), "m").select(
         "neighbor_id",
@@ -122,6 +124,7 @@ def fit_pq_codebooks(
     k_codes: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    width: int | None = None,
 ) -> DataFrame:
     """TRAINED codebooks: per-subspace KMeans over the corpus's subvector
     slices (the production quantizer; Jégou TPAMI'11 trains exactly this).
@@ -134,7 +137,7 @@ def fit_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    w = _vector_width(corpus, vec_col) // m
+    w = (width or _vector_width(corpus, vec_col)) // m
     rows = []
     for mi in range(m):
         sub = corpus.select(
@@ -166,9 +169,10 @@ def knn_pq_trained(
 ) -> DataFrame:
     """PQ ANN with the trained quantizer — identical plan to
     :func:`knn_pq`, codebook swapped for :func:`fit_pq_codebooks`."""
-    codebook = fit_pq_codebooks(corpus, m, k_codes, vec_col, seed)
+    width = _vector_width(corpus, vec_col)
+    codebook = fit_pq_codebooks(corpus, m, k_codes, vec_col, seed, width)
     return _knn_pq_with_codebook(
-        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col
+        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col, width
     )
 
 
@@ -187,9 +191,10 @@ def knn_pq(
     ``rank`` orders the exact cosine within the ``k * refine_factor`` ADC
     candidates (ties -> smaller neighbor id), mirroring knn_ivf_fixed's
     output contract so the oracle and recall tests compose."""
-    codebook = pq_codebook(corpus, code_ids, m, id_col, vec_col)
+    width = _vector_width(corpus, vec_col)  # one metadata job, shared below
+    codebook = pq_codebook(corpus, code_ids, m, id_col, vec_col, width)
     return _knn_pq_with_codebook(
-        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col
+        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col, width
     )
 
 
@@ -202,9 +207,10 @@ def _knn_pq_with_codebook(
     refine_factor: int,
     id_col: str,
     vec_col: str,
+    width: int | None = None,
 ) -> DataFrame:
-    w = _vector_width(corpus, vec_col) // m
-    codes = encode_pq(corpus, codebook, m, id_col, vec_col)
+    w = (width or _vector_width(corpus, vec_col)) // m
+    codes = encode_pq(corpus, codebook, m, id_col, vec_col, width=w * m)
 
     q_sub = _subvectors(queries, "query_id", m, w, id_col, vec_col)
     adc_table = q_sub.join(F.broadcast(codebook), "m").select(
