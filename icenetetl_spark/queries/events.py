@@ -76,6 +76,32 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows (F.session_window) — the operator the
+    streaming engine uses for sessionization state (merging windows,
+    watermark-evictable), here exercised in batch mode. Complements the
+    hand-rolled lag/running-sum form (ev_sessionize): same sessions,
+    different machinery. Session end = last event + gap; a new session
+    starts when the inter-event gap is >= the 30-minute timeout. Bounds
+    emitted as epoch seconds so the oracle compares timezone-free."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value", scale=6),
+        )
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp(F.col("w.start"))).alias("session_start"),
+            F.floor(F.unix_timestamp(F.col("w.end"))).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic top-k heavy hitters by event volume."""
     ev = load_table(spark, sf_dir, "events")
@@ -289,6 +315,7 @@ QUERIES = {
     "ev_window_rollup": ev_window_rollup,
     "ev_json_extract": ev_json_extract,
     "ev_sessionize": ev_sessionize,
+    "ev_session_window": ev_session_window,
     "ev_top_users": ev_top_users,
     "ev_asof_join": ev_asof_join,
     "ev_range_join": ev_range_join,
@@ -454,6 +481,30 @@ ORACLES = {
         GROUP BY user_id
         ORDER BY n_events DESC, user_id
         LIMIT 20
+    """,
+    # gaps-and-islands twin of F.session_window: new session when the
+    # inter-event gap >= 1800s; window end = last event + 1800s
+    "ev_session_window": """
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR EPOCH(ts) - EPOCH(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
+               CAST(FLOOR(EPOCH(MAX(ts))) + 1800 AS BIGINT) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid
     """,
     "ev_range_join": """
         WITH top5 AS (
