@@ -1,0 +1,39 @@
+"""Partitioning must not change results: the decimal-accumulator design
+claims float aggregates are independent of Spark's aggregation order, so
+re-running a query under a different shuffle-partition count must produce
+BIT-IDENTICAL rows (the property that makes the DuckDB hash gate stable —
+and the property a 1000-executor cluster silently breaks if a plain
+double SUM sneaks into a gated query)."""
+
+from __future__ import annotations
+
+import pytest
+
+from icenetetl_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# float-sensitive queries spanning the accumulator styles: decimal SUM,
+# per-position vector mean, tempered-rate derivation, BM25 scoring,
+# ratio-of-sums
+FLOAT_SENSITIVE = [
+    "q1_pricing_summary",
+    "embedding_centroids",
+    "corpus_temperature_mix",
+    "text_bm25_topk",
+    "q14_promo_effect",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_SENSITIVE)
+def test_results_identical_across_partitionings(spark, name):
+    fn = all_queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = sorted(map(repr, fn(spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "31")
+        b = sorted(map(repr, fn(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b, f"{name}: result depends on partition count"
