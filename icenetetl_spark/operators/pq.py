@@ -23,8 +23,9 @@ Engine-exactness (the oracle hash gate): every distance is the three-dot
 identity |a-c|^2 = (a.a + c.c) - 2*a.c computed with the same sequential-
 fold dot product the cosine path uses (bit-identical to DuckDB's
 list_dot_product), combined in the same operation order; the cross-subspace
-ADC sum goes through a DECIMAL accumulator so its value is independent of
-Spark's aggregation order. Codebooks here are FIXED corpus rows (like
+ADC sum goes through a fixed-point integer accumulator so its value is
+independent of Spark's aggregation order AND of engine rounding modes
+(see the _ADC_SCALE note). Codebooks here are FIXED corpus rows (like
 knn_ivf_fixed's centroids) so both engines read identical codes; a
 KMeans-per-subspace trained codebook is the production variant and drops
 into the same plan.
@@ -37,7 +38,13 @@ from pyspark.sql.window import Window
 
 from icenetetl_spark.operators.similarity import _dot, cosine
 
-# decimal scale for the order-independent cross-subspace ADC sum
+# fixed-point scale for the order-independent cross-subspace ADC sum:
+# distances are quantized to integers with floor(d * 10^12 + 0.5) —
+# identical IEEE ops on both engines — then summed exactly as BIGINTs.
+# (A double->DECIMAL cast is not engine-portable here: the distances are
+# dot products of coarse dyadic float32s and can land exactly on decimal
+# half-boundaries, where HALF_UP vs HALF_EVEN rounding diverges — the
+# failure mode observed on vector means at sf0.1.)
 _ADC_SCALE = 12
 
 
@@ -219,16 +226,18 @@ def _knn_pq_with_codebook(
         F.col("code_id").alias("code"),
         _l2sq(F.col("sub"), F.col("csub")).alias("qdist"),
     )
+    qd_fixed = F.floor(
+        F.col("qdist") * F.lit(float(10**_ADC_SCALE)) + F.lit(0.5)
+    ).cast("long")
     adc = (
         codes.join(F.broadcast(adc_table), ["m", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(
-            F.sum(
-                F.col("qdist").cast(f"decimal(27,{_ADC_SCALE})")
-            )
-            .cast("double")
-            .alias("adc")
+            (
+                F.sum(qd_fixed).cast("double")
+                / F.lit(float(10**_ADC_SCALE))
+            ).alias("adc")
         )
     )
     wa = Window.partitionBy("query_id").orderBy(

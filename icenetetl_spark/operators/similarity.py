@@ -280,16 +280,16 @@ def vector_mean(
     aggregation behind IVF training, class prototypes, and drift monitors).
 
     Plan: posexplode to (group, pos, x) -> one hash aggregation on
-    (group, pos) with a DECIMAL accumulator -> per-group reassembly of the
-    d positions via sort_array(collect_list) (d values per group — driver-
-    safe). Two shuffles, both keyed and distributed; no vector ever passes
-    through Python.
+    (group, pos) with a FIXED-POINT INTEGER accumulator -> per-group
+    reassembly of the d positions via sort_array(collect_list) (d values
+    per group — driver-safe). Two shuffles, both keyed and distributed;
+    no vector ever passes through Python.
 
-    The decimal accumulator makes the cross-row sum order-independent and
-    engine-exact: float32 inputs promote losslessly to float64, and no
-    float64 sits exactly on a decimal half-boundary (10^-scale halves need
-    a factor 5^scale in the denominator; binary fractions have none), so
-    HALF_UP (Spark) and round-half-even (DuckDB) can never disagree.
+    The fixed-point accumulator (see :func:`vector_mean_long`) makes the
+    cross-row sum order-independent AND engine-exact — including for
+    coarse dyadic float32 inputs that sit exactly on decimal
+    half-boundaries, where decimal casts' rounding modes diverge between
+    engines.
     """
     per = vector_mean_long(df, group_cols, vec_col=vec_col, scale=scale)
     return per.groupBy(*group_cols).agg(
@@ -311,19 +311,27 @@ def vector_mean_long(
     one row per (group, pos) with the element-wise mean and the group
     count. This IS the centroid — callers that need the array shape
     reassemble it (``vector_mean``); callers that hash/compare results
-    keep the long form (scalar columns canonicalize, arrays don't)."""
+    keep the long form (scalar columns canonicalize, arrays don't).
+
+    Accumulation is FIXED-POINT INTEGER, not decimal: each element is
+    quantized with ``floor(x * 10^scale + 0.5)`` — plain IEEE double ops
+    every engine performs identically — then summed as exact BIGINTs.
+    A double->DECIMAL cast is NOT portable here: float32 inputs are
+    coarse dyadic rationals (e.g. 0.1494140625 = 153/1024), and
+    odd/2^(s2+1) values land EXACTLY on 10^-scale half-boundaries
+    (10^9 carries only 2^9), where Spark's HALF_UP and DuckDB's
+    HALF_EVEN disagree — observed as a real 1-ulp centroid divergence
+    at sf0.1. Valid for |x| < 2^53 / 10^scale."""
     ex = df.select(
         *group_cols, F.posexplode(F.col(vec_col)).alias("pos", "__x")
     )
-    # float32 -> DOUBLE first, explicitly, on BOTH engines: a direct
-    # float->decimal cast is engine-defined (shortest-string vs binary
-    # expansion of the float), while double->decimal of the exact promoted
-    # value is identical everywhere.
+    q = F.floor(
+        F.col("__x").cast("double") * F.lit(float(10**scale)) + F.lit(0.5)
+    ).cast("long")
     return ex.groupBy(*group_cols, "pos").agg(
         (
-            F.sum(
-                F.col("__x").cast("double").cast(f"decimal(18,{scale})")
-            ).cast("double")
+            F.sum(q).cast("double")
+            / F.lit(float(10**scale))
             / F.count(F.lit(1))
         ).alias("mean"),
         F.count(F.lit(1)).alias("n_vectors"),

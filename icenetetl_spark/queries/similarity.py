@@ -212,6 +212,9 @@ def _sign_string(t: str, n: int) -> str:
 _SIGN_BUCKET = lambda t: _sign_string(t, LSH_BITS)  # noqa: E731
 
 ORACLES = {
+    # fixed-point integer accumulator (floor(x*1e9 + 0.5) — identical
+    # IEEE ops on both engines; decimal casts diverge on coarse dyadic
+    # float32 values that land exactly on half-boundaries)
     "embedding_centroids": """
         WITH ex AS (
             SELECT label,
@@ -220,8 +223,9 @@ ORACLES = {
             FROM embeddings
         )
         SELECT label, pos,
-               CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))
-                    AS DOUBLE) / count(*) AS mean,
+               CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+                   / 1000000000.0 / count(*) AS mean,
                count(*) AS n_vectors
         FROM ex GROUP BY label, pos
     """,
@@ -398,7 +402,7 @@ ORACLES = {
     # Mirrors operators/pq.knn_pq step for step with the same fixed
     # codebook rows. Distances use the identical three-dot identity in the
     # identical op order ((a.a + b.b) - 2*a.b over list_dot_product); the
-    # cross-subspace ADC sum goes through the same DECIMAL(27,12)
+    # cross-subspace ADC sum goes through the same fixed-point integer
     # accumulator, so candidate sets and ranks match bit-for-bit.
     "knn_pq": f"""
         WITH codebook AS (
@@ -436,7 +440,9 @@ ORACLES = {
         ),
         adc AS (
             SELECT query_id, neighbor_id,
-                   CAST(SUM(CAST(qdist AS DECIMAL(27,12))) AS DOUBLE) AS adc
+                   CAST(SUM(CAST(FLOOR(qdist * 1000000000000.0 + 0.5)
+                                 AS BIGINT)) AS DOUBLE)
+                       / 1000000000000.0 AS adc
             FROM codes JOIN adc_table USING (m, code)
             WHERE query_id != neighbor_id
             GROUP BY query_id, neighbor_id

@@ -154,3 +154,30 @@ def test_hyperplane_lsh_exact_within_bucket(spark):
     }
     for r in rows:
         assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cos"]) < 1e-12
+
+
+def test_vector_mean_exact_on_decimal_half_boundary(spark):
+    """Regression: 0.1494140625 (= 153/1024, an ordinary float32 value)
+    times 1e9 is EXACTLY 149414062.5 — a decimal half-boundary where
+    Spark's HALF_UP and DuckDB's HALF_EVEN decimal casts disagree (found
+    as a real 1-ulp centroid divergence at sf0.1). The fixed-point
+    accumulator must agree with DuckDB bit-for-bit on it."""
+    import duckdb
+
+    from icenetetl_spark.operators.similarity import vector_mean_long
+
+    vals = [0.1494140625, 0.25, -0.1494140625, 0.1, 0.3]
+    df = spark.createDataFrame(
+        [("a", i, [float(v)]) for i, v in enumerate(vals)],
+        "label string, vec_id int, embedding array<float>",
+    )
+    got = vector_mean_long(df, ["label"]).collect()[0]
+    want = duckdb.sql(
+        f"""
+        SELECT CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 / count(*) AS mean
+        FROM (SELECT unnest(CAST({vals!r} AS FLOAT[])) AS x)
+        """
+    ).fetchone()[0]
+    assert got["mean"] == want, (got["mean"].hex(), want.hex())
