@@ -42,6 +42,32 @@ def davg(col: Column | str, alias: str, scale: int = 2, precision: int = 18) -> 
     return (s / F.count(c)).alias(alias)
 
 
+def fsum_col(col: Column | str, scale: int = 9) -> Column:
+    """Order-independent AND engine-portable SUM of an arbitrary-float
+    column via FIXED-POINT integer accumulation: each value is quantized
+    with ``floor(x * 10^scale + 0.5)`` — plain IEEE double ops every
+    engine performs identically — then summed as exact BIGINTs and
+    rescaled.
+
+    Use this instead of :func:`dsum_col` whenever the column can hold
+    arbitrary floats (ratios, float32-derived values, distances): coarse
+    dyadic inputs (e.g. 0.1494140625 = 153/1024) land EXACTLY on decimal
+    half-boundaries where Spark's HALF_UP and DuckDB's HALF_EVEN
+    double->decimal casts disagree. Decimal stays correct for
+    fixed-2-decimal money columns. Valid for |x| < 2^53 / 10^scale.
+
+    Oracle twin::
+
+        CAST(SUM(CAST(FLOOR(x * 1e<scale> + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1e<scale>
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    q = F.floor(
+        c.cast("double") * F.lit(float(10**scale)) + F.lit(0.5)
+    ).cast("long")
+    return F.sum(q).cast("double") / F.lit(float(10**scale))
+
+
 def epoch_bucket(ts: Column | str, seconds: int, alias: str) -> Column:
     """Tumbling-window bucket as epoch seconds (BIGINT) — timezone-proof.
 

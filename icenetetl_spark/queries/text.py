@@ -155,7 +155,7 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix. One projection + one groupBy + a 1-row broadcast for the global
     token total (never a partition-less window, which would serialize on
     one task at scale)."""
-    from icenetetl_spark.functions.portable import dsum_col
+    from icenetetl_spark.functions.portable import fsum_col
 
     docs = load_table(spark, sf_dir, "documents")
     per = docs.select(
@@ -164,11 +164,14 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score(F.col("text")).alias("quality"),
         T.token_count(F.col("text")).alias("n_tokens"),
     )
+    # fixed-point (not decimal) quality mean: quality is a ratio of
+    # arbitrary integers — a power-of-two token count would put it on a
+    # decimal half-boundary where engine rounding modes diverge
     agg = per.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
-        (dsum_col("quality", scale=9) / F.count(F.lit(1))).alias(
+        (fsum_col("quality", scale=9) / F.count(F.lit(1))).alias(
             "mean_quality"
         ),
     )
@@ -256,6 +259,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term document frequencies, a 1-row broadcast of (N, avgdl), score
     arithmetic fully JVM-side, decimal-accumulated per-doc sum, top-k
     window. The token shuffle is the only data-sized exchange."""
+    from icenetetl_spark.functions.portable import fsum_col
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
@@ -286,9 +291,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(
-            F.sum(weight.cast("decimal(27,12)")).cast("double").alias("score")
-        )
+        .agg(fsum_col(weight, scale=12).alias("score"))
     )
     from pyspark.sql.window import Window
 
@@ -321,7 +324,7 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     back for the keep filter; every float step is ordered identically to
     the oracle and the cross-source normalizer goes through the decimal
     accumulator."""
-    from icenetetl_spark.functions.portable import portable_hash64
+    from icenetetl_spark.functions.portable import fsum_col, portable_hash64
 
     docs = load_table(spark, sf_dir, "documents")
     per = docs.select(
@@ -345,9 +348,7 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("share"),
         F.sqrt(share).alias("w"),
     )
-    z = sh.agg(
-        F.sum(F.col("w").cast("decimal(27,15)")).cast("double").alias("__z")
-    )
+    z = sh.agg(fsum_col("w", scale=15).alias("__z"))
     p = sh.crossJoin(F.broadcast(z)).select(
         "source", "n_docs", "share", (F.col("w") / F.col("__z")).alias("p")
     )
@@ -474,7 +475,9 @@ ORACLES = {
             FROM agg CROSS JOIN tot
         ),
         z AS (
-            SELECT CAST(SUM(CAST(w AS DECIMAL(27,15))) AS DOUBLE) AS z
+            SELECT CAST(SUM(CAST(FLOOR(w * 1000000000000000.0 + 0.5)
+                                 AS BIGINT)) AS DOUBLE)
+                       / 1000000000000000.0 AS z
             FROM sh
         ),
         p AS (
@@ -518,13 +521,15 @@ ORACLES = {
         scored AS (
             SELECT tf.doc_id,
                    CAST(SUM(CAST(
+                   FLOOR(
                        ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE))
                                  + 0.5) / (CAST(df AS DOUBLE) + 0.5))
                        * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r})
                           / (CAST(tf AS DOUBLE)
                              + {BM25_K1!r} * ({1.0 - BM25_B!r}
                                 + ({BM25_B!r} * CAST(dl AS DOUBLE)) / avgdl)))
-                   AS DECIMAL(27,12))) AS DOUBLE) AS score
+                       * 1000000000000.0 + 0.5)
+                   AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS score
             FROM tf
             JOIN dfreq USING (term)
             JOIN dl USING (doc_id)
@@ -554,8 +559,9 @@ ORACLES = {
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                    count(*) - count(DISTINCT fp) AS n_exact_dups,
-                   CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE)
-                       / count(*) AS mean_quality
+                   CAST(SUM(CAST(FLOOR(quality * 1000000000.0 + 0.5)
+                                 AS BIGINT)) AS DOUBLE)
+                       / 1000000000.0 / count(*) AS mean_quality
             FROM scored GROUP BY source
         ),
         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM agg)
