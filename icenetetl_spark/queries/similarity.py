@@ -186,6 +186,29 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_mean_long(emb, ["label"])
 
 
+def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core array vocabulary over the embedding column (SURVEY §2.7
+    extension surface — the reference has no array functions): slice,
+    element transform, size, min/max, membership, distinct count, and an
+    exact integer fold. All JVM expressions; all scalar outputs (the
+    driver canonicalizer can't sort array cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ints = F.transform(
+        F.slice(F.col("embedding"), 1, 8),
+        lambda x: F.floor(x.cast("double") * 100).cast("int"),
+    )
+    a = F.col("__a")
+    return emb.select("vec_id", ints.alias("__a")).select(
+        "vec_id",
+        F.size(a).alias("n"),
+        F.array_max(a).alias("max_v"),
+        F.array_min(a).alias("min_v"),
+        F.array_contains(a, F.lit(0)).alias("has_zero"),
+        F.size(F.array_distinct(a)).alias("n_distinct"),
+        F.aggregate(a, F.lit(0), lambda acc, x: acc + x).alias("total"),
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_sign_lsh": knn_sign_lsh,
@@ -195,6 +218,7 @@ QUERIES = {
     "knn_pq": knn_pq,
     "knn_pq_trained": knn_pq_trained,
     "knn_hyperplane_lsh": knn_hyperplane_lsh,
+    "f_array_funcs": f_array_funcs,
     "embedding_near_dup": embedding_near_dup,
     "embedding_norms": embedding_norms,
     "embedding_centroids": embedding_centroids,
@@ -212,6 +236,23 @@ def _sign_string(t: str, n: int) -> str:
 _SIGN_BUCKET = lambda t: _sign_string(t, LSH_BITS)  # noqa: E731
 
 ORACLES = {
+    "f_array_funcs": """
+        WITH a AS (
+            SELECT vec_id,
+                   list_transform(embedding[1:8],
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS INTEGER))
+                       AS arr
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(len(arr) AS INTEGER) AS n,
+               list_max(arr) AS max_v,
+               list_min(arr) AS min_v,
+               list_contains(arr, 0) AS has_zero,
+               CAST(len(list_distinct(arr)) AS INTEGER) AS n_distinct,
+               CAST(list_sum(arr) AS INTEGER) AS total
+        FROM a
+    """,
     # fixed-point integer accumulator (floor(x*1e9 + 0.5) — identical
     # IEEE ops on both engines; decimal casts diverge on coarse dyadic
     # float32 values that land exactly on half-boundaries)
