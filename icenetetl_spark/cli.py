@@ -40,8 +40,19 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         if not args.hemisphere:
             from icenetetl_spark.sources.netcdf import file_attrs
 
-            with open(args.file, "rb") as f:  # header-only routing read
-                attrs = file_attrs(f.read())
+            # header-only routing: a bounded prefix covers any realistic
+            # classic header; fall back to the full file if it doesn't
+            with open(args.file, "rb") as f:
+                prefix = f.read(8 << 20)
+            try:
+                attrs = file_attrs(prefix)
+            except Exception:  # truncated prefix (e.g. xarray backend)
+                with open(args.file, "rb") as f:
+                    attrs = file_attrs(f.read())
+            if args.keywords:
+                # explicit --keywords wins over the file's own: it exists
+                # to disambiguate files whose attrs are missing/ambiguous
+                attrs.keywords = args.keywords
     else:
         raw = spark.read.parquet(args.file)
     if attrs is None:

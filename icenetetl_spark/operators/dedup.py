@@ -206,6 +206,12 @@ def lsh_band_index(
     2x end-to-end cost at sf0.1. With explode the subtree runs once, and
     a self-join's two sides are identical subplans, so Spark's
     ReuseExchange shares the shuffle."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature columns and "
+            "weaken the LSH collision guarantee"
+        )
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
@@ -270,13 +276,8 @@ def lsh_candidate_pairs(
 
     Returns distinct (doc_a, doc_b), doc_a < doc_b. The band self-join is an
     equi-join on (band_idx, band_signature) — hash-partitioned, distributed.
+    (The num_hashes/bands divisibility guard lives in lsh_band_index.)
     """
-    if num_hashes % bands:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
-            "a remainder would silently drop trailing signature columns and "
-            "weaken the LSH collision guarantee"
-        )
     banded = lsh_band_index(signatures, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")

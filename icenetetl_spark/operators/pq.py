@@ -226,19 +226,13 @@ def _knn_pq_with_codebook(
         F.col("code_id").alias("code"),
         _l2sq(F.col("sub"), F.col("csub")).alias("qdist"),
     )
-    qd_fixed = F.floor(
-        F.col("qdist") * F.lit(float(10**_ADC_SCALE)) + F.lit(0.5)
-    ).cast("long")
+    from icenetetl_spark.functions.portable import fsum_col
+
     adc = (
         codes.join(F.broadcast(adc_table), ["m", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(
-            (
-                F.sum(qd_fixed).cast("double")
-                / F.lit(float(10**_ADC_SCALE))
-            ).alias("adc")
-        )
+        .agg(fsum_col("qdist", _ADC_SCALE).alias("adc"))
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")

@@ -322,18 +322,13 @@ def vector_mean_long(
     (10^9 carries only 2^9), where Spark's HALF_UP and DuckDB's
     HALF_EVEN disagree — observed as a real 1-ulp centroid divergence
     at sf0.1. Valid for |x| < 2^53 / 10^scale."""
+    from icenetetl_spark.functions.portable import fsum_col
+
     ex = df.select(
         *group_cols, F.posexplode(F.col(vec_col)).alias("pos", "__x")
     )
-    q = F.floor(
-        F.col("__x").cast("double") * F.lit(float(10**scale)) + F.lit(0.5)
-    ).cast("long")
     return ex.groupBy(*group_cols, "pos").agg(
-        (
-            F.sum(q).cast("double")
-            / F.lit(float(10**scale))
-            / F.count(F.lit(1))
-        ).alias("mean"),
+        (fsum_col("__x", scale) / F.count(F.lit(1))).alias("mean"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
 

@@ -78,38 +78,41 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# heavy hitters over o_orderpriority (5 values; the truly-frequent ones
-# carry >= HH_SUPPORT of rows). freqItems (Karp/Misra-Gries streaming
-# summary) guarantees CONTAINMENT — every item above support is returned,
-# false positives possible — with a candidate set bounded by 1/support.
+# heavy hitters over o_orderpriority. freqItems (Karp/Misra-Gries
+# streaming summary) keeps a map of floor(1/support) counters, so its
+# CONTAINMENT guarantee covers items with frequency > n/floor(1/support)
+# — NOT merely > support*n. The "truly frequent" filter below uses the
+# map-size threshold, otherwise an item in [support, 1/floor(1/support))
+# could legitimately be evicted and flip the oracle-pinned TRUE flag.
 HH_SUPPORT = 0.15
+_HH_MAP_SIZE = int(1.0 / HH_SUPPORT)  # Spark's sizeOfMap, = 6
 
 
 def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters — the streaming-sketch side of the approx family.
-    The emitted rows are the TRULY frequent values with their exact
-    counts (hash-gated); the booleans assert the sketch's guarantees on
-    them: containment (every truly-frequent value is in the sketch
-    result) and the 1/support candidate-set bound. The sketch is a
-    fixed-size mergeable summary — the only driver-held state, same
-    class as partition metadata."""
+    The emitted rows are the values above the sketch's guarantee
+    threshold with their exact counts (hash-gated, fully lazy plan); the
+    booleans assert the sketch's guarantees on them: containment (every
+    such value is in the sketch result) and the bounded candidate set.
+    Only the fixed-size sketch itself is driver-held (the df.stat API
+    returns it eagerly) — same class as partition metadata."""
     orders = load_table(spark, sf_dir, "orders")
     col = "o_orderpriority"
     sketch_items = set(
         orders.stat.freqItems([col], support=HH_SUPPORT).first()[0]
     )
-    total = orders.count()
+    bounded = len(sketch_items) <= _HH_MAP_SIZE
+    total = orders.agg(F.count(F.lit(1)).alias("__total"))
     counts = orders.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
-    frequent = counts.filter(
-        F.col("n") >= F.lit(float(HH_SUPPORT)) * F.lit(total)
-    ).collect()
-    bounded = len(sketch_items) <= int(1.0 / HH_SUPPORT)
-    # k rows (k <= 1/support): re-parallelized with the verdicts attached
-    rows = [
-        (r[col], r["n"], r[col] in sketch_items, bounded) for r in frequent
-    ]
-    return spark.createDataFrame(
-        rows, f"{col} STRING, n BIGINT, in_sketch BOOLEAN, sketch_bounded BOOLEAN"
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("__total") / _HH_MAP_SIZE)
+        .select(
+            col,
+            "n",
+            F.col(col).isin(sorted(sketch_items)).alias("in_sketch"),
+            F.lit(bounded).alias("sketch_bounded"),
+        )
     )
 
 
@@ -144,6 +147,6 @@ ORACLES = {
                TRUE AS in_sketch, TRUE AS sketch_bounded
         FROM orders
         GROUP BY o_orderpriority
-        HAVING count(*) >= {HH_SUPPORT} * (SELECT count(*) FROM orders)
+        HAVING count(*) > (SELECT count(*) FROM orders) / {_HH_MAP_SIZE}
     """,
 }

@@ -138,7 +138,7 @@ def knn_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fixed PQ codebook: 16 corpus rows per subspace (slices of the same 16
 # vectors), spread across the table. M=8 subspaces over d=64; exact-cosine
 # re-rank of the top k*PQ_REFINE ADC candidates.
-PQ_CODE_IDS = list(range(3, 500, 31))  # 16 ids: 3, 34, ..., 468
+PQ_CODE_IDS = list(range(3, 469, 31))  # 16 ids: 3, 34, ..., 468
 PQ_M = 8
 PQ_REFINE = 4
 
@@ -450,7 +450,7 @@ ORACLES = {
             {" UNION ALL ".join(
                 f"SELECT {mm} AS m, vec_id AS code_id,"
                 f" CAST(embedding[{mm * 8 + 1}:{mm * 8 + 8}] AS DOUBLE[]) AS csub"
-                f" FROM embeddings WHERE vec_id IN ({', '.join(map(str, range(3, 500, 31)))})"
+                f" FROM embeddings WHERE vec_id IN ({', '.join(map(str, PQ_CODE_IDS))})"
                 for mm in range(8))}
         ),
         c_sub AS (

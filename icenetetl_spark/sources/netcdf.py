@@ -104,6 +104,9 @@ def _melt_nc3(content: bytes) -> pd.DataFrame:
         data = v.data
         if data.dtype.kind == "f" and "_FillValue" in v.attrs:
             data = np.where(data == v.attrs["_FillValue"], np.nan, data)
+        # CF-dated DATA vars decode too (xarray parity — not only the
+        # dimension coordinates handled above)
+        data = _decode_cf(data, v.attrs)
         # transpose the var's axes into index order, then length-1 the rest
         order = sorted(range(len(v.dims)), key=lambda i: axis_of[v.dims[i]])
         data = np.transpose(data, order) if order != list(range(len(order))) else data
@@ -127,8 +130,9 @@ def _melt_one(content: bytes) -> pd.DataFrame:
 
 def file_attrs(content: bytes):
     """Global attributes -> FileAttrs for hemisphere routing
-    (processor.py:137-153). Header-only work: the classic parser touches
-    variable data lazily enough that this stays cheap per blob."""
+    (processor.py:137-153). Genuinely header-only on the classic path
+    (``load_data=False`` stops after the var list — O(header), no array
+    materialization, so routing a multi-GB blob costs nothing)."""
     from icenetetl_spark.plans.icenet import FileAttrs
 
     if HAS_XARRAY:
@@ -136,7 +140,7 @@ def file_attrs(content: bytes):
     else:
         from icenetetl_spark.sources.netcdf3 import parse_netcdf3
 
-        attrs = parse_netcdf3(content).attrs
+        attrs = parse_netcdf3(content, load_data=False).attrs
 
     def _f(key):
         v = attrs.get(key)
@@ -150,12 +154,26 @@ def file_attrs(content: bytes):
 
 
 def melt_netcdf_files(binary_df: DataFrame) -> DataFrame:
-    """binaryFile rows -> melted long-form DataFrame (ICENET_RAW schema)."""
+    """binaryFile rows -> melted long-form DataFrame (ICENET_RAW schema).
+
+    Old-format variable names (``mean``/``stddev``) are normalized here,
+    inside the parse — mirroring the reference, which renames immediately
+    after opening the dataset (processor.py:125-133) — because the
+    mapInPandas schema contract prunes to ICENET_RAW's columns and would
+    otherwise reject old-format files before the pipeline's rename ran."""
+    from icenetetl_spark.plans.icenet import RENAME_MAP
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for content in pdf["content"]:
                 melted = _melt_one(bytes(content))
+                renames = {
+                    old: new
+                    for old, new in RENAME_MAP.items()
+                    if old in melted.columns and new not in melted.columns
+                }
+                if renames:
+                    melted = melted.rename(columns=renames)
                 yield melted[[f.name for f in ICENET_RAW.fields]]
 
     return binary_df.select("content").mapInPandas(parse, ICENET_RAW)

@@ -108,8 +108,12 @@ class _Reader:
         return {self.name(): self.attr_value() for _ in range(nelems)}
 
 
-def parse_netcdf3(data: bytes) -> NC3File:
-    """Classic-format bytes -> dims/attrs/variables with numpy arrays."""
+def parse_netcdf3(data: bytes, load_data: bool = True) -> NC3File:
+    """Classic-format bytes -> dims/attrs/variables with numpy arrays.
+
+    ``load_data=False`` parses the header only (dims, global attrs, var
+    headers — variables carry empty arrays): O(header) work for callers
+    that just route on attributes (``sources.netcdf.file_attrs``)."""
     if data[:4] == b"\x89HDF":
         raise ValueError(
             "NetCDF-4 (HDF5-based) file: the pure-numpy classic reader "
@@ -152,9 +156,24 @@ def parse_netcdf3(data: bytes) -> NC3File:
     rec_vars = [
         h for h in headers if record_dim_id is not None and h[1][:1] == [record_dim_id]
     ]
+
+    def _per_rec(h) -> int:
+        _name, dimids, _va, nc_type, _vs, _b = h
+        inner = int(
+            np.prod([dim_sizes[i] for i in dimids[1:]], dtype=np.int64)
+        )
+        return inner * _DTYPES[nc_type].itemsize
+
     if numrecs < 0 and rec_vars:  # STREAMING: infer from file length
         first = min(h[5] for h in rec_vars)
-        recsize = sum(h[4] for h in rec_vars)
+        # spec: a LONE record variable is stored contiguously with NO
+        # per-record padding — its stride is the raw slab, not the padded
+        # vsize from the header (using vsize here would undercount records
+        # for e.g. a single NC_SHORT-per-record variable)
+        if len(rec_vars) == 1:
+            recsize = _per_rec(rec_vars[0])
+        else:
+            recsize = sum(h[4] for h in rec_vars)
         numrecs = (len(data) - first) // recsize if recsize else 0
 
     variables: dict[str, NC3Var] = {}
@@ -168,6 +187,12 @@ def parse_netcdf3(data: bytes) -> NC3File:
         dims = tuple(dim_names[i] for i in dimids)
         shape = [dim_sizes[i] for i in dimids]
         is_record = record_dim_id is not None and dimids[:1] == [record_dim_id]
+        if not load_data:
+            variables[name] = NC3Var(
+                name, dims, vatts, np.empty(0, dtype=dt.newbyteorder("="))
+            )
+            order.append(name)
+            continue
         if is_record:
             shape[0] = numrecs
             per_rec = int(np.prod(shape[1:], dtype=np.int64)) * dt.itemsize

@@ -100,6 +100,52 @@ def test_reader_lone_record_var_unpadded():
     np.testing.assert_array_equal(nc.variables["s"].data, [5, 6, 7])
 
 
+def test_reader_streaming_numrecs_lone_record_var():
+    """Regression: with numrecs = STREAMING (-1) and a LONE record var,
+    the record count must be inferred from the UNPADDED slab stride (the
+    padded header vsize would halve the count for an int16-per-record
+    variable)."""
+    hdr = b"CDF\x01" + struct.pack(">i", -1)  # STREAMING
+    hdr += struct.pack(">ii", 0x0A, 1) + _name(b"time") + struct.pack(">i", 0)
+    hdr += struct.pack(">ii", 0, 0)
+    hdr += struct.pack(">ii", 0x0B, 1)
+    var = _name(b"s") + struct.pack(">ii", 1, 0) + struct.pack(">ii", 0, 0)
+    begin = len(hdr) + len(var) + 12
+    var += struct.pack(">iii", 3, 4, begin)  # NC_SHORT, padded vsize=4
+    body = struct.pack(">hhhhhh", 1, 2, 3, 4, 5, 6)  # 6 records, 12 bytes
+    nc = parse_netcdf3(hdr + var + body)
+    assert nc.dims["time"] == 6
+    np.testing.assert_array_equal(nc.variables["s"].data, [1, 2, 3, 4, 5, 6])
+
+
+def test_header_only_parse_skips_data():
+    raw = make_netcdf_bytes("2024-03-01", grid_side=4, leadtimes=2)
+    nc = parse_netcdf3(raw, load_data=False)
+    assert nc.attrs["geospatial_lat_max"] == 85.0
+    assert nc.dims == {"time": 1, "leadtime": 2, "yc": 4, "xc": 4}
+    assert all(v.data.size == 0 for v in nc.variables.values())
+
+
+def test_old_format_nc_melts_and_ingests(spark, tmp_path):
+    """Old-format .nc files (mean/stddev variable names) must melt: the
+    rename happens inside the parse, mirroring processor.py:125-133."""
+    from icenetetl_spark.sources.netcdf import melt_netcdf_files
+
+    raw = make_netcdf_bytes(
+        "2024-03-01", grid_side=4, leadtimes=2, seed=5, old_format=True
+    )
+    (tmp_path / "old.nc").write_bytes(raw)
+    melted = melt_netcdf_files(
+        read_binary_files(spark, str(tmp_path))
+    ).toPandas()
+    expected = make_raw_pdf("2024-03-01", grid_side=4, leadtimes=2, seed=5)
+    assert len(melted) == len(expected)
+    np.testing.assert_array_equal(
+        np.sort(melted["sic_mean"].to_numpy()),
+        np.sort(expected["sic_mean"].to_numpy()),
+    )
+
+
 def test_netcdf4_bytes_rejected():
     with pytest.raises(ValueError, match="NetCDF-4"):
         parse_netcdf3(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from icenetetl_spark.operators.pq import encode_pq, knn_pq, pq_codebook
 from icenetetl_spark.operators.similarity import knn_bruteforce
 
-CODE_IDS = list(range(3, 500, 31))  # 16 codes, mirrors the registry query
+from icenetetl_spark.queries.similarity import PQ_CODE_IDS as CODE_IDS
 
 
 def _load(spark):
