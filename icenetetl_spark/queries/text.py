@@ -380,6 +380,37 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-document mean unigram
+    log-probability under the corpus's own MLE unigram model — the
+    classic cheap LM filter (low avg logprob = gibberish / OCR noise /
+    off-distribution text). Plan: one token explode, one vocabulary
+    groupBy, a keyed join back on term (both sides shuffle once on the
+    term key — no broadcast assumption, the vocabulary is corpus-sized
+    at scale), a 1-row total broadcast, and a fixed-point per-doc mean
+    so the ln-derived doubles accumulate engine-exactly."""
+    from icenetetl_spark.functions.portable import fsum_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    lp = F.log(
+        F.col("n_t").cast("double") / F.col("__total").cast("double")
+    )
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (fsum_col(lp, scale=9) / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+    )
+
+
 QUERIES = {
     "corpus_source_mix": corpus_source_mix,
     "text_repetition": text_repetition,
@@ -397,6 +428,7 @@ QUERIES = {
     "doc_pack_contiguous": doc_pack_contiguous,
     "text_bm25_topk": text_bm25_topk,
     "corpus_temperature_mix": corpus_temperature_mix,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 
@@ -452,6 +484,22 @@ def _shingle_cte(name: str, where: str) -> str:
 from icenetetl_spark.functions.portable import portable_hash64_sql as _ph_sql
 
 ORACLES = {
+    # Mirrors text_unigram_logprob: same MLE model, same ln argument
+    # order, same fixed-point per-doc accumulation.
+    "text_unigram_logprob": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ),
+        vocab AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+        tot AS (SELECT count(*) AS total FROM toks)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(SUM(CAST(FLOOR(
+                   ln(CAST(n_t AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000000.0 / count(*) AS avg_logprob
+        FROM toks JOIN vocab USING (term) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
     # Mirrors corpus_temperature_mix: same tempering arithmetic in the
     # same order (sqrt shares, decimal normalizer, min-scaled rates) and
     # the same md5 hash threshold per document.
