@@ -46,7 +46,15 @@ def cmd_ingest(args: argparse.Namespace) -> int:
                 prefix = f.read(8 << 20)
             try:
                 attrs = file_attrs(prefix)
-            except Exception:  # truncated prefix (e.g. xarray backend)
+            except Exception as e:
+                # Retry with the whole file ONLY for a too-short prefix
+                # (classic reader says "truncated"; an xarray backend read
+                # error is also prefix-shaped). A corrupt header (bad
+                # magic/tags) fails identically on the full bytes, so let
+                # it propagate rather than re-reading a multi-GB file
+                # just to fail again.
+                if isinstance(e, ValueError) and "truncated" not in str(e).lower():
+                    raise
                 with open(args.file, "rb") as f:
                     attrs = file_attrs(f.read())
             if args.keywords:

@@ -80,7 +80,7 @@ def pq_codebook(
 ) -> DataFrame:
     """Fixed codebook from corpus rows: (m, code_id, csub) — K rows per
     subspace, K = len(code_ids). Deterministic and SQL-reproducible."""
-    d_width = (width or _vector_width(corpus, vec_col)) // m
+    d_width = _sub_width(width or _vector_width(corpus, vec_col), m)
     return _subvectors(
         corpus.filter(F.col(id_col).isin(code_ids)),
         "code_id",
@@ -98,6 +98,18 @@ def _vector_width(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def _sub_width(width: int, m: int) -> int:
+    """width / m, refusing remainders: a silent floor would drop the
+    trailing ``width % m`` dimensions from codebook, encode, and ADC
+    scoring (mirrors dedup.lsh_band_index's num_hashes/bands guard)."""
+    if width % m != 0:
+        raise ValueError(
+            f"vector width {width} is not divisible by m={m}; "
+            "PQ subspaces must partition the vector exactly"
+        )
+    return width // m
+
+
 def encode_pq(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -110,7 +122,7 @@ def encode_pq(
     One broadcast join + one partial-aggregated groupBy — the K scored
     copies of each (vector, subspace) collapse map-side before the
     shuffle, so the exchange carries N*M rows, not N*M*K."""
-    w = (width or _vector_width(corpus, vec_col)) // m
+    w = _sub_width(width or _vector_width(corpus, vec_col), m)
     sub = _subvectors(corpus, "neighbor_id", m, w, id_col, vec_col)
     scored = sub.join(F.broadcast(codebook), "m").select(
         "neighbor_id",
@@ -144,7 +156,7 @@ def fit_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    w = (width or _vector_width(corpus, vec_col)) // m
+    w = _sub_width(width or _vector_width(corpus, vec_col), m)
     rows = []
     for mi in range(m):
         sub = corpus.select(
@@ -216,7 +228,7 @@ def _knn_pq_with_codebook(
     vec_col: str,
     width: int | None = None,
 ) -> DataFrame:
-    w = (width or _vector_width(corpus, vec_col)) // m
+    w = _sub_width(width or _vector_width(corpus, vec_col), m)
     codes = encode_pq(corpus, codebook, m, id_col, vec_col, width=w * m)
 
     q_sub = _subvectors(queries, "query_id", m, w, id_col, vec_col)

@@ -69,10 +69,17 @@ def _decode_cf(values: np.ndarray, attrs: dict) -> np.ndarray:
         return values
     step = _CF_STEP[m.group(1).lower()]
     base = pd.Timestamp(m.group(2).strip()).to_datetime64()
-    return (
-        base.astype("datetime64[us]")
-        + values.astype("int64") * np.timedelta64(1, step).astype("timedelta64[us]")
-    )
+    step_us = np.timedelta64(1, step).astype("timedelta64[us]")
+    if values.dtype.kind in "iu":
+        return base.astype("datetime64[us]") + values.astype("int64") * step_us
+    # Float offsets (xarray parity): scale in float microseconds so
+    # fractional steps survive, and map non-finite values (masked
+    # _FillValue -> NaN) to NaT instead of int64-casting NaN (undefined).
+    offs_us = values.astype("float64") * float(step_us.astype("int64"))
+    out = base.astype("datetime64[us]") + np.where(
+        np.isfinite(offs_us), np.round(offs_us), 0
+    ).astype("int64") * np.timedelta64(1, "us")
+    return np.where(np.isfinite(offs_us), out, np.datetime64("NaT", "us"))
 
 
 def _melt_nc3(content: bytes) -> pd.DataFrame:

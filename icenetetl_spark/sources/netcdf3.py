@@ -164,7 +164,10 @@ def parse_netcdf3(data: bytes, load_data: bool = True) -> NC3File:
         )
         return inner * _DTYPES[nc_type].itemsize
 
-    if numrecs < 0 and rec_vars:  # STREAMING: infer from file length
+    # STREAMING: infer from file length — only when the full file was
+    # given (a header-only prefix would silently yield a wrong count;
+    # those parses report the record dim as None instead, below)
+    if numrecs < 0 and rec_vars and load_data:
         first = min(h[5] for h in rec_vars)
         # spec: a LONE record variable is stored contiguously with NO
         # per-record padding — its stride is the raw slab, not the padded
@@ -215,7 +218,10 @@ def parse_netcdf3(data: bytes, load_data: bool = True) -> NC3File:
     dims_out = dict(zip(dim_names, dim_sizes))
     record_dim = dim_names[record_dim_id] if record_dim_id is not None else None
     if record_dim is not None:
-        dims_out[record_dim] = numrecs
+        # numrecs < 0 only on a header-only parse of a STREAMING file:
+        # the true length needs the data section, so report None rather
+        # than a wrong number
+        dims_out[record_dim] = numrecs if numrecs >= 0 else None
     return NC3File(dims_out, gatts, variables, record_dim, order)
 
 

@@ -118,6 +118,45 @@ def test_reader_streaming_numrecs_lone_record_var():
     np.testing.assert_array_equal(nc.variables["s"].data, [1, 2, 3, 4, 5, 6])
 
 
+def test_streaming_header_only_reports_record_dim_none():
+    """A header-only parse of a STREAMING file cannot know the record
+    count (it needs the data length), so dims must say None — not a
+    number inferred from the truncated prefix."""
+    hdr = b"CDF\x01" + struct.pack(">i", -1)  # STREAMING
+    hdr += struct.pack(">ii", 0x0A, 1) + _name(b"time") + struct.pack(">i", 0)
+    hdr += struct.pack(">ii", 0, 0)
+    hdr += struct.pack(">ii", 0x0B, 1)
+    var = _name(b"s") + struct.pack(">ii", 1, 0) + struct.pack(">ii", 0, 0)
+    begin = len(hdr) + len(var) + 12
+    var += struct.pack(">iii", 3, 4, begin)  # NC_SHORT
+    body = struct.pack(">hhhhhh", 1, 2, 3, 4, 5, 6)
+    full = hdr + var + body
+    assert parse_netcdf3(full).dims["time"] == 6  # full parse still infers
+    nc = parse_netcdf3(full[: len(hdr) + len(var)], load_data=False)
+    assert nc.dims["time"] is None
+
+
+def test_float_cf_time_fractional_and_nan():
+    """CF-timed FLOAT variable: fractional offsets keep sub-unit
+    precision and _FillValue-masked NaNs decode to NaT (previously an
+    undefined NaN->int64 cast)."""
+    dims = {"t": 3}
+    variables = [
+        NC3Var("t", ("t",), {}, np.array([0, 1, 2], dtype=np.int32)),
+        NC3Var(
+            "ftime",
+            ("t",),
+            {"units": "days since 2020-01-01", "_FillValue": np.float64(-9.0)},
+            np.array([0.5, 1.25, -9.0]),
+        ),
+    ]
+    raw = write_netcdf3(dims, variables, {})
+    pdf = _melt_one(raw)
+    assert pdf["ftime"][0] == pd.Timestamp("2020-01-01 12:00:00")
+    assert pdf["ftime"][1] == pd.Timestamp("2020-01-02 06:00:00")
+    assert pd.isna(pdf["ftime"][2])
+
+
 def test_header_only_parse_skips_data():
     raw = make_netcdf_bytes("2024-03-01", grid_side=4, leadtimes=2)
     nc = parse_netcdf3(raw, load_data=False)

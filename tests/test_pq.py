@@ -15,6 +15,18 @@ def _load(spark):
     return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
 
 
+def test_indivisible_width_raises(spark):
+    """d % m != 0 must raise, not silently drop the trailing dims from
+    codebook/encode/ADC (the vectors here are d=64)."""
+    import pytest
+
+    emb = _load(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(emb, CODE_IDS, m=7)
+    with pytest.raises(ValueError, match="not divisible"):
+        knn_pq(emb.limit(2), emb, CODE_IDS, m=6)
+
+
 def test_encode_emits_one_code_per_subspace(spark):
     emb = _load(spark)
     m = 8
