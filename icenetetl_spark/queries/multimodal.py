@@ -30,10 +30,22 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(docs, every_nth=10)
 
 
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode: deterministic PNG/BMP bytes written per doc by the
+    stdlib codec, then parsed back pixel-by-pixel (filter reconstruction,
+    row padding, CRCs). The oracle reproduces width/height/pixel_sum from
+    the id arithmetic alone — so a writer/reader bug that survives the
+    round trip still fails the hash gate unless it preserves the exact
+    raster definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_images(M.attach_image_payload(docs))
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
+    "mm_decode": mm_decode,
 }
 
 _NB = "octet_length(encode(text))"
@@ -60,5 +72,23 @@ ORACLES = {
         SELECT doc_id, CAST(unnest(generate_series(0, {_NB} % 256, 10)) AS INTEGER)
                    AS frame_idx
         FROM documents
+    """,
+    "mm_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+                   CAST(1 + doc_id % 16 AS INTEGER) AS width,
+                   CAST(1 + (doc_id // 16) % 16 AS INTEGER) AS height
+            FROM documents),
+        px AS (
+            SELECT doc_id, format, width, height,
+                   unnest(generate_series(0, CAST(width * height - 1 AS BIGINT)))
+                       AS i
+            FROM dims)
+        SELECT doc_id, format, width, height,
+               CAST(width * height AS BIGINT) AS n_pixels,
+               CAST(SUM((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+        FROM px
+        GROUP BY doc_id, format, width, height
     """,
 }
