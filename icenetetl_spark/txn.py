@@ -1,0 +1,276 @@
+"""Optimistic-concurrency table commits over plain Parquet — the public
+Delta/Iceberg transaction-log idea, jar-free.
+
+:class:`ParquetCatalog` reproduces the reference's Postgres merge semantics
+(processor.py:249-256, 326-333, 395-401) for a SINGLE writer: its atomic
+directory swap loses one side when two writers race. This module closes that
+gap the way lakehouse formats do publicly:
+
+- A table is a ``data/`` directory of immutable write sets plus a
+  ``_manifests/`` log. Manifest ``v{N}.json`` lists the data directories
+  visible at version N; readers resolve the latest manifest and read
+  exactly those files — never a raw directory listing.
+- A commit WRITES ITS DATA FIRST (invisible until referenced), then
+  attempts to create ``v{N+1}.json`` with ``O_CREAT | O_EXCL`` — the
+  filesystem's compare-and-swap: exactly one contender can create a given
+  name. The loser deletes its orphaned write set and RETRIES against the
+  new snapshot, re-running its anti-join/merge so its decision is always
+  based on the state it serialized after. (On HDFS the same CAS is atomic
+  rename-without-overwrite; on S3, put-if-absent.)
+
+This gives serializable append_missing/upsert under concurrent writers:
+every committed version is derived from the immediately preceding one, so
+the history is a linear chain and ``ON CONFLICT`` semantics hold exactly.
+
+Scale notes: the manifest holds directory names, not rows — O(commits)
+metadata, independent of data size; readers cost one small JSON read.
+``compact``/``vacuum`` bound file-count growth the way OPTIMIZE/VACUUM do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from icenetetl_spark.operators.relational import insert_missing, upsert as upsert_plan
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this transaction targeted."""
+
+
+class TxnParquetCatalog:
+    """Manifest-logged catalog with optimistic concurrency.
+
+    API-compatible with :class:`icenetetl_spark.catalog.ParquetCatalog`
+    for read/append_missing/upsert/overwrite, safe for concurrent writers
+    within and across processes sharing a filesystem.
+    """
+
+    def __init__(
+        self, spark: SparkSession, warehouse: str, max_retries: int = 20
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.max_retries = max_retries
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- layout -----------------------------------------------------------
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _manifest_dir(self, name: str) -> str:
+        return os.path.join(self.path(name), "_manifests")
+
+    def _data_dir(self, name: str) -> str:
+        return os.path.join(self.path(name), "data")
+
+    @staticmethod
+    def _vname(version: int) -> str:
+        return f"v{version:016d}.json"
+
+    def current_version(self, name: str) -> int:
+        """Latest committed version, -1 for an absent/empty table."""
+        mdir = self._manifest_dir(name)
+        if not os.path.isdir(mdir):
+            return -1
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=-1)
+
+    def _load_manifest(self, name: str, version: int) -> dict:
+        with open(os.path.join(self._manifest_dir(name), self._vname(version))) as f:
+            return json.load(f)
+
+    def exists(self, name: str) -> bool:
+        return self.current_version(name) >= 0
+
+    # -- snapshot reads ---------------------------------------------------
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """DataFrame over exactly the write sets the manifest references —
+        uncommitted/orphaned data is invisible by construction. Passing
+        ``version`` time-travels to an older snapshot (manifests are
+        immutable, so old versions stay readable until vacuumed)."""
+        v = self.current_version(name) if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"table {name!r} has no committed version")
+        dirs = self._load_manifest(name, v)["dirs"]
+        if not dirs:
+            raise FileNotFoundError(f"table {name!r} v{v} is empty")
+        base = self._data_dir(name)
+        return self.spark.read.parquet(*[os.path.join(base, d) for d in dirs])
+
+    # -- commit machinery -------------------------------------------------
+
+    def _write_set(self, name: str, df: DataFrame) -> tuple[str, int]:
+        """Materialize ``df`` as a new immutable write set; returns
+        (dir-name, row-count). Invisible until a manifest references it."""
+        d = f"ws-{uuid.uuid4().hex}"
+        full = os.path.join(self._data_dir(name), d)
+        df.write.parquet(full)
+        n = self.spark.read.parquet(full).count()
+        return d, n
+
+    def _drop_write_set(self, name: str, d: str) -> None:
+        shutil.rmtree(os.path.join(self._data_dir(name), d), ignore_errors=True)
+
+    def _try_commit(
+        self, name: str, base_version: int, dirs: list[str], op: str
+    ) -> None:
+        """CAS: publish v{base+1} if and only if nobody else has. The body
+        is fully written (and fsynced) to a hidden temp file first, then
+        hard-linked to the version name — ``link(2)`` fails with EEXIST if
+        any other writer claimed it, and on success the manifest appears
+        atomically with its complete content (no partially-written-JSON
+        window for readers). HDFS maps this to rename-without-overwrite,
+        S3 to put-if-absent."""
+        mdir = self._manifest_dir(name)
+        os.makedirs(mdir, exist_ok=True)
+        target = os.path.join(mdir, self._vname(base_version + 1))
+        body = json.dumps(
+            {
+                "version": base_version + 1,
+                "dirs": dirs,
+                "op": op,
+                "ts": time.time(),
+            }
+        )
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflict(
+                f"{name}: version {base_version + 1} already committed"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    # -- public write ops -------------------------------------------------
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """CREATE OR REPLACE: new snapshot referencing only this write set.
+        Blind write — no read-set to validate, so a conflict just means
+        re-CAS at the next version (data files are already durable)."""
+        ws, _ = self._write_set(name, df)
+        for _ in range(self.max_retries):
+            try:
+                self._try_commit(name, self.current_version(name), [ws], "overwrite")
+                return
+            except CommitConflict:
+                continue
+        self._drop_write_set(name, ws)
+        raise CommitConflict(f"{name}: overwrite exceeded {self.max_retries} retries")
+
+    def append_missing(self, name: str, df: DataFrame, keys: Sequence[str]) -> int:
+        """INSERT ... ON CONFLICT DO NOTHING, serializable under races.
+
+        Each attempt anti-joins against the snapshot it will CAS over; a
+        lost CAS discards the now-possibly-stale write set and recomputes
+        from the winner's snapshot — so two writers inserting the same key
+        concurrently commit it exactly once, whichever order they land.
+        Returns rows actually appended (idempotent replay returns 0)."""
+        for _ in range(self.max_retries):
+            base = self.current_version(name)
+            if base < 0:
+                ws, n = self._write_set(name, df)
+                try:
+                    self._try_commit(name, -1, [ws], "create")
+                    return n
+                except CommitConflict:
+                    self._drop_write_set(name, ws)
+                    continue
+            fresh = insert_missing(df, self.read(name, base), keys)
+            ws, n = self._write_set(name, fresh)
+            if n == 0:
+                self._drop_write_set(name, ws)
+                # nothing to add relative to `base`; a later version can
+                # only contain MORE keys for these semantics (appends) —
+                # but an interleaved overwrite could have removed rows, so
+                # only short-circuit when still current
+                if self.current_version(name) == base:
+                    return 0
+                continue
+            dirs = self._load_manifest(name, base)["dirs"] + [ws]
+            try:
+                self._try_commit(name, base, dirs, "append_missing")
+                return n
+            except CommitConflict:
+                self._drop_write_set(name, ws)
+                continue
+        raise CommitConflict(
+            f"{name}: append_missing exceeded {self.max_retries} retries"
+        )
+
+    def upsert(self, name: str, df: DataFrame, keys: Sequence[str]) -> None:
+        """INSERT ... ON CONFLICT DO UPDATE (last-writer-wins per key),
+        serializable: the merge is recomputed against the exact snapshot
+        the CAS extends, so concurrent upserts of disjoint keys both
+        survive and same-key races resolve to the later committed merge."""
+        for _ in range(self.max_retries):
+            base = self.current_version(name)
+            if base < 0:
+                ws, _ = self._write_set(name, df)
+                try:
+                    self._try_commit(name, -1, [ws], "create")
+                    return
+                except CommitConflict:
+                    self._drop_write_set(name, ws)
+                    continue
+            merged = upsert_plan(df, self.read(name, base), keys)
+            ws, _ = self._write_set(name, merged)
+            try:
+                self._try_commit(name, base, [ws], "upsert")
+                return
+            except CommitConflict:
+                self._drop_write_set(name, ws)
+                continue
+        raise CommitConflict(f"{name}: upsert exceeded {self.max_retries} retries")
+
+    # -- maintenance ------------------------------------------------------
+
+    def vacuum(self, name: str, keep_versions: int = 1) -> int:
+        """Delete write sets referenced by NO retained manifest (crash
+        orphans and superseded snapshots) and manifests older than the
+        retained window. Returns directories removed. Like Delta VACUUM,
+        concurrent readers of vacuumed-away old versions would break —
+        ``keep_versions`` is that retention window."""
+        latest = self.current_version(name)
+        if latest < 0:
+            return 0
+        keep = range(max(0, latest - keep_versions + 1), latest + 1)
+        referenced: set[str] = set()
+        for v in keep:
+            referenced |= set(self._load_manifest(name, v)["dirs"])
+        removed = 0
+        ddir = self._data_dir(name)
+        for d in os.listdir(ddir) if os.path.isdir(ddir) else []:
+            if d not in referenced:
+                shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+                removed += 1
+        mdir = self._manifest_dir(name)
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                if int(f[1:-5]) < keep.start:
+                    os.unlink(os.path.join(mdir, f))
+        return removed
+
+    def compact(self, name: str, num_files: int = 8) -> None:
+        """OPTIMIZE: rewrite the current snapshot as one write set. Just an
+        ``overwrite`` of a coalesced self-read — the CAS loop makes it safe
+        to run while writers are active (their commits simply land after)."""
+        self.overwrite(name, self.read(name).coalesce(num_files))

@@ -1,0 +1,169 @@
+"""Optimistic-concurrency catalog: two real concurrent writers must
+serialize into a linear version chain with no lost rows, replays must be
+no-ops, and losers' orphaned write sets must stay invisible and vacuumable."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from icenetetl_spark.txn import CommitConflict, TxnParquetCatalog
+
+
+def _cat(spark, tmp_path) -> TxnParquetCatalog:
+    return TxnParquetCatalog(spark, str(tmp_path / "wh"))
+
+
+def _rows(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("v")
+    )
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    assert not cat.exists("t")
+    n = cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])
+    assert n == 10 and cat.exists("t")
+    assert cat.read("t").count() == 10
+    assert cat.current_version("t") == 0
+
+
+def test_append_missing_idempotent_replay(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    batch = _rows(spark, 0, 50, "a")
+    assert cat.append_missing("t", batch, ["k"]) == 50
+    v = cat.current_version("t")
+    assert cat.append_missing("t", batch, ["k"]) == 0  # replay: no-op
+    assert cat.read("t").count() == 50
+    # a pure replay must not even advance the version chain
+    assert cat.current_version("t") == v
+
+
+def test_upsert_last_writer_wins(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.upsert("t", _rows(spark, 0, 10, "old"), ["k"])
+    cat.upsert("t", _rows(spark, 5, 15, "new"), ["k"])
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert len(got) == 15
+    assert all(got[k] == "old" for k in range(0, 5))
+    assert all(got[k] == "new" for k in range(5, 15))
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 5, "a"), ["k"])
+    cat.append_missing("t", _rows(spark, 5, 9, "b"), ["k"])
+    assert cat.read("t", version=0).count() == 5
+    assert cat.read("t", version=1).count() == 9
+
+
+def test_concurrent_append_missing_loses_no_rows(spark, tmp_path):
+    """Two writers, overlapping key ranges, racing on the same table:
+    every key lands exactly once, total = |union of ranges|."""
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 1, "seed"), ["k"])
+    errs = []
+
+    def writer(lo, hi, tag):
+        try:
+            c = TxnParquetCatalog(spark, cat.warehouse)
+            for step in range(3):  # several commits each, to force races
+                c.append_missing(
+                    "t", _rows(spark, lo + step * 40, lo + step * 40 + hi, tag), ["k"]
+                )
+        except Exception as e:  # surfaced after join
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(0, 60, "w1"))
+    t2 = threading.Thread(target=writer, args=(20, 60, "w2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errs == []
+    got = cat.read("t")
+    keys = [r["k"] for r in got.select("k").collect()]
+    assert len(keys) == len(set(keys)), "duplicate keys => lost serialization"
+    expect = {0} | set(range(0, 140)) | set(range(20, 160))
+    assert set(keys) == expect
+    # linear chain: versions 0..current exist with no holes
+    mdir = os.path.join(cat.path("t"), "_manifests")
+    versions = sorted(int(f[1:-5]) for f in os.listdir(mdir) if f.endswith(".json"))
+    assert versions == list(range(len(versions)))
+
+
+def test_concurrent_upsert_disjoint_keys_both_survive(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.upsert("t", _rows(spark, 0, 1, "seed"), ["k"])
+
+    def writer(lo, hi, tag):
+        TxnParquetCatalog(spark, cat.warehouse).upsert(
+            "t", _rows(spark, lo, hi, tag), ["k"]
+        )
+
+    t1 = threading.Thread(target=writer, args=(100, 150, "w1"))
+    t2 = threading.Thread(target=writer, args=(200, 250, "w2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert {k for k in got if 100 <= k < 150} == set(range(100, 150))
+    assert {k for k in got if 200 <= k < 250} == set(range(200, 250))
+    assert got[0] == "seed"
+
+
+def test_orphaned_write_sets_invisible_and_vacuumed(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])
+    # simulate a crashed writer: data landed, manifest never committed
+    orphan = os.path.join(cat.path("t"), "data", "ws-deadbeef")
+    _rows(spark, 90, 99, "crash").write.parquet(orphan)
+    assert cat.read("t").count() == 10  # invisible to readers
+    removed = cat.vacuum("t")
+    assert removed == 1 and not os.path.isdir(orphan)
+    assert cat.read("t").count() == 10
+
+
+def test_vacuum_retains_window_and_drops_old_versions(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for i in range(4):
+        cat.overwrite("t", _rows(spark, 0, 10 + i, "x"))
+    assert cat.current_version("t") == 3
+    cat.vacuum("t", keep_versions=2)
+    assert cat.read("t", version=3).count() == 13
+    assert cat.read("t", version=2).count() == 12
+    with pytest.raises(FileNotFoundError):
+        cat.read("t", version=1)
+
+
+def test_conflict_raises_after_retry_budget(spark, tmp_path, monkeypatch):
+    cat = TxnParquetCatalog(spark, str(tmp_path / "wh"), max_retries=2)
+    cat.append_missing("t", _rows(spark, 0, 5, "a"), ["k"])
+
+    real = cat._try_commit
+
+    def always_lose(name, base, dirs, op):
+        # a competing writer claims the slot with ITS OWN snapshot (the
+        # base's dirs), then our CAS loses
+        base_dirs = cat._load_manifest(name, base)["dirs"] if base >= 0 else []
+        real(name, base, base_dirs, op + "-sniped")
+        raise CommitConflict("sniped")
+
+    monkeypatch.setattr(cat, "_try_commit", always_lose)
+    with pytest.raises(CommitConflict):
+        cat.append_missing("t", _rows(spark, 5, 9, "b"), ["k"])
+
+
+def test_manifest_content_is_complete_json(spark, tmp_path):
+    """The CAS publishes fully-written manifests (link-after-fsync): every
+    visible manifest parses and its dirs all exist."""
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 5, "a"), ["k"])
+    cat.append_missing("t", _rows(spark, 5, 9, "b"), ["k"])
+    mdir = os.path.join(cat.path("t"), "_manifests")
+    for f in sorted(os.listdir(mdir)):
+        if f.endswith(".json"):
+            m = json.load(open(os.path.join(mdir, f)))
+            for d in m["dirs"]:
+                assert os.path.isdir(os.path.join(cat.path("t"), "data", d))
