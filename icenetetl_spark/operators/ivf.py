@@ -72,6 +72,38 @@ def _nearest_cells_udf(centroids: np.ndarray, n_probe: int):
     return nearest
 
 
+def assign_cells_fixed(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Nearest-1 fixed-centroid assignment: ``(out_id, v, cell, csim)``
+    where ``csim`` is the cosine to the OWN cell's centroid (SemDeDup's
+    keep policy ranks on it). Argmax via ONE partial-aggregated groupBy
+    over a (sim, -centroid_id, v) struct — the k scored copies of each row
+    collapse map-side (see :func:`knn_ivf_fixed_centroids`'s plan note);
+    ties go to the smaller centroid id."""
+    cents = F.broadcast(centroids)
+    scored = vectors.crossJoin(cents).select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("v"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+        (-F.col("centroid_id")).alias("__negcid"),
+    )
+    return (
+        scored.groupBy(out_id)
+        .agg(F.max(F.struct("__sim", "__negcid", "v")).alias("m"))
+        .select(
+            out_id,
+            F.col("m.v").alias("v"),
+            (-F.col("m.__negcid")).alias("cell"),
+            F.col("m.__sim").alias("csim"),
+        )
+    )
+
+
 def knn_ivf_fixed_centroids(
     queries: DataFrame,
     corpus: DataFrame,
@@ -99,21 +131,9 @@ def knn_ivf_fixed_centroids(
     would shuffle k×N rows instead.
     """
     cents = F.broadcast(centroids)
-    c_scored = corpus.crossJoin(cents).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
-        (-F.col("centroid_id")).alias("__negcid"),
-    )
-    corpus_cells = (
-        c_scored.groupBy("neighbor_id")
-        .agg(F.max(F.struct("__sim", "__negcid", "cv")).alias("m"))
-        .select(
-            "neighbor_id",
-            F.col("m.cv").alias("cv"),
-            (-F.col("m.__negcid")).alias("cell"),
-        )
-    )
+    corpus_cells = assign_cells_fixed(
+        corpus, centroids, id_col, vec_col, out_id="neighbor_id"
+    ).select("neighbor_id", F.col("v").alias("cv"), "cell")
     q_scored = queries.crossJoin(cents).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

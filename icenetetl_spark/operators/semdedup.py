@@ -1,0 +1,120 @@
+"""SemDeDup — semantic deduplication in embedding space (Abbas et al.,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", arXiv:2303.09540, public).
+
+The paper's pipeline: cluster embeddings with a coarse k-means; WITHIN each
+cluster find pairs whose cosine similarity exceeds a threshold (semantic
+duplicates that exact/MinHash dedup misses — paraphrases, translations,
+templated rewrites); from each duplicate group keep exactly one example —
+the one with the LOWEST similarity to its cluster centroid (retaining the
+least-prototypical member preserves diversity near the cluster boundary).
+
+Spark-first realization, reusing the existing machinery:
+
+- Cell assignment: :func:`icenetetl_spark.operators.ivf.assign_cells_fixed`
+  — broadcast k×d centroids, argmax via one partial-aggregated groupBy.
+- Candidate pairs: within-cell self-equi-join on the cell id — the plan
+  NEVER leaves the cell (no cross-cell pair is ever materialized), which is
+  the paper's own O(n²/k) complexity bound and the property that keeps this
+  runnable at corpus scale: the pairwise stage shuffles on ``cell`` and
+  each cell's quadratic work is bounded by sizing k with the corpus.
+- Duplicate groups: :func:`icenetetl_spark.operators.dedup
+  .connected_components` (large-star/small-star) — components cannot span
+  cells because no edge does.
+- Keep policy: per component, argmin(similarity-to-centroid), ties to the
+  smaller id — one partial-aggregated min over a struct.
+
+The fixed-centroid variant (centroid rows read from the corpus itself,
+like ``knn_ivf_fixed``) is SQL-reproducible and hash-gated; the trained
+variant fits MLlib KMeans and feeds the centroids through the IDENTICAL
+plan (rows-only gate; seeded KMeans has no SQL twin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from icenetetl_spark.operators.dedup import connected_components
+from icenetetl_spark.operators.ivf import assign_cells_fixed, fit_coarse_quantizer
+from icenetetl_spark.operators.similarity import cosine
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_a, doc_b, cell, cos): within-cell pairs with cosine >= threshold,
+    ``doc_a < doc_b``. The self-join keys on the cell id, so candidate
+    generation is bucketed exactly like the LSH/SimHash/IVF families."""
+    cells = assign_cells_fixed(emb, centroids, id_col, vec_col)
+    a = cells.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "cell",
+            cosine(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(component_id, keep_id, n_members): semantic-duplicate groups and the
+    member each group retains (lowest centroid similarity, ties to the
+    smaller id — the SemDeDup policy). Isolated vectors are absent: they are
+    all keepers by definition and a caller anti-joins the drop set instead
+    of materializing the identity mapping."""
+    pairs = semantic_pairs(emb, centroids, threshold, id_col, vec_col)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    csims = assign_cells_fixed(emb, centroids, id_col, vec_col).select(
+        F.col("vec_id").alias("doc_id"), "csim"
+    )
+    return (
+        comp.join(csims, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.min(F.struct(F.col("csim"), F.col("doc_id"))).alias("m"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("component_id", F.col("m.doc_id").alias("keep_id"), "n_members")
+    )
+
+
+def semdedup_trained(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """The production variant: KMeans coarse clustering (the paper's
+    choice), centroids fed through the IDENTICAL fixed-plan — mirroring the
+    knn_ivf / knn_ivf_fixed split, so only the fit sits outside the hash
+    gate. Driver state is the k×d centroid matrix, corpus-independent."""
+    fitted: np.ndarray = fit_coarse_quantizer(emb, n_cells, vec_col, seed)
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(fitted)],
+        "centroid_id INT, cvec ARRAY<DOUBLE>",
+    )
+    return semdedup(emb, cents, threshold, id_col, vec_col)

@@ -186,6 +186,38 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_mean_long(emb, ["label"])
 
 
+# SemDeDup threshold: within-cell cosine above this marks a semantic
+# duplicate pair. 0.3 yields ~200 within-cell pairs over the 500-vector
+# testdata (non-vacuous groups) while staying far from the all-pairs floor.
+SEM_T = 0.3
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with FIXED centroids — hash-gated:
+    cluster-by-nearest-centroid, within-cell cosine pairs, connected
+    components, keep the least-prototypical member per group. The plan
+    never materializes a cross-cell pair; the oracle mirrors every step
+    (assignment argmax, pair threshold, recursive closure, keep argmin)."""
+    from icenetetl_spark.operators.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    return semdedup(emb, cents, threshold=SEM_T)
+
+
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's KMeans clustering, centroids fed through
+    the IDENTICAL fixed plan (the knn_ivf / knn_ivf_fixed split). Rows-only:
+    seeded KMeans has no SQL twin; plan equality on fitted centroids is
+    pinned in tests/test_semdedup.py."""
+    from icenetetl_spark.operators.semdedup import semdedup_trained
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_trained(emb, n_cells=16, threshold=SEM_T)
+
+
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core array vocabulary over the embedding column (SURVEY §2.7
     extension surface — the reference has no array functions): slice,
@@ -222,6 +254,8 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "embedding_norms": embedding_norms,
     "embedding_centroids": embedding_centroids,
+    "dedup_semantic": dedup_semantic,
+    "dedup_semantic_trained": dedup_semantic_trained,
 }
 
 def _sign_string(t: str, n: int) -> str:
@@ -518,5 +552,52 @@ ORACLES = {
         SELECT label, count(*) AS n_vectors,
                min(norm) AS min_norm, max(norm) AS max_norm
         FROM norms GROUP BY label
+    """,
+    # SemDeDup, step for step: nearest-1 cell (ties -> smaller centroid_id),
+    # within-cell cosine pairs above SEM_T, recursive min-label closure
+    # (pairs never cross cells, so neither do components), keep-one =
+    # argmin(centroid similarity, id) per component.
+    "dedup_semantic": f"""
+        WITH RECURSIVE cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id IN ({", ".join(map(str, IVF_CENTROID_IDS))})
+        ),
+        scored AS (
+            SELECT e.vec_id, e.embedding, ct.centroid_id,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(ct.cvec AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
+                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
+            FROM embeddings e, cents ct
+        ),
+        cells AS (
+            SELECT vec_id, embedding, centroid_id AS cell, sim AS csim FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, centroid_id) AS rk
+                FROM scored
+            ) WHERE rk = 1
+        ),
+        jpairs AS (
+            SELECT q.vec_id AS doc_a, c.vec_id AS doc_b
+            FROM cells q JOIN cells c
+              ON q.cell = c.cell AND q.vec_id < c.vec_id
+            WHERE {_COS} >= {SEM_T}
+        ),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+                  UNION SELECT doc_b, doc_a FROM jpairs),
+        gnodes AS (SELECT DISTINCT a AS n FROM edges),
+        reach(n, m) AS (
+            SELECT n, n FROM gnodes
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+        ),
+        comp AS (SELECT n AS doc_id, min(m) AS component_id FROM reach GROUP BY n)
+        SELECT c.component_id,
+               first(cl.vec_id ORDER BY cl.csim, cl.vec_id) AS keep_id,
+               count(*) AS n_members
+        FROM comp c JOIN cells cl ON cl.vec_id = c.doc_id
+        GROUP BY c.component_id
     """,
 }

@@ -1,0 +1,113 @@
+"""SemDeDup invariants: pairs never leave their cell, the keep policy is
+argmin(centroid-sim), the trained variant is deterministic and shares the
+fixed plan, and applying the drop set shrinks the corpus by exactly
+(members - groups)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from icenetetl_spark.operators.ivf import assign_cells_fixed
+from icenetetl_spark.operators.semdedup import (
+    semantic_pairs,
+    semdedup,
+    semdedup_trained,
+)
+from icenetetl_spark.queries.similarity import IVF_CENTROID_IDS, SEM_T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cents(emb):
+    return emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+
+
+def test_pairs_never_cross_cells(emb, cents):
+    cells = assign_cells_fixed(emb, cents).select("vec_id", "cell")
+    pairs = semantic_pairs(emb, cents, SEM_T).select("doc_a", "doc_b")
+    ca = cells.select(F.col("vec_id").alias("doc_a"), F.col("cell").alias("cell_a"))
+    cb = cells.select(F.col("vec_id").alias("doc_b"), F.col("cell").alias("cell_b"))
+    crossed = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(F.col("cell_a") != F.col("cell_b"))
+        .count()
+    )
+    pairs = semantic_pairs(emb, cents, SEM_T)
+    assert crossed == 0
+    assert pairs.count() > 0  # non-vacuous at this threshold
+
+
+def test_keep_policy_is_argmin_centroid_sim(emb, cents):
+    from icenetetl_spark.operators.dedup import connected_components
+
+    groups = semdedup(emb, cents, SEM_T)
+    assert groups.count() > 0
+    assert groups.filter(F.col("n_members") < 2).count() == 0
+    pairs = semantic_pairs(emb, cents, SEM_T)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    csims = assign_cells_fixed(emb, cents).select(
+        F.col("vec_id").alias("doc_id"), "csim"
+    )
+    best = (
+        comp.join(csims, "doc_id")
+        .groupBy("component_id")
+        .agg(F.min("csim").alias("min_csim"))
+    )
+    keep_sims = (
+        groups.join(
+            csims.withColumnRenamed("doc_id", "keep_id"), "keep_id"
+        ).join(best, "component_id")
+    )
+    assert keep_sims.filter(F.col("csim") != F.col("min_csim")).count() == 0
+
+
+def test_member_counts_match_component_sizes(emb, cents):
+    from icenetetl_spark.operators.dedup import connected_components
+
+    groups = semdedup(emb, cents, SEM_T)
+    pairs = semantic_pairs(emb, cents, SEM_T)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = comp.groupBy("component_id").count()
+    merged = groups.join(sizes, "component_id")
+    assert merged.filter(F.col("n_members") != F.col("count")).count() == 0
+    assert merged.count() == groups.count()
+
+
+def test_drop_set_application(emb, cents):
+    """The operation a pipeline actually runs: drop every group member
+    except the keeper; survivors = corpus - (members - groups)."""
+    from icenetetl_spark.operators.dedup import connected_components
+
+    groups = semdedup(emb, cents, SEM_T)
+    pairs = semantic_pairs(emb, cents, SEM_T)
+    members = connected_components(pairs.select("doc_a", "doc_b"))
+    n_members = members.count()
+    n_groups = groups.count()
+    drops = members.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    survivors = emb.join(
+        drops.withColumnRenamed("doc_id", "vec_id").select("vec_id"),
+        "vec_id",
+        "left_anti",
+    )
+    assert survivors.count() == emb.count() - (n_members - n_groups)
+
+
+def test_trained_variant_deterministic_and_within_cell(emb):
+    a = semdedup_trained(emb, n_cells=8, threshold=SEM_T, seed=7)
+    b = semdedup_trained(emb, n_cells=8, threshold=SEM_T, seed=7)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
