@@ -84,6 +84,82 @@ def word_shingles(
     )
 
 
+def split_passages(
+    docs: DataFrame,
+    mode: str = "paragraph",
+    window: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, para_idx, passage): sub-document units for passage-level
+    dedup (RefinedWeb/Gopher dedup at line/paragraph granularity — real
+    pretraining pipelines dedup BELOW the document, since boilerplate
+    repeats inside otherwise-unique pages).
+
+    ``mode='paragraph'``: split on blank lines (``\\n\\n``) — the natural
+    unit when the corpus has layout. ``mode='window'``: non-overlapping
+    ``window``-word chunks of the normalized text — the granularity fallback
+    for single-line corpora (and the shape used for span-level
+    decontamination). Both are pure JVM expressions: split + sequence +
+    slice + posexplode, no shuffle until the caller aggregates."""
+    if mode == "paragraph":
+        paras = F.split(F.col(text_col), r"\n{2,}")
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(paras).alias("para_idx", "passage"),
+        ).filter(F.trim(F.col("passage")) != "")
+    if mode != "window":
+        raise ValueError(f"unknown passage mode {mode!r}")
+    wdf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+    )
+    w = F.col("__words")
+    n_chunks = F.ceil(F.size(w) / F.lit(float(window))).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * window + 1, window)),
+    )
+    return wdf.filter(F.size(w) > 0).select(
+        "doc_id", F.posexplode(chunk).alias("para_idx", "passage")
+    )
+
+
+def passage_dup_stats(passages: DataFrame) -> DataFrame:
+    """(doc_id, n_passages, n_dup_passages, dup_frac): per-document
+    fraction of passages whose fingerprint occurs in >= 2 DISTINCT
+    documents — the para-dup quality signal a corpus-prep pipeline
+    thresholds on.
+
+    Shuffle budget: one groupBy on the fingerprint computing the distinct-
+    doc count (partial-aggregated), one join back keyed on the fingerprint,
+    one per-doc aggregate. The passage text itself never shuffles — only
+    its md5."""
+    fp = passages.select(
+        "doc_id", "para_idx", F.md5(F.col("passage")).alias("f")
+    )
+    df_counts = fp.groupBy("f").agg(
+        F.countDistinct("doc_id").alias("__nd")
+    )
+    return (
+        fp.join(df_counts, "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count(F.when(F.col("__nd") >= 2, 1)).alias("n_dup_passages"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            (
+                F.col("n_dup_passages").cast("double")
+                / F.col("n_passages").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     """Exact n-gram Jaccard similarity over all candidate pairs sharing at
     least one shingle (inverted-index self-join, no O(n^2) cross join).

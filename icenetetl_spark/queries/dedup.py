@@ -116,6 +116,25 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+# Passage-level dedup granularity: non-overlapping 6-word windows of the
+# normalized text (the testdata has no blank-line paragraphs; real corpora
+# use mode='paragraph' on the same operator). A doc whose passages are
+# mostly duplicated elsewhere is boilerplate even when its full text is
+# unique — corpus_prep_pipeline drops dup_frac > PARA_DUP_MAX.
+PARA_WINDOW = 6
+PARA_DUP_MAX = 0.5
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup signal (RefinedWeb/Gopher-style): per doc, the
+    fraction of its passages whose content fingerprint appears in >= 2
+    distinct documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.passage_dup_stats(
+        D.split_passages(docs, mode="window", window=PARA_WINDOW)
+    )
+
+
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup policy: within each near-dup group keep the
     highest-quality member (tiebreak lowest doc_id) — the keep/drop decision
@@ -153,6 +172,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_groups": dedup_groups,
     "dedup_canonical": dedup_canonical,
+    "dedup_paragraphs": dedup_paragraphs,
 }
 
 
@@ -269,6 +289,32 @@ ORACLES = {
         {_PAIRS_CTES},
         {_COMPONENTS_CTES}
         SELECT doc_id, component_id FROM comp
+    """,
+    "dedup_paragraphs": f"""
+        WITH words AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, i AS para_idx,
+                   array_to_string(
+                       w[i*{PARA_WINDOW}+1 : i*{PARA_WINDOW}+{PARA_WINDOW}],
+                       ' ') AS passage
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, CAST(ceil(len(w)/{PARA_WINDOW}.0) - 1 AS BIGINT))) AS i) t
+            WHERE len(w) > 0
+        ),
+        fp AS (SELECT doc_id, para_idx, md5(passage) AS f FROM chunks),
+        dfc AS (SELECT f, count(DISTINCT doc_id) AS nd FROM fp GROUP BY f),
+        per AS (
+            SELECT p.doc_id, count(*) AS n_passages,
+                   count(*) FILTER (d.nd >= 2) AS n_dup_passages
+            FROM fp p JOIN dfc d USING (f) GROUP BY p.doc_id
+        )
+        SELECT doc_id, n_passages, n_dup_passages,
+               CAST(n_dup_passages AS DOUBLE) / CAST(n_passages AS DOUBLE)
+                   AS dup_frac
+        FROM per
     """,
     "dedup_canonical": f"""
         WITH RECURSIVE {_SHINGLES_CTE},

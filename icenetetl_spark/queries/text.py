@@ -10,6 +10,14 @@ from icenetetl_spark.operators import text as T
 from icenetetl_spark.sources.testdata import load_table
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# passage-dedup constants shared with the dedup_paragraphs gate — single
+# source of truth so the pipeline filter and the standalone signal can't
+# drift apart
+from icenetetl_spark.queries.dedup import (  # noqa: E402
+    PARA_DUP_MAX as _PARA_MAX,
+    PARA_WINDOW as _PARA_W,
+)
 _TOKENS = f"string_split({_NORM}, ' ')"
 
 
@@ -209,19 +217,23 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep chain a real corpus runs END TO END:
-    score quality -> drop low-quality docs -> collapse exact duplicates to
-    their canonical (min-id) doc -> deterministic content-keyed 90/5/5
-    split -> contiguous token packing. Every stage is an operator already
-    hash-gated individually; this query gates the COMPOSITION (stage
-    boundaries are where silent schema/semantic drift hides).
+    score quality -> drop low-quality docs -> drop boilerplate docs whose
+    passages are mostly duplicated elsewhere (sub-document dedup signal,
+    see dedup_paragraphs) -> collapse exact duplicates to their canonical
+    (min-id) doc -> deterministic content-keyed 90/5/5 split -> contiguous
+    token packing. Every stage is an operator already hash-gated
+    individually; this query gates the COMPOSITION (stage boundaries are
+    where silent schema/semantic drift hides).
 
     Packing runs over the whole kept corpus in doc_id order for oracle
     determinism; per-split packing is the same prefix sum partitioned by
-    split. Scale shape: projections + one fingerprint window + one split
-    assignment + the distributed prefix sum — no all-pairs stage anywhere.
+    split. Scale shape: projections + one fingerprint window + the passage
+    fingerprint groupBy/join + one split assignment + the distributed
+    prefix sum — no all-pairs stage anywhere.
     """
     from pyspark.sql.window import Window
 
+    from icenetetl_spark.operators.dedup import passage_dup_stats, split_passages
     from icenetetl_spark.operators.sampling import pack_contiguous, split_by_hash
 
     docs = load_table(spark, sf_dir, "documents")
@@ -231,7 +243,14 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score(F.col("text")).alias("quality"),
         T.token_count(F.col("text")).alias("n_tokens"),
     )
-    kept = scored.filter(F.col("quality") >= 0.5)
+    para = passage_dup_stats(
+        split_passages(docs, mode="window", window=_PARA_W)
+    ).select("doc_id", "dup_frac")
+    kept = (
+        scored.join(para, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("dup_frac") <= _PARA_MAX))
+        .drop("dup_frac")
+    )
     w = Window.partitionBy("fp")
     canon = (
         kept.withColumn("__mn", F.min("doc_id").over(w))
@@ -664,7 +683,30 @@ ORACLES = {
                        AS quality
             FROM feats
         ),
-        kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+        pwords AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        ),
+        pchunks AS (
+            SELECT doc_id,
+                   array_to_string(
+                       w[i*{_PARA_W}+1 : i*{_PARA_W}+{_PARA_W}], ' ') AS passage
+            FROM pwords,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, CAST(ceil(len(w)/{_PARA_W}.0) - 1 AS BIGINT))) AS i) t
+            WHERE len(w) > 0
+        ),
+        pfp AS (SELECT doc_id, md5(passage) AS f FROM pchunks),
+        pdfc AS (SELECT f, count(DISTINCT doc_id) AS nd FROM pfp GROUP BY f),
+        pfrac AS (
+            SELECT p.doc_id,
+                   CAST(count(*) FILTER (d.nd >= 2) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS dup_frac
+            FROM pfp p JOIN pdfc d USING (f) GROUP BY p.doc_id
+        ),
+        kept AS (
+            SELECT s.* FROM scored s JOIN pfrac pf USING (doc_id)
+            WHERE s.quality >= 0.5 AND pf.dup_frac <= {_PARA_MAX}
+        ),
         canon AS (
             SELECT doc_id, fp, n_tokens, quality FROM (
                 SELECT *, min(doc_id) OVER (PARTITION BY fp) AS mn FROM kept

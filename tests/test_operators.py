@@ -310,3 +310,53 @@ def test_contamination_flags_overlap_and_keeps_clean_docs(spark):
     # clean doc still present, zero hits
     assert got[2]["n_contaminated"] == 0
     assert got[2]["contamination_ratio"] == 0.0
+
+
+def test_split_passages_paragraph_mode(spark):
+    """Blank-line paragraph splitting (not exercised by the driver gate —
+    the testdata is single-line): indices are per-doc positions, blank
+    paragraphs are dropped, multi-blank runs collapse."""
+    from icenetetl_spark.operators.dedup import split_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\ngamma delta\n\n\n\nepsilon"),
+            (2, "single paragraph only"),
+            (3, "   \n\n  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["para_idx"]): r["passage"]
+        for r in split_passages(docs, mode="paragraph").collect()
+    }
+    assert got[(1, 0)] == "alpha beta"
+    assert got[(1, 1)] == "gamma delta"
+    assert got[(1, 2)] == "epsilon"
+    assert got[(2, 0)] == "single paragraph only"
+    assert all(d != 3 for d, _ in got)
+
+
+def test_passage_dup_stats_window_mode(spark):
+    """Two docs sharing one 3-word window, one doc unique: the shared
+    window marks exactly one passage per sharer as duplicated."""
+    from icenetetl_spark.operators.dedup import passage_dup_stats, split_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common boiler plate unique tail one"),
+            (2, "common boiler plate other ending two"),
+            (3, "totally different words here now yes"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["doc_id"]: r
+        for r in passage_dup_stats(
+            split_passages(docs, mode="window", window=3)
+        ).collect()
+    }
+    assert stats[1]["n_passages"] == 2 and stats[1]["n_dup_passages"] == 1
+    assert stats[2]["n_passages"] == 2 and stats[2]["n_dup_passages"] == 1
+    assert stats[3]["n_dup_passages"] == 0
+    assert abs(stats[1]["dup_frac"] - 0.5) < 1e-12
