@@ -42,14 +42,26 @@ def fit_coarse_quantizer(
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """KMeans centroids (k x d numpy) — the only state that ever reaches the
-    driver; O(k*d), independent of corpus size."""
+    driver; O(k*d), independent of corpus size.
+
+    ``sample_fraction`` bounds the training set (FAISS trains coarse
+    quantizers on a sample; centroid quality saturates around a few
+    hundred rows per cell) and the training input is persisted for the
+    fit so KMeans's maxIter passes re-read the cache, not the source scan."""
     from pyspark.ml.clustering import KMeans
 
     km = KMeans(k=n_cells, seed=seed, featuresCol="__features", maxIter=20)
     train = corpus.select(_to_ml_vector(F.col(vec_col)).alias("__features"))
-    model = km.fit(train)
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    train = train.persist()
+    try:
+        model = km.fit(train)
+    finally:
+        train.unpersist()
     # clusterCenters() yields numpy arrays or ml Vectors depending on version
     return np.array(
         [c if isinstance(c, np.ndarray) else c.toArray() for c in model.clusterCenters()]

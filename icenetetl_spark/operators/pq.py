@@ -144,6 +144,7 @@ def fit_pq_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     width: int | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """TRAINED codebooks: per-subspace KMeans over the corpus's subvector
     slices (the production quantizer; Jégou TPAMI'11 trains exactly this).
@@ -152,23 +153,39 @@ def fit_pq_codebooks(
     knn_ivf (trained, rows-only) vs knn_ivf_fixed (hash-gated) split.
     Driver state is M codebooks of k x (d/M) floats — O(d * k), corpus-
     size-independent. Seeded => deterministic locally; not reproducible
-    in a SQL oracle, so callers gate recall via tests."""
+    in a SQL oracle, so callers gate recall via tests.
+
+    Training cost: ONE corpus scan total, not M — the (optionally sampled)
+    vector column is persisted once and all M subspace fits read the
+    cached slices. ``sample_fraction`` bounds the training set the way
+    FAISS trains its quantizers on a sample: k-means centroid error decays
+    like O(1/sqrt(n_train)), so ~max(10^4, 256*k) sampled rows per
+    subspace saturate quality and training cost stops scaling with the
+    corpus. At 100 TB you pass e.g. 1e-5; the full-corpus default exists
+    for small-data determinism tests."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     w = _sub_width(width or _vector_width(corpus, vec_col), m)
-    rows = []
-    for mi in range(m):
-        sub = corpus.select(
-            array_to_vector(
-                F.slice(F.col(vec_col), mi * w + 1, w).cast("array<double>")
-            ).alias("__features")
-        )
-        model = KMeans(
-            k=k_codes, seed=seed + mi, featuresCol="__features", maxIter=20
-        ).fit(sub)
-        for ci, center in enumerate(model.clusterCenters()):
-            rows.append((mi, ci, [float(x) for x in center]))
+    train = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    train = train.persist()
+    try:
+        rows = []
+        for mi in range(m):
+            sub = train.select(
+                array_to_vector(
+                    F.slice(F.col("__v"), mi * w + 1, w)
+                ).alias("__features")
+            )
+            model = KMeans(
+                k=k_codes, seed=seed + mi, featuresCol="__features", maxIter=20
+            ).fit(sub)
+            for ci, center in enumerate(model.clusterCenters()):
+                rows.append((mi, ci, [float(x) for x in center]))
+    finally:
+        train.unpersist()
     spark = corpus.sparkSession
     return spark.createDataFrame(
         rows, "m INT, code_id INT, csub ARRAY<DOUBLE>"
@@ -185,11 +202,15 @@ def knn_pq_trained(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_sample_fraction: float | None = None,
 ) -> DataFrame:
     """PQ ANN with the trained quantizer — identical plan to
-    :func:`knn_pq`, codebook swapped for :func:`fit_pq_codebooks`."""
+    :func:`knn_pq`, codebook swapped for :func:`fit_pq_codebooks`
+    (pass ``train_sample_fraction`` at scale; see its docstring)."""
     width = _vector_width(corpus, vec_col)
-    codebook = fit_pq_codebooks(corpus, m, k_codes, vec_col, seed, width)
+    codebook = fit_pq_codebooks(
+        corpus, m, k_codes, vec_col, seed, width, train_sample_fraction
+    )
     return _knn_pq_with_codebook(
         queries, corpus, codebook, k, m, refine_factor, id_col, vec_col, width
     )
