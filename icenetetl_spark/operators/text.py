@@ -125,6 +125,67 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# PII scrubbing — the standard pre-training redaction pass (emails, IPv4,
+# dashed phone numbers). Patterns use only character classes, bounded
+# repetition and \b, whose semantics are identical under Java regex (Spark)
+# and RE2 (DuckDB oracle) — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # TPC-H customer/supplier phone shape: CC-XXX-XXX-XXXX
+    "phone": (r"\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+}
+
+# Redaction order matters (ipv4 before phone would not overlap here, but fix
+# it anyway so Spark and the oracle apply the identical chain).
+PII_ORDER: tuple[str, ...] = ("email", "ipv4", "phone")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts on the RAW text (pre-redaction)."""
+    return {
+        name: F.regexp_count(text, F.lit(PII_PATTERNS[name][0]))
+        for name in PII_ORDER
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its category token, applied in
+    PII_ORDER. Each step is a single JVM regexp_replace — no Python."""
+    out = text
+    for name in PII_ORDER:
+        pat, rep = PII_PATTERNS[name]
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def token_chunks(
+    toks: Column, window: int, step: int
+) -> tuple[Column, Column]:
+    """Overlapping fixed-size token windows — the RAG / context-packing
+    chunker. Returns ``(starts, chunk_fn)`` where ``starts`` is the 1-based
+    array of chunk start offsets (stride ``step``; the final window may be
+    shorter than ``window`` but every token is covered), and
+    ``chunk_fn(start)`` yields the chunk's token slice.
+
+    Pure array arithmetic (sequence + slice): the chunk explosion happens
+    inside whole-stage codegen and parallelizes with the document scan —
+    no shuffle is introduced by chunking itself.
+    """
+    if not (0 < step <= window):
+        raise ValueError(f"need 0 < step <= window, got {window=} {step=}")
+    n = F.size(toks)
+    # Largest start L in the arithmetic sequence satisfies L <= n-window+step,
+    # so L+window-1 >= n: the tail is always covered.
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), n - F.lit(window - step)),
+        F.lit(step),
+    )
+    return starts, (lambda start: F.slice(toks, start, window))
+
+
 def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document repetition signal: the fraction of all tokens taken by
     the single most frequent token (Gopher-style "fraction of characters in

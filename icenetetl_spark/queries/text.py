@@ -206,6 +206,86 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
+def _pii_fixture_text(c: F.Column) -> F.Column:
+    """Deterministic PII-bearing sentence derived from c_custkey — the
+    synthetic tables carry no contact fields, so the corpus is constructed
+    in-query (the oracle mirrors the identical arithmetic): one email, one
+    TPC-H-shaped dashed phone, one IPv4 per customer, embedded in text."""
+    key = c.cast("long")
+    pad3 = lambda x: F.lpad((x).cast("string"), 3, "0")  # noqa: E731
+    email = F.concat(F.lit("user"), key.cast("string"), F.lit("@example.com"))
+    phone = F.concat_ws(
+        "-",
+        (key % 25 + 10).cast("string"),
+        pad3(key % 1000),
+        pad3(key * 7 % 1000),
+        F.lpad((key * 13 % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat_ws(
+        ".",
+        (key % 223 + 1).cast("string"),
+        (key * 3 % 256).cast("string"),
+        (key * 5 % 256).cast("string"),
+        (key * 7 % 256).cast("string"),
+    )
+    return F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.lit("mail"), email,
+        F.lit("tel"), phone,
+        F.lit("ip"), ip,
+        F.col("c_mktsegment"),
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators.text.redact_pii): emails, IPv4 addresses
+    and dashed phone numbers replaced by category tokens, with per-category
+    match counts on the raw text. All three passes are single JVM
+    regexp_replace steps inside one projection — the plan is a pure scan
+    with zero shuffles, so redaction throughput is scan throughput."""
+    cust = load_table(spark, sf_dir, "customer")
+    raw = _pii_fixture_text(F.col("c_custkey"))
+    counts = T.pii_counts(raw)
+    return cust.select(
+        "c_custkey",
+        T.redact_pii(raw).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+# RAG / context-window chunker parameters: 32-token windows, stride 24
+# (8-token overlap) — shared verbatim with the oracle SQL below.
+CHUNK_WINDOW = 32
+CHUNK_STEP = 24
+
+
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators.text.token_chunks) —
+    the retrieval/context-packing pass that splits every document into
+    32-token chunks with 8 tokens of overlap. The chunk explosion is
+    array arithmetic (sequence + posexplode + slice) inside whole-stage
+    codegen: no shuffle, no Python, and each task chunks only its own
+    partition's documents — embarrassingly parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", T.tokens(F.col("text")).alias("__w"))
+    starts, chunk = T.token_chunks(
+        F.col("__w"), CHUNK_WINDOW, CHUNK_STEP
+    )
+    ex = w.select(
+        "doc_id", "__w", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    piece = chunk(F.col("start"))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-overlap check: per training doc, distinct 3-gram shingles shared
     with the benchmark split (doc_id % 17 == 0 plays the eval suite)."""
@@ -433,6 +513,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "corpus_source_mix": corpus_source_mix,
     "text_repetition": text_repetition,
+    "text_pii_redact": text_pii_redact,
+    "doc_chunk_tokens": doc_chunk_tokens,
     "text_decontaminate": text_decontaminate,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "text_stats": text_stats,
@@ -637,6 +719,51 @@ ORACLES = {
                n_exact_dups, mean_quality
         FROM agg, tot
     """,
+    # Mirrors text_pii_redact: same patterns, same replacement chain in
+    # PII_ORDER (RE2 and Java regex agree on these class-based patterns).
+    "text_pii_redact": """
+        WITH raw AS (
+            SELECT c_custkey,
+                   concat_ws(' ', c_name,
+                       'mail', concat('user', CAST(c_custkey AS VARCHAR),
+                                      '@example.com'),
+                       'tel', concat_ws('-',
+                           CAST(c_custkey % 25 + 10 AS VARCHAR),
+                           lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'),
+                           lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0'),
+                           lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0')),
+                       'ip', concat_ws('.',
+                           CAST(c_custkey % 223 + 1 AS VARCHAR),
+                           CAST(c_custkey * 3 % 256 AS VARCHAR),
+                           CAST(c_custkey * 5 % 256 AS VARCHAR),
+                           CAST(c_custkey * 7 % 256 AS VARCHAR)),
+                       c_mktsegment) AS t
+            FROM customer
+        )
+        SELECT c_custkey,
+               __REDACT__ AS redacted,
+               __COUNTS__
+        FROM raw
+    """,
+    # Mirrors doc_chunk_tokens: same window/stride constants, same
+    # tail-covering start sequence, 1-based inclusive slices on both
+    # engines (Spark slice(start, length) vs DuckDB w[start:end]).
+    "doc_chunk_tokens": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+        s AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(
+                       1, greatest(1, len(w) - __WMS__), __STEP__)) AS start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST((start - 1) // __STEP__ AS BIGINT) AS chunk_idx,
+               array_to_string(
+                   w[start:least(start + __WM1__, len(w))], ' ')
+                   AS chunk_text,
+               least(__WIN__, len(w) - start + 1) AS n_chunk_tokens
+        FROM s
+    """,
     "text_repetition": f"""
         WITH toks AS (
             SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
@@ -829,3 +956,31 @@ ORACLES = {
         FROM cum
     """,
 }
+
+
+def _pii_redact_expr(col: str) -> str:
+    # Built by substitution, not f-string literals: the regex bounded
+    # repetitions ({1,3}, {2,}) would read as format fields.
+    out = col
+    for name in T.PII_ORDER:
+        pat, rep = T.PII_PATTERNS[name]
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+_PII_COUNTS = ",\n               ".join(
+    f"len(regexp_extract_all(t, '{T.PII_PATTERNS[name][0]}')) AS n_{alias}"
+    for name, alias in (("email", "email"), ("ipv4", "ipv4"), ("phone", "phone"))
+)
+ORACLES["text_pii_redact"] = (
+    ORACLES["text_pii_redact"]
+    .replace("__REDACT__", _pii_redact_expr("t"))
+    .replace("__COUNTS__", _PII_COUNTS)
+)
+ORACLES["doc_chunk_tokens"] = (
+    ORACLES["doc_chunk_tokens"]
+    .replace("__WMS__", str(CHUNK_WINDOW - CHUNK_STEP))
+    .replace("__WM1__", str(CHUNK_WINDOW - 1))
+    .replace("__STEP__", str(CHUNK_STEP))
+    .replace("__WIN__", str(CHUNK_WINDOW))
+)

@@ -360,3 +360,63 @@ def test_passage_dup_stats_window_mode(spark):
     assert stats[2]["n_passages"] == 2 and stats[2]["n_dup_passages"] == 1
     assert stats[3]["n_dup_passages"] == 0
     assert abs(stats[1]["dup_frac"] - 0.5) < 1e-12
+
+
+def test_redact_pii_and_counts(spark):
+    from icenetetl_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@sub.example.org today"),
+            (2, "server 10.0.255.3 answered, call 25-989-741-2988 now"),
+            (3, "no pii here at all"),
+            (4, "a@b.co and 1.2.3.4 and 12-345-678-9012"),
+        ],
+        "id int, t string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("t")).alias("red"),
+            *[c.alias(f"n_{k}") for k, c in pii_counts(F.col("t")).items()],
+        ).collect()
+    }
+    assert out[1]["red"] == "mail me at <EMAIL> today"
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[2]["red"] == "server <IP> answered, call <PHONE> now"
+    assert out[3]["red"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[4]["red"] == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_token_chunks_cover_and_overlap(spark):
+    import pytest as _pytest
+
+    from icenetetl_spark.operators.text import token_chunks, tokens
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "a b c"), (3, "")], "id int, t string")
+    w = df.select("id", tokens(F.col("t")).alias("w"))
+    starts, chunk = token_chunks(F.col("w"), 32, 24)
+    rows = (
+        w.select("id", "w", F.posexplode(starts).alias("idx", "start"))
+        .select("id", "idx", "start", chunk(F.col("start")).alias("c"))
+        .collect()
+    )
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # 100 tokens, stride 24: starts 1,25,49,73 (73+31 >= 100 covers the
+    # tail, so no extra window is emitted), overlap 8
+    c1 = sorted(by_id[1], key=lambda r: r["idx"])
+    assert [r["start"] for r in c1] == [1, 25, 49, 73]
+    covered = [t for r in c1 for t in r["c"]]
+    assert set(covered) == {f"w{i}" for i in range(100)}
+    assert c1[0]["c"][-8:] == c1[1]["c"][:8]  # overlap region agrees
+    assert len(c1[-1]["c"]) == 28  # clamped tail slice
+    # short docs produce exactly one chunk; empty text normalizes to [""]
+    assert len(by_id[2]) == 1 and by_id[2][0]["c"] == ["a", "b", "c"]
+    assert len(by_id[3]) == 1
+    with _pytest.raises(ValueError):
+        token_chunks(F.col("w"), 8, 9)
