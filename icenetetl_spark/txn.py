@@ -45,6 +45,60 @@ class CommitConflict(Exception):
     """Another writer committed the version this transaction targeted."""
 
 
+import datetime as _dt  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+_PRED_OPS = {
+    "==": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _json_stat(v):
+    """JSON-safe manifest statistic. Temporal values become ISO strings
+    (ISO ordering == temporal ordering, so range pruning stays valid);
+    anything else non-primitive becomes None = "no statistic" (pruning
+    falls back to keeping the write set)."""
+    if isinstance(v, bool) or v is None:
+        return v if v is None else bool(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _may_match(minmax, op: str, value) -> bool:
+    """Can ``col op value`` hold for any row of a write set with the given
+    [min, max]? Unknown stats, all-null bounds, or cross-type comparisons
+    all answer True — pruning is only ever an optimization."""
+    if not minmax:
+        return True
+    lo, hi = minmax
+    if lo is None or hi is None:
+        return True
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        value = value.isoformat()
+    try:
+        if op == "==":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True
+    raise ValueError(f"unsupported predicate op {op!r}")
+
+
 class TxnParquetCatalog:
     """Manifest-logged catalog with optimistic concurrency.
 
@@ -97,36 +151,100 @@ class TxnParquetCatalog:
 
     # -- snapshot reads ---------------------------------------------------
 
-    def read(self, name: str, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        version: int | None = None,
+        where: Sequence[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
         """DataFrame over exactly the write sets the manifest references —
         uncommitted/orphaned data is invisible by construction. Passing
         ``version`` time-travels to an older snapshot (manifests are
-        immutable, so old versions stay readable until vacuumed)."""
+        immutable, so old versions stay readable until vacuumed).
+
+        ``where`` is a conjunction of simple predicates ``(col, op, value)``
+        with op in {'==','<','<=','>','>='}. Write sets whose manifest
+        min/max statistics prove the predicate can't match are never
+        listed, never opened, never scanned — manifest-level data skipping,
+        the public Iceberg idea. The same predicates are re-applied as a
+        residual row filter, so pruning is purely an optimization: the
+        result equals ``read(name).filter(...)`` whether or not any write
+        set carries statistics. At cluster scale this turns a point/range
+        lookup over a long-appended table into an O(matching write sets)
+        scan driven by O(commits) JSON metadata."""
         v = self.current_version(name) if version is None else version
         if v < 0:
             raise FileNotFoundError(f"table {name!r} has no committed version")
-        dirs = self._load_manifest(name, v)["dirs"]
+        manifest = self._load_manifest(name, v)
+        dirs = manifest["dirs"]
         if not dirs:
             raise FileNotFoundError(f"table {name!r} v{v} is empty")
+        if where:
+            dirs = self._prune_dirs(manifest, where)
         base = self._data_dir(name)
-        return self.spark.read.parquet(*[os.path.join(base, d) for d in dirs])
+        if not dirs:
+            # every write set pruned: empty frame with the table's schema
+            df = self.spark.read.parquet(
+                *[os.path.join(base, d) for d in manifest["dirs"]]
+            ).limit(0)
+        else:
+            df = self.spark.read.parquet(*[os.path.join(base, d) for d in dirs])
+        for col, op, value in where or []:
+            df = df.filter(_PRED_OPS[op](F.col(col), F.lit(value)))
+        return df
+
+    @staticmethod
+    def _prune_dirs(
+        manifest: dict, where: Sequence[tuple[str, str, object]]
+    ) -> list[str]:
+        """Write-set names that MAY satisfy every conjunct. A dir without
+        statistics for a predicate's column is always kept (pruning must
+        never change results)."""
+        stats = manifest.get("stats", {})
+        kept = []
+        for d in manifest["dirs"]:
+            dstats = stats.get(d, {})
+            if all(
+                _may_match(dstats.get(col), op, value)
+                for col, op, value in where
+            ):
+                kept.append(d)
+        return kept
 
     # -- commit machinery -------------------------------------------------
 
-    def _write_set(self, name: str, df: DataFrame) -> tuple[str, int]:
+    def _write_set(
+        self, name: str, df: DataFrame, stats_cols: Sequence[str] = ()
+    ) -> tuple[str, int, dict]:
         """Materialize ``df`` as a new immutable write set; returns
-        (dir-name, row-count). Invisible until a manifest references it."""
+        (dir-name, row-count, {col: [min, max]}). Invisible until a
+        manifest references it. Count and statistics come from ONE agg job
+        over the written files — stats collection adds no extra pass."""
         d = f"ws-{uuid.uuid4().hex}"
         full = os.path.join(self._data_dir(name), d)
         df.write.parquet(full)
-        n = self.spark.read.parquet(full).count()
-        return d, n
+        back = self.spark.read.parquet(full)
+        cols = [c for c in stats_cols if c in back.columns]
+        aggs = [F.count(F.lit(1))]
+        for c in cols:
+            aggs += [F.min(c), F.max(c)]
+        row = back.agg(*aggs).collect()[0]
+        stats = {
+            c: [_json_stat(row[1 + 2 * i]), _json_stat(row[2 + 2 * i])]
+            for i, c in enumerate(cols)
+        }
+        return d, row[0], stats
 
     def _drop_write_set(self, name: str, d: str) -> None:
         shutil.rmtree(os.path.join(self._data_dir(name), d), ignore_errors=True)
 
     def _try_commit(
-        self, name: str, base_version: int, dirs: list[str], op: str
+        self,
+        name: str,
+        base_version: int,
+        dirs: list[str],
+        op: str,
+        stats: dict[str, dict] | None = None,
     ) -> None:
         """CAS: publish v{base+1} if and only if nobody else has. The body
         is fully written (and fsynced) to a hidden temp file first, then
@@ -144,6 +262,7 @@ class TxnParquetCatalog:
                 "dirs": dirs,
                 "op": op,
                 "ts": time.time(),
+                "stats": {d: s for d, s in (stats or {}).items() if d in dirs},
             }
         )
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:8]}")
@@ -162,21 +281,31 @@ class TxnParquetCatalog:
 
     # -- public write ops -------------------------------------------------
 
-    def overwrite(self, name: str, df: DataFrame) -> None:
+    def overwrite(
+        self, name: str, df: DataFrame, stats_cols: Sequence[str] = ()
+    ) -> None:
         """CREATE OR REPLACE: new snapshot referencing only this write set.
         Blind write — no read-set to validate, so a conflict just means
         re-CAS at the next version (data files are already durable)."""
-        ws, _ = self._write_set(name, df)
+        ws, _, st = self._write_set(name, df, stats_cols)
         for _ in range(self.max_retries):
             try:
-                self._try_commit(name, self.current_version(name), [ws], "overwrite")
+                self._try_commit(
+                    name, self.current_version(name), [ws], "overwrite", {ws: st}
+                )
                 return
             except CommitConflict:
                 continue
         self._drop_write_set(name, ws)
         raise CommitConflict(f"{name}: overwrite exceeded {self.max_retries} retries")
 
-    def append_missing(self, name: str, df: DataFrame, keys: Sequence[str]) -> int:
+    def append_missing(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: Sequence[str],
+        stats_cols: Sequence[str] = (),
+    ) -> int:
         """INSERT ... ON CONFLICT DO NOTHING, serializable under races.
 
         Each attempt anti-joins against the snapshot it will CAS over; a
@@ -187,15 +316,15 @@ class TxnParquetCatalog:
         for _ in range(self.max_retries):
             base = self.current_version(name)
             if base < 0:
-                ws, n = self._write_set(name, df)
+                ws, n, st = self._write_set(name, df, stats_cols)
                 try:
-                    self._try_commit(name, -1, [ws], "create")
+                    self._try_commit(name, -1, [ws], "create", {ws: st})
                     return n
                 except CommitConflict:
                     self._drop_write_set(name, ws)
                     continue
             fresh = insert_missing(df, self.read(name, base), keys)
-            ws, n = self._write_set(name, fresh)
+            ws, n, st = self._write_set(name, fresh, stats_cols)
             if n == 0:
                 self._drop_write_set(name, ws)
                 # nothing to add relative to `base`; a later version can
@@ -205,9 +334,11 @@ class TxnParquetCatalog:
                 if self.current_version(name) == base:
                     return 0
                 continue
-            dirs = self._load_manifest(name, base)["dirs"] + [ws]
+            prior = self._load_manifest(name, base)
+            dirs = prior["dirs"] + [ws]
+            merged_stats = {**prior.get("stats", {}), ws: st}
             try:
-                self._try_commit(name, base, dirs, "append_missing")
+                self._try_commit(name, base, dirs, "append_missing", merged_stats)
                 return n
             except CommitConflict:
                 self._drop_write_set(name, ws)
@@ -216,7 +347,13 @@ class TxnParquetCatalog:
             f"{name}: append_missing exceeded {self.max_retries} retries"
         )
 
-    def upsert(self, name: str, df: DataFrame, keys: Sequence[str]) -> None:
+    def upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: Sequence[str],
+        stats_cols: Sequence[str] = (),
+    ) -> None:
         """INSERT ... ON CONFLICT DO UPDATE (last-writer-wins per key),
         serializable: the merge is recomputed against the exact snapshot
         the CAS extends, so concurrent upserts of disjoint keys both
@@ -224,17 +361,17 @@ class TxnParquetCatalog:
         for _ in range(self.max_retries):
             base = self.current_version(name)
             if base < 0:
-                ws, _ = self._write_set(name, df)
+                ws, _, st = self._write_set(name, df, stats_cols)
                 try:
-                    self._try_commit(name, -1, [ws], "create")
+                    self._try_commit(name, -1, [ws], "create", {ws: st})
                     return
                 except CommitConflict:
                     self._drop_write_set(name, ws)
                     continue
             merged = upsert_plan(df, self.read(name, base), keys)
-            ws, _ = self._write_set(name, merged)
+            ws, _, st = self._write_set(name, merged, stats_cols)
             try:
-                self._try_commit(name, base, [ws], "upsert")
+                self._try_commit(name, base, [ws], "upsert", {ws: st})
                 return
             except CommitConflict:
                 self._drop_write_set(name, ws)
@@ -272,5 +409,11 @@ class TxnParquetCatalog:
     def compact(self, name: str, num_files: int = 8) -> None:
         """OPTIMIZE: rewrite the current snapshot as one write set. Just an
         ``overwrite`` of a coalesced self-read — the CAS loop makes it safe
-        to run while writers are active (their commits simply land after)."""
-        self.overwrite(name, self.read(name).coalesce(num_files))
+        to run while writers are active (their commits simply land after).
+        Statistics columns carry over from the current manifest so a
+        compacted table keeps its data-skipping metadata."""
+        manifest = self._load_manifest(name, self.current_version(name))
+        stats_cols = sorted(
+            {c for s in manifest.get("stats", {}).values() for c in s}
+        )
+        self.overwrite(name, self.read(name).coalesce(num_files), stats_cols)

@@ -143,7 +143,7 @@ def test_conflict_raises_after_retry_budget(spark, tmp_path, monkeypatch):
 
     real = cat._try_commit
 
-    def always_lose(name, base, dirs, op):
+    def always_lose(name, base, dirs, op, stats=None):
         # a competing writer claims the slot with ITS OWN snapshot (the
         # base's dirs), then our CAS loses
         base_dirs = cat._load_manifest(name, base)["dirs"] if base >= 0 else []
@@ -167,3 +167,84 @@ def test_manifest_content_is_complete_json(spark, tmp_path):
             m = json.load(open(os.path.join(mdir, f)))
             for d in m["dirs"]:
                 assert os.path.isdir(os.path.join(cat.path("t"), "data", d))
+
+
+# -- manifest statistics + data skipping ---------------------------------
+
+
+def test_stats_recorded_and_pruned_read(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for lo in (0, 100, 200):
+        cat.append_missing(
+            "t", _rows(spark, lo, lo + 100, f"b{lo}"), ["k"], stats_cols=["k"]
+        )
+    manifest = cat._load_manifest("t", cat.current_version("t"))
+    assert len(manifest["dirs"]) == 3
+    bounds = sorted(manifest["stats"][d]["k"] for d in manifest["dirs"])
+    assert bounds == [[0, 99], [100, 199], [200, 299]]
+
+    # point lookup touches exactly one write set's files
+    hit = cat.read("t", where=[("k", "==", 150)])
+    assert hit.count() == 1
+    files = {f.split("/data/")[1].split("/")[0] for f in hit.inputFiles()}
+    assert len(files) == 1
+    assert manifest["stats"][next(iter(files))]["k"] == [100, 199]
+
+    # range scan prunes to the overlapping sets and equals the full filter
+    rng = cat.read("t", where=[("k", ">=", 90), ("k", "<", 110)])
+    full = cat.read("t").filter((F.col("k") >= 90) & (F.col("k") < 110))
+    assert sorted(r["k"] for r in rng.collect()) == sorted(
+        r["k"] for r in full.collect()
+    )
+    rng_files = {f.split("/data/")[1].split("/")[0] for f in rng.inputFiles()}
+    assert len(rng_files) == 2
+
+    # predicate excluded by every write set: empty result, correct schema
+    miss = cat.read("t", where=[("k", ">", 1000)])
+    assert miss.count() == 0 and set(miss.columns) == {"k", "v"}
+
+
+def test_pruning_is_only_an_optimization_without_stats(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 100, "a"), ["k"])  # no stats
+    cat.append_missing("t", _rows(spark, 100, 200, "b"), ["k"], stats_cols=["k"])
+    out = cat.read("t", where=[("k", "==", 50)])
+    assert out.count() == 1  # statless write set conservatively kept
+    # string-typed stats on v prune by lexicographic range, still exact
+    cat.append_missing("t", _rows(spark, 200, 300, "c"), ["k"], stats_cols=["k", "v"])
+    assert cat.read("t", where=[("v", "==", "c")]).count() == 100
+
+
+def test_compact_preserves_stats_columns(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for lo in (0, 100):
+        cat.append_missing(
+            "t", _rows(spark, lo, lo + 100, "x"), ["k"], stats_cols=["k"]
+        )
+    cat.compact("t", num_files=1)
+    manifest = cat._load_manifest("t", cat.current_version("t"))
+    assert len(manifest["dirs"]) == 1
+    (only,) = manifest["dirs"]
+    assert manifest["stats"][only]["k"] == [0, 199]
+    assert cat.read("t", where=[("k", "==", 5)]).count() == 1
+
+
+def test_temporal_stats_prune_as_iso_strings(spark, tmp_path):
+    import datetime
+
+    cat = _cat(spark, tmp_path)
+    for year in (2023, 2024):
+        df = spark.range(0, 10).select(
+            (F.col("id") + year * 100).alias("k"),
+            F.to_date(F.lit(f"{year}-06-15")).alias("d"),
+        )
+        cat.append_missing("t", df, ["k"], stats_cols=["k", "d"])
+    manifest = cat._load_manifest("t", cat.current_version("t"))
+    assert sorted(s["d"] for s in manifest["stats"].values()) == [
+        ["2023-06-15", "2023-06-15"],
+        ["2024-06-15", "2024-06-15"],
+    ]
+    out = cat.read("t", where=[("d", ">=", datetime.date(2024, 1, 1))])
+    assert out.count() == 10
+    files = {f.split("/data/")[1].split("/")[0] for f in out.inputFiles()}
+    assert len(files) == 1
