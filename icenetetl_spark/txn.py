@@ -399,6 +399,18 @@ class TxnParquetCatalog:
             if d not in referenced:
                 shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
                 removed += 1
+        # crashed compacts leave staging dirs; age-gate the cleanup so a
+        # LIVE concurrent compact's staging isn't deleted under it
+        sdir = os.path.join(self.path(name), "_staging")
+        cutoff = time.time() - 3600
+        for d in os.listdir(sdir) if os.path.isdir(sdir) else []:
+            full = os.path.join(sdir, d)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed += 1
+            except OSError:
+                pass
         mdir = self._manifest_dir(name)
         for f in os.listdir(mdir):
             if f.startswith("v") and f.endswith(".json"):
@@ -406,14 +418,78 @@ class TxnParquetCatalog:
                     os.unlink(os.path.join(mdir, f))
         return removed
 
-    def compact(self, name: str, num_files: int = 8) -> None:
+    def compact(
+        self,
+        name: str,
+        num_files: int = 8,
+        cluster_by: Sequence[str] = (),
+    ) -> None:
         """OPTIMIZE: rewrite the current snapshot as one write set. Just an
         ``overwrite`` of a coalesced self-read — the CAS loop makes it safe
         to run while writers are active (their commits simply land after).
         Statistics columns carry over from the current manifest so a
-        compacted table keeps its data-skipping metadata."""
+        compacted table keeps its data-skipping metadata.
+
+        ``cluster_by`` range-partitions and sorts the rewrite on those
+        columns (Delta's OPTIMIZE ... ZORDER idea, linearized): each output
+        write set then covers a narrow, non-overlapping value range, so the
+        manifest min/max statistics become tight and ``read(where=...)``
+        pruning is effective even when the original ingest order was
+        uncorrelated with the query key. One clustered write set is
+        committed per range partition (a single-write-set compact would
+        collapse the manifest to one all-covering range and prune
+        nothing)."""
         manifest = self._load_manifest(name, self.current_version(name))
         stats_cols = sorted(
             {c for s in manifest.get("stats", {}).values() for c in s}
         )
-        self.overwrite(name, self.read(name).coalesce(num_files), stats_cols)
+        if not cluster_by:
+            self.overwrite(name, self.read(name).coalesce(num_files), stats_cols)
+            return
+        clustered = (
+            self.read(name)
+            .repartitionByRange(num_files, *cluster_by)
+            .sortWithinPartitions(*cluster_by)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        stats_cols = sorted(set(stats_cols) | set(cluster_by))
+        # ONE write job produces every range partition as its own
+        # directory (partitionBy keys the layout on __pid); each becomes
+        # an independent write set so manifest stats describe disjoint
+        # ranges. Stats for all sets come from one grouped agg pass.
+        staging = os.path.join(
+            self.path(name), "_staging", f"compact-{uuid.uuid4().hex}"
+        )
+        clustered.write.partitionBy("__pid").parquet(staging)
+        back = self.spark.read.parquet(staging)
+        aggs = [F.count(F.lit(1))]
+        for c in stats_cols:
+            aggs += [F.min(c), F.max(c)]
+        stat_rows = back.groupBy("__pid").agg(*aggs).collect()
+        write_sets: dict[str, dict] = {}
+        for row in sorted(stat_rows, key=lambda r: r["__pid"]):
+            ws = f"ws-{uuid.uuid4().hex}"
+            os.rename(
+                os.path.join(staging, f"__pid={row['__pid']}"),
+                os.path.join(self._data_dir(name), ws),
+            )
+            write_sets[ws] = {
+                c: [_json_stat(row[2 + 2 * i]), _json_stat(row[3 + 2 * i])]
+                for i, c in enumerate(stats_cols)
+            }
+        shutil.rmtree(staging, ignore_errors=True)
+        for _ in range(self.max_retries):
+            try:
+                self._try_commit(
+                    name,
+                    self.current_version(name),
+                    list(write_sets),
+                    "compact",
+                    write_sets,
+                )
+                return
+            except CommitConflict:
+                continue
+        for ws in write_sets:
+            self._drop_write_set(name, ws)
+        raise CommitConflict(f"{name}: compact exceeded {self.max_retries} retries")

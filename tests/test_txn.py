@@ -248,3 +248,32 @@ def test_temporal_stats_prune_as_iso_strings(spark, tmp_path):
     assert out.count() == 10
     files = {f.split("/data/")[1].split("/")[0] for f in out.inputFiles()}
     assert len(files) == 1
+
+
+def test_clustered_compact_tightens_pruning(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    # ingest order uncorrelated with k: every batch spans the full range,
+    # so pre-compact stats overlap and nothing can be pruned
+    for b in range(4):
+        df = spark.range(0, 400).filter(F.col("id") % 4 == b).select(
+            F.col("id").alias("k"), F.lit(f"b{b}").alias("v")
+        )
+        cat.append_missing("t", df, ["k"], stats_cols=["k"])
+    before = cat.read("t", where=[("k", "==", 42)])
+    bf = {f.split("/data/")[1].split("/")[0] for f in before.inputFiles()}
+    assert len(bf) == 4  # overlapping ranges: no skipping possible
+
+    cat.compact("t", num_files=4, cluster_by=["k"])
+    manifest = cat._load_manifest("t", cat.current_version("t"))
+    assert len(manifest["dirs"]) == 4
+    ranges = sorted(manifest["stats"][d]["k"] for d in manifest["dirs"])
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint, ordered ranges
+
+    after = cat.read("t", where=[("k", "==", 42)])
+    af = {f.split("/data/")[1].split("/")[0] for f in after.inputFiles()}
+    assert len(af) == 1  # point lookup now touches one write set
+    assert after.count() == 1
+    # clustering preserved every row
+    assert cat.read("t").count() == 400
+    assert cat.vacuum("t") >= 4  # pre-compact sets now unreferenced
