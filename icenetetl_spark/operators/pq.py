@@ -298,3 +298,108 @@ def _knn_pq_with_codebook(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def knn_ivfpq_fixed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    code_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    n_probe: int = 4,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale index (Jégou TPAMI'11 IVFADC,
+    non-residual flavor — codes quantize the raw vectors, not the
+    cell-relative residuals, keeping every distance SQL-reproducible for
+    the oracle; the residual variant drops into the same plan by encoding
+    ``v - centroid[cell(v)]``).
+
+    IVF bounds WHO gets scored: each query probes its ``n_probe`` nearest
+    of |C| cells, so candidate generation touches ~n_probe/|C| of the
+    corpus instead of all of it. PQ bounds WHAT scoring costs: candidates
+    are scored from M-byte codes via the broadcast ADC table — the
+    embedding column is never shuffled; only the final
+    ``k * refine_factor`` exact re-rank reads full vectors, keyed by id.
+    Every exchange carries candidate-pair-sized rows (|cand| * M for the
+    ADC sum), which is the honest cost of the index — at 10^9 vectors
+    with 1024 cells and 8 probes, that is ~0.8%% of a brute-force scan
+    with 8-byte payloads instead of 4*d-byte vectors.
+    """
+    from icenetetl_spark.functions.portable import fsum_col
+    from icenetetl_spark.operators.ivf import assign_cells_fixed
+
+    width = _vector_width(corpus, vec_col)
+    w = _sub_width(width, m)
+    codebook = pq_codebook(corpus, code_ids, m, id_col, vec_col, width)
+    codes = encode_pq(corpus, codebook, m, id_col, vec_col, width)
+
+    cells = assign_cells_fixed(
+        corpus, centroids, id_col, vec_col, out_id="neighbor_id"
+    ).select("neighbor_id", "cell")
+    q_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    q_sub = _subvectors(queries, "query_id", m, w, id_col, vec_col)
+    adc_table = q_sub.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "m",
+        F.col("code_id").alias("code"),
+        _l2sq(F.col("sub"), F.col("csub")).alias("qdist"),
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(adc_table), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(fsum_col("qdist", _ADC_SCALE).alias("adc"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    candidates = (
+        adc.withColumn("__rk", F.row_number().over(wa))
+        .filter(F.col("__rk") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    refined = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -173,6 +173,32 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.knn_ivfpq_fixed): the composed
+    billion-scale index — IVF cells bound the candidate set, PQ codes
+    bound per-candidate scoring cost, exact cosine re-ranks the survivors.
+    Fixed centroids + fixed codebook rows (the knn_ivf_fixed / knn_pq
+    construction) keep every step oracle-exact; the trained variants
+    (knn_ivf, knn_pq_trained) drop into the same plan."""
+    from icenetetl_spark.operators.pq import knn_ivfpq_fixed as _ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return _ivfpq(
+        queries,
+        emb,
+        cents,
+        PQ_CODE_IDS,
+        k=K,
+        m=PQ_M,
+        n_probe=IVF_N_PROBE,
+        refine_factor=PQ_REFINE,
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (operators/similarity.vector_mean_long):
     the element-wise mean aggregation behind IVF training, class
@@ -249,6 +275,7 @@ QUERIES = {
     "knn_ivf_fixed": knn_ivf_fixed,
     "knn_pq": knn_pq,
     "knn_pq_trained": knn_pq_trained,
+    "knn_ivfpq_fixed": knn_ivfpq_fixed,
     "knn_hyperplane_lsh": knn_hyperplane_lsh,
     "f_array_funcs": f_array_funcs,
     "embedding_near_dup": embedding_near_dup,
@@ -528,6 +555,118 @@ ORACLES = {
                           ORDER BY adc, neighbor_id) AS rk
                 FROM adc
             ) WHERE rk <= {K * 4}
+        ),
+        refined AS (
+            SELECT cand.query_id, cand.neighbor_id, {_COS} AS cos
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM refined
+        ) WHERE rank <= {K}
+    """,
+    # Mirrors operators/pq.knn_ivfpq_fixed: the knn_ivf_fixed cell
+    # CTEs bound the candidate pairs, the knn_pq code/ADC CTEs score
+    # exactly those pairs (same fixed-point sum), same exact re-rank.
+    "knn_ivfpq_fixed": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id IN ({", ".join(map(str, IVF_CENTROID_IDS))})
+        ),
+        c_scored AS (
+            SELECT c.vec_id AS neighbor_id, ct.centroid_id,
+                   list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(ct.cvec AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
+                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
+            FROM embeddings c, cents ct
+        ),
+        corpus_cells AS (
+            SELECT neighbor_id, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                          ORDER BY sim DESC, centroid_id) AS rk
+                FROM c_scored
+            ) WHERE rk = 1
+        ),
+        q_cell_scored AS (
+            SELECT q.vec_id AS query_id, ct.centroid_id,
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(ct.cvec AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
+                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
+            FROM embeddings q, cents ct WHERE q.vec_id < {N_QUERIES}
+        ),
+        probes AS (
+            SELECT query_id, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, centroid_id) AS rk
+                FROM q_cell_scored
+            ) WHERE rk <= {IVF_N_PROBE}
+        ),
+        cand_ivf AS (
+            SELECT p.query_id, cc.neighbor_id
+            FROM probes p JOIN corpus_cells cc ON p.cell = cc.cell
+            WHERE p.query_id != cc.neighbor_id
+        ),
+        codebook AS (
+            {" UNION ALL ".join(
+                f"SELECT {mm} AS m, vec_id AS code_id,"
+                f" CAST(embedding[{mm * 8 + 1}:{mm * 8 + 8}] AS DOUBLE[]) AS csub"
+                f" FROM embeddings WHERE vec_id IN ({', '.join(map(str, PQ_CODE_IDS))})"
+                for mm in range(8))}
+        ),
+        c_sub AS (
+            {" UNION ALL ".join(
+                f"SELECT vec_id AS neighbor_id, {mm} AS m,"
+                f" CAST(embedding[{mm * 8 + 1}:{mm * 8 + 8}] AS DOUBLE[]) AS sub"
+                f" FROM embeddings"
+                for mm in range(8))}
+        ),
+        codes AS (
+            SELECT neighbor_id, m, code_id AS code FROM (
+                SELECT neighbor_id, m, code_id,
+                       row_number() OVER (
+                           PARTITION BY neighbor_id, m
+                           ORDER BY (list_dot_product(sub, sub)
+                                     + list_dot_product(csub, csub))
+                                    - 2 * list_dot_product(sub, csub),
+                                    code_id) AS rk
+                FROM c_sub JOIN codebook USING (m)
+            ) WHERE rk = 1
+        ),
+        adc_table AS (
+            SELECT c_sub.neighbor_id AS query_id, m, code_id AS code,
+                   (list_dot_product(sub, sub) + list_dot_product(csub, csub))
+                   - 2 * list_dot_product(sub, csub) AS qdist
+            FROM c_sub JOIN codebook USING (m)
+            WHERE c_sub.neighbor_id < {N_QUERIES}
+        ),
+        adc AS (
+            SELECT cand_ivf.query_id, cand_ivf.neighbor_id,
+                   CAST(SUM(CAST(FLOOR(qdist * 1000000000000.0 + 0.5)
+                                 AS BIGINT)) AS DOUBLE)
+                       / 1000000000000.0 AS adc
+            FROM cand_ivf
+            JOIN codes ON codes.neighbor_id = cand_ivf.neighbor_id
+            JOIN adc_table ON adc_table.query_id = cand_ivf.query_id
+                          AND adc_table.m = codes.m
+                          AND adc_table.code = codes.code
+            GROUP BY cand_ivf.query_id, cand_ivf.neighbor_id
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc, neighbor_id) AS rk
+                FROM adc
+            ) WHERE rk <= {K * PQ_REFINE}
         ),
         refined AS (
             SELECT cand.query_id, cand.neighbor_id, {_COS} AS cos

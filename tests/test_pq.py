@@ -144,3 +144,71 @@ def test_sampled_ivf_training_recall_not_degenerate(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.5
+
+
+def test_ivfpq_candidates_within_probed_cells_and_exact_rerank(spark):
+    """IVF-PQ composition invariants: every reported neighbor lies in a
+    cell the query probed (the IVF bound is real, not advisory), and its
+    cosine is the exact value (re-rank never reports an ADC estimate)."""
+    from icenetetl_spark.operators.ivf import assign_cells_fixed
+    from icenetetl_spark.operators.pq import knn_ivfpq_fixed
+    from icenetetl_spark.queries.similarity import (
+        IVF_CENTROID_IDS,
+        IVF_N_PROBE,
+    )
+
+    emb = _load(spark)
+    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = knn_ivfpq_fixed(
+        queries, emb, cents, CODE_IDS, k=5, m=8, n_probe=IVF_N_PROBE
+    ).collect()
+    assert out, "ivfpq returned no neighbors"
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        assert len(rows) <= 5
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+
+    # cell containment: neighbor's cell must be among the query's probes
+    cells = {
+        r["neighbor_id"]: r["cell"]
+        for r in assign_cells_fixed(emb, cents).select(
+            F.col("vec_id").alias("neighbor_id"), "cell"
+        ).collect()
+    }
+    # recompute probes independently via brute cosine in numpy
+    import numpy as np
+
+    qv = {r["vec_id"]: np.array(r["embedding"]) for r in queries.collect()}
+    cvs = {
+        r["centroid_id"]: np.array(r["cvec"]) for r in cents.collect()
+    }
+
+    def top_cells(q):
+        sims = sorted(
+            (
+                (-(qv[q] @ v) / (np.linalg.norm(qv[q]) * np.linalg.norm(v)), cid)
+                for cid, v in cvs.items()
+            )
+        )
+        return {cid for _, cid in sims[:IVF_N_PROBE]}
+
+    for r in out:
+        assert cells[r["neighbor_id"]] in top_cells(r["query_id"])
+
+    # exact re-rank: cosines match brute force where pairs coincide
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in knn_bruteforce(queries, emb, k=50).collect()
+    }
+    for r in out:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cos"]) < 1e-9
