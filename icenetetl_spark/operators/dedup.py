@@ -125,6 +125,86 @@ def split_passages(
     )
 
 
+CDC_NGRAM = 4  # a boundary is decided by the hash of the trailing 4-gram
+
+
+def cdc_segments(
+    docs: DataFrame,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str | None = None,
+) -> DataFrame:
+    """(doc_id, para_idx, passage): CONTENT-DEFINED segmentation — the
+    rsync/LBFS chunking idea at token granularity. A boundary falls after
+    token i wherever ``H(w[i-3..i]) % divisor == 0`` (expected segment
+    length ≈ ``divisor`` tokens), so boundaries depend only on LOCAL
+    content: inserting or deleting a sentence moves at most the two
+    adjacent segments, where fixed-width windows (split_passages
+    mode='window') shift EVERY later chunk and miss all post-edit dups.
+    Output contract matches split_passages, so passage_dup_stats composes.
+
+    Plan shape: boundary flags are computed array-side (one transform over
+    the token array — no O(n²) array duplication), then one posexplode +
+    a per-document running sum assigns segment ids (the window is
+    partitioned by doc_id: thousands of small independent partitions, the
+    scale-safe window shape), and one groupBy rebuilds segment text."""
+    from pyspark.sql.window import Window
+
+    wdf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).filter(F.size("__w") > 0)
+    w = F.col("__w")
+    flags = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 1),
+        lambda i: F.when(
+            (i >= CDC_NGRAM - 1)
+            & (
+                portable_hash64(
+                    F.concat_ws(
+                        " ", F.slice(w, i - (CDC_NGRAM - 2), CDC_NGRAM)
+                    ),
+                    32,
+                    impl,
+                )
+                % divisor
+                == 0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    toks = (
+        wdf.withColumn("__f", flags)
+        .select("doc_id", F.posexplode(F.arrays_zip("__w", "__f")).alias("pos", "z"))
+        .select(
+            "doc_id",
+            "pos",
+            F.col("z.__w").alias("tok"),
+            F.col("z.__f").alias("flag"),
+        )
+    )
+    seg_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = toks.withColumn(
+        "para_idx", F.coalesce(F.sum("flag").over(seg_w), F.lit(0))
+    )
+    return (
+        seg.groupBy("doc_id", "para_idx")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("a"))
+        .select(
+            "doc_id",
+            "para_idx",
+            F.concat_ws(
+                " ", F.transform(F.col("a"), lambda x: x["tok"])
+            ).alias("passage"),
+        )
+    )
+
+
 def passage_dup_stats(passages: DataFrame) -> DataFrame:
     """(doc_id, n_passages, n_dup_passages, dup_frac): per-document
     fraction of passages whose fingerprint occurs in >= 2 DISTINCT

@@ -135,6 +135,20 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CDC divisor: expected segment length ≈ 8 tokens (comparable granularity
+# to PARA_WINDOW, but with shift-robust boundaries)
+CDC_DIVISOR = 8
+
+
+def dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup signal: passage_dup_stats over
+    hash-boundary segments (operators/dedup.cdc_segments) instead of
+    fixed windows — catches boilerplate that survives window dedup because
+    an insertion shifted its alignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.passage_dup_stats(D.cdc_segments(docs, divisor=CDC_DIVISOR))
+
+
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup policy: within each near-dup group keep the
     highest-quality member (tiebreak lowest doc_id) — the keep/drop decision
@@ -173,6 +187,7 @@ QUERIES = {
     "dedup_groups": dedup_groups,
     "dedup_canonical": dedup_canonical,
     "dedup_paragraphs": dedup_paragraphs,
+    "dedup_cdc": dedup_cdc,
 }
 
 
@@ -303,6 +318,50 @@ ORACLES = {
                  LATERAL (SELECT unnest(generate_series(
                      0, CAST(ceil(len(w)/{PARA_WINDOW}.0) - 1 AS BIGINT))) AS i) t
             WHERE len(w) > 0
+        ),
+        fp AS (SELECT doc_id, para_idx, md5(passage) AS f FROM chunks),
+        dfc AS (SELECT f, count(DISTINCT doc_id) AS nd FROM fp GROUP BY f),
+        per AS (
+            SELECT p.doc_id, count(*) AS n_passages,
+                   count(*) FILTER (d.nd >= 2) AS n_dup_passages
+            FROM fp p JOIN dfc d USING (f) GROUP BY p.doc_id
+        )
+        SELECT doc_id, n_passages, n_dup_passages,
+               CAST(n_dup_passages AS DOUBLE) / CAST(n_passages AS DOUBLE)
+                   AS dup_frac
+        FROM per
+    """,
+    # Mirrors cdc_segments + passage_dup_stats: same trailing-4-gram hash
+    # boundary rule (Spark 0-based i vs SQL 1-based i: i_sql >= 4 and
+    # w[i-3:i] are the identical 4 tokens), same running-sum segment ids,
+    # same md5 fingerprint stats.
+    "dedup_cdc": f"""
+        WITH words AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+            WHERE len(string_split({_NORM}, ' ')) > 0
+        ),
+        tok AS (
+            SELECT doc_id, i - 1 AS pos, w[i] AS tok,
+                   CASE WHEN i >= {D.CDC_NGRAM}
+                         AND ({portable_hash64_sql(
+                             f"array_to_string(w[i-{D.CDC_NGRAM - 1}:i], ' ')",
+                             32)}) % {CDC_DIVISOR} = 0
+                        THEN 1 ELSE 0 END AS flag
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+        ),
+        seg AS (
+            SELECT doc_id, pos, tok,
+                   COALESCE(SUM(flag) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS para_idx
+            FROM tok
+        ),
+        chunks AS (
+            SELECT doc_id, para_idx, string_agg(tok, ' ' ORDER BY pos)
+                       AS passage
+            FROM seg GROUP BY 1, 2
         ),
         fp AS (SELECT doc_id, para_idx, md5(passage) AS f FROM chunks),
         dfc AS (SELECT f, count(DISTINCT doc_id) AS nd FROM fp GROUP BY f),
