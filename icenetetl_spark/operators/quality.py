@@ -96,3 +96,68 @@ def expect(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z: float = 3.0,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group z-score outlier report: ``(group, n, mean_v, sigma,
+    n_outliers, outlier_frac)`` with |x - mean| > z*sigma as the outlier
+    rule — the numeric-drift check a DQ gate runs next to ``expect``.
+
+    Two passes, both distributed: one partial-aggregated groupBy computes
+    the moments, then the k-row stats frame broadcasts back onto the scan
+    for the outlier count (never a window over the data). Moments use
+    fixed-point sums (functions.portable.fsum_col) so the report is
+    order-independent and engine-portable; variance is the E[x²]-E[x]²
+    identity evaluated in a fixed op order. The fixed-point bound
+    n * max(x²) * 10^scale < 2^63 holds comfortably here (x <= ~6e2,
+    scale 6); for wider domains lower ``scale`` or pre-scale the column.
+    """
+    from icenetetl_spark.functions.portable import fsum_col
+
+    n = F.count(F.lit(1))
+    stats = df.groupBy(group_col).agg(
+        n.alias("n"),
+        (fsum_col(value_col, scale) / n).alias("mean_v"),
+        (
+            fsum_col(F.col(value_col) * F.col(value_col), scale) / n
+        ).alias("ex2"),
+    ).select(
+        group_col,
+        "n",
+        "mean_v",
+        F.sqrt(
+            F.greatest(
+                F.col("ex2") - F.col("mean_v") * F.col("mean_v"), F.lit(0.0)
+            )
+        ).alias("sigma"),
+    )
+    flagged = (
+        df.select(group_col, value_col)
+        .join(F.broadcast(stats), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col(value_col) - F.col("mean_v"))
+                    > F.lit(z) * F.col("sigma"),
+                    1,
+                )
+            ).alias("n_outliers")
+        )
+    )
+    return stats.join(flagged, group_col).select(
+        group_col,
+        "n",
+        "mean_v",
+        "sigma",
+        "n_outliers",
+        (F.col("n_outliers").cast("double") / F.col("n").cast("double")).alias(
+            "outlier_frac"
+        ),
+    )

@@ -169,8 +169,20 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier report (operators/quality.
+    outlier_stats): fixed-point moments, E[x²]-E[x]² variance in a fixed
+    op order, stats broadcast back for the flag count — the numeric-drift
+    check run next to dq_expectations."""
+    from icenetetl_spark.operators.quality import outlier_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return outlier_stats(ev, "event_type", "value", z=3.0, scale=6)
+
+
 QUERIES = {
     "a_median_percentile": a_median_percentile,
+    "dq_outliers": dq_outliers,
     "a_rollup_grouping": a_rollup_grouping,
     "a_pivot_returnflag": a_pivot_returnflag,
     "f_string_funcs": f_string_funcs,
@@ -184,6 +196,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Mirrors quality.outlier_stats: same fixed-point moment sums (scale
+    # 6), same divide order, same E[x²]-E[x]² identity and strict->
+    # threshold, so the flag decisions agree bitwise.
+    "dq_outliers": """
+        WITH stats AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1000000.0 / count(*) AS mean_v,
+                   CAST(SUM(CAST(FLOOR(value * value * 1000000.0 + 0.5)
+                                 AS BIGINT))
+                        AS DOUBLE) / 1000000.0 / count(*) AS ex2
+            FROM events GROUP BY event_type
+        ),
+        s2 AS (
+            SELECT event_type, n, mean_v,
+                   sqrt(greatest(ex2 - mean_v * mean_v, 0.0)) AS sigma
+            FROM stats
+        ),
+        fl AS (
+            SELECT e.event_type,
+                   count(*) FILTER (abs(e.value - s.mean_v) > 3.0 * s.sigma)
+                       AS n_outliers
+            FROM events e JOIN s2 s USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT s.event_type, n, mean_v, sigma, n_outliers,
+               CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE) AS outlier_frac
+        FROM s2 s JOIN fl USING (event_type)
+    """,
     "a_median_percentile": """
         SELECT l_returnflag,
                median(l_extendedprice) AS median_price,

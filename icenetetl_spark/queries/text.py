@@ -510,6 +510,52 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram logprob under the corpus MLE 2-gram model
+    — the order-sensitive upgrade of text_unigram_logprob (word-salad
+    scores low here even when its unigram frequencies look normal):
+    p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} ·), both counted over
+    bigram occurrences. Counts join back TERM-KEYED (no broadcast-
+    vocabulary assumption — a 100 TB corpus's bigram table outgrows any
+    broadcast), and the per-doc mean uses the same fixed-point accumulator
+    as the unigram model. Docs with < 2 tokens have no bigrams and are
+    absent, matching the oracle."""
+    from icenetetl_spark.functions.portable import fsum_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    wdf = docs.select("doc_id", T.tokens(F.col("text")).alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    w = F.col("__w")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.struct(
+            F.element_at(w, i + 1).alias("l"),
+            F.element_at(w, i + 2).alias("r"),
+        ),
+    )
+    bg = wdf.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.l").alias("l"), F.col("p.r").alias("r")
+    )
+    c2 = bg.groupBy("l", "r").agg(F.count(F.lit(1)).alias("n_lr"))
+    c1 = bg.groupBy("l").agg(F.count(F.lit(1)).alias("n_l"))
+    scored = (
+        bg.join(c2, ["l", "r"])
+        .join(c1, ["l"])
+        .select(
+            "doc_id",
+            F.log(
+                F.col("n_lr").cast("double") / F.col("n_l").cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (fsum_col("lp", 9) / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+
+
+
 QUERIES = {
     "corpus_source_mix": corpus_source_mix,
     "text_repetition": text_repetition,
@@ -530,6 +576,7 @@ QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "corpus_temperature_mix": corpus_temperature_mix,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_bigram_logprob": text_bigram_logprob,
 }
 
 
@@ -718,6 +765,29 @@ ORACLES = {
                CAST(n_tokens AS DOUBLE) / total AS token_share,
                n_exact_dups, mean_quality
         FROM agg, tot
+    """,
+    # Mirrors text_bigram_logprob: same bigram extraction (1-based i vs
+    # 0-based: w[i], w[i+1] are the identical adjacent tokens), same MLE
+    # ratio, ln argument order, and fixed-point per-doc mean.
+    "text_bigram_logprob": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKENS} AS w FROM documents
+            WHERE len({_TOKENS}) >= 2
+        ),
+        bg AS (
+            SELECT doc_id, w[i] AS l, w[i+1] AS r
+            FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                             AS i) u
+        ),
+        c2 AS (SELECT l, r, count(*) AS n_lr FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT l, count(*) AS n_l FROM bg GROUP BY 1)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(SUM(CAST(FLOOR(
+                   ln(CAST(n_lr AS DOUBLE) / CAST(n_l AS DOUBLE))
+                   * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000000.0 / count(*) AS avg_logprob
+        FROM bg JOIN c2 USING (l, r) JOIN c1 USING (l)
+        GROUP BY doc_id
     """,
     # Mirrors text_pii_redact: same patterns, same replacement chain in
     # PII_ORDER (RE2 and Java regex agree on these class-based patterns).
