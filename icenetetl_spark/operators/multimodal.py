@@ -34,6 +34,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -203,4 +204,79 @@ def frame_sample_plan(
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
+    )
+
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("sample_sum", LongType()),
+    ]
+)
+
+
+def attach_audio_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL WAV bytes per document (same fixture idea as
+    attach_image_payload): ``64 + id%64`` frames of ``1 + id%2`` channels
+    at ``8000 + (id%4)*4000`` Hz, with interleaved sample ``i`` valued
+    ``(id*31 + i*7) % 65536 - 32768`` — an id-only derivation whose decoded
+    statistics an arithmetic SQL oracle reproduces exactly."""
+    from icenetetl_spark.sources.audio import write_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n, ch = 64 + d % 64, 1 + d % 2
+                rate = 8000 + (d % 4) * 4000
+                i = np.arange(n * ch, dtype=np.int64)
+                v = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                payloads.append(write_wav(v.reshape(n, ch), rate))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL Arrow-batched WAV decode: payload bytes -> stream metadata,
+    duration, and the exact all-channel sample sum (BIGINT, order-free).
+    The decoder is the stdlib RIFF parser (sources/audio.py); corrupt or
+    non-PCM payloads raise rather than passing garbage downstream."""
+    from icenetetl_spark.sources.audio import read_wav
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, arr = read_wav(bytes(p))
+                n, ch = arr.shape
+                recs.append(
+                    (
+                        int(d),
+                        rate,
+                        ch,
+                        n,
+                        float(n) / float(rate),
+                        int(arr.sum(dtype=np.int64)),
+                    )
+                )
+            out = pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels",
+                    "n_samples", "duration_s", "sample_sum",
+                ],
+            )
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            out["n_channels"] = out["n_channels"].astype("int32")
+            yield out
+
+    return media.select("doc_id", "payload").mapInPandas(
+        dec, AUDIO_DECODE_SCHEMA
     )

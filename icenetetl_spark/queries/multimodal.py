@@ -41,8 +41,19 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_images(M.attach_image_payload(docs))
 
 
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: deterministic PCM WAV bytes written per doc by
+    the stdlib RIFF codec (sources/audio.py), then chunk-walked back to
+    stream metadata + the exact interleaved sample sum. The oracle
+    reproduces rate/channels/frames/duration/sum from the id arithmetic
+    alone — same gate construction as mm_decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_audio(M.attach_audio_payload(docs))
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
+    "mm_audio_decode": mm_audio_decode,
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
     "mm_decode": mm_decode,
@@ -72,6 +83,27 @@ ORACLES = {
         SELECT doc_id, CAST(unnest(generate_series(0, {_NB} % 256, 10)) AS INTEGER)
                    AS frame_idx
         FROM documents
+    """,
+    "mm_audio_decode": """
+        WITH base AS (
+            SELECT doc_id,
+                   64 + doc_id % 64 AS n,
+                   1 + doc_id % 2 AS ch,
+                   8000 + (doc_id % 4) * 4000 AS rate
+            FROM documents),
+        s AS (
+            SELECT doc_id, n, ch, rate,
+                   unnest(generate_series(0, CAST(n * ch - 1 AS BIGINT))) AS i
+            FROM base)
+        SELECT doc_id,
+               CAST(rate AS INTEGER) AS sample_rate,
+               CAST(ch AS INTEGER) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n AS DOUBLE) / CAST(rate AS DOUBLE) AS duration_s,
+               CAST(SUM((doc_id * 31 + i * 7) % 65536 - 32768) AS BIGINT)
+                   AS sample_sum
+        FROM s
+        GROUP BY doc_id, n, ch, rate
     """,
     "mm_decode": """
         WITH dims AS (
