@@ -280,3 +280,85 @@ def decode_audio(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         dec, AUDIO_DECODE_SCHEMA
     )
+
+
+VIDEO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("luma_sum", LongType()),
+    ]
+)
+
+
+def attach_video_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL Y4M bytes per document: ``1 + id%12`` frames of
+    ``(4 + (id%3)*2) x (2 + (id//3%3)*2)`` luma with pixel ``(f, i)``
+    (row-major i) valued ``(id + f*7 + i) % 256`` at 25 fps — id-only
+    arithmetic, so decoded frame statistics have an exact SQL oracle."""
+    from icenetetl_spark.sources.video import write_y4m
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n = 1 + d % 12
+                w = 4 + (d % 3) * 2
+                h = 2 + (d // 3 % 3) * 2
+                f = np.arange(n)[:, None] * 7 + np.arange(w * h)[None, :]
+                frames = ((d + f) % 256).astype(np.uint8).reshape(n, h, w)
+                payloads.append(write_y4m(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_video_frames(media: DataFrame, every_nth: int = 3) -> DataFrame:
+    """REAL frame sampling: parse the Y4M container (sources/video.py),
+    keep every ``every_nth`` frame, and emit per-sampled-frame luma sums —
+    the decode→sample→feature pass of a video curation pipeline. The
+    sampling happens INSIDE the decode batch so unsampled frames never
+    leave the Python worker, and payload bytes never shuffle (the
+    mapInPandas output is metadata-sized)."""
+    from icenetetl_spark.sources.video import read_y4m
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                params, frames = read_y4m(bytes(p))
+                n = frames.shape[0]
+                for idx in range(0, n, every_nth):
+                    recs.append(
+                        (
+                            int(d),
+                            n,
+                            idx,
+                            params["width"],
+                            params["height"],
+                            int(frames[idx].sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx",
+                    "width", "height", "luma_sum",
+                ],
+            ).astype(
+                {
+                    "n_frames": "int32",
+                    "frame_idx": "int32",
+                    "width": "int32",
+                    "height": "int32",
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        dec, VIDEO_DECODE_SCHEMA
+    )

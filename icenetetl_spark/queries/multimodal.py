@@ -51,8 +51,19 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio(M.attach_audio_payload(docs))
 
 
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: deterministic Y4M container bytes per
+    doc (sources/video.py writer), chunk-parsed back, every-3rd frame kept
+    with its exact luma sum. Replaces the arithmetic stand-in
+    (mm_frame_sample) with a true decode→sample→feature pass; unsampled
+    frames never leave the Python worker."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_video_frames(M.attach_video_payload(docs), every_nth=3)
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
+    "mm_video_frames": mm_video_frames,
     "mm_audio_decode": mm_audio_decode,
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
@@ -104,6 +115,32 @@ ORACLES = {
                    AS sample_sum
         FROM s
         GROUP BY doc_id, n, ch, rate
+    """,
+    "mm_video_frames": """
+        WITH dims AS (
+            SELECT doc_id,
+                   1 + doc_id % 12 AS n_frames,
+                   4 + (doc_id % 3) * 2 AS w,
+                   2 + ((doc_id // 3) % 3) * 2 AS h
+            FROM documents),
+        fr AS (
+            SELECT doc_id, n_frames, w, h,
+                   unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 3))
+                       AS frame_idx
+            FROM dims),
+        px AS (
+            SELECT doc_id, n_frames, w, h, frame_idx,
+                   unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS i
+            FROM fr)
+        SELECT doc_id,
+               CAST(n_frames AS INTEGER) AS n_frames,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(SUM((doc_id + frame_idx * 7 + i) % 256) AS BIGINT)
+                   AS luma_sum
+        FROM px
+        GROUP BY doc_id, n_frames, frame_idx, w, h
     """,
     "mm_decode": """
         WITH dims AS (
