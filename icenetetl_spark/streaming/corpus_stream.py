@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from icenetetl_spark.catalog import ParquetCatalog
-from icenetetl_spark.operators.text import fingerprint, quality_score, token_count
+from icenetetl_spark.operators.text import (
+    fingerprint,
+    pii_counts,
+    quality_score,
+    redact_pii,
+    token_count,
+)
 from icenetetl_spark.streaming.event_stream import dedup_stream
 
 QUALITY_MIN = 0.5
@@ -32,14 +38,23 @@ QUALITY_MIN = 0.5
 
 def prepare_documents(docs: DataFrame) -> DataFrame:
     """The per-batch transform — works identically on batch and streaming
-    frames (one plan, two modes): score -> filter -> project the columns the
-    corpus table keeps."""
+    frames (one plan, two modes): redact -> score -> filter -> project the
+    columns the corpus table keeps. PII is scrubbed BEFORE fingerprinting
+    (two documents differing only in the redacted spans dedup as one, and
+    raw PII never reaches the stored table), with the per-category match
+    total kept as an auditable column."""
+    counts = pii_counts(F.col("text"))
+    n_pii = sum(counts.values(), F.lit(0))
     return (
-        docs.withColumn("fingerprint", fingerprint(F.col("text")))
+        docs.withColumn("n_pii", n_pii)
+        .withColumn("text", redact_pii(F.col("text")))
+        .withColumn("fingerprint", fingerprint(F.col("text")))
         .withColumn("quality", quality_score(F.col("text")))
         .withColumn("n_tokens", token_count(F.col("text")))
         .filter(F.col("quality") >= QUALITY_MIN)
-        .select("doc_id", "ts", "fingerprint", "quality", "n_tokens", "text")
+        .select(
+            "doc_id", "ts", "fingerprint", "quality", "n_tokens", "n_pii", "text"
+        )
     )
 
 

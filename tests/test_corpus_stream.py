@@ -82,3 +82,21 @@ def test_corpus_stream_dedup_filter_idempotent(spark, tmp_path):
     q3 = start_corpus_stream(spark, input_dir + "/*/", wh, ckpt, SCHEMA)
     q3.awaitTermination(120)
     assert sorted(r["doc_id"] for r in cat.read("corpus").collect()) == before
+
+
+def test_prepare_documents_redacts_before_fingerprint(spark):
+    """PII scrub happens in-stream BEFORE fingerprinting: two docs whose
+    only difference is the redacted span carry identical fingerprints
+    (and so dedup as one at the sink), raw PII never reaches the table,
+    and the match count survives as the audit column."""
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    docs = _docs(spark, base, [
+        (1, GOOD + " mail bob@example.com and 10.0.0.1 ok"),
+        (2, GOOD + " mail alice@test.org and 192.168.7.9 ok"),
+        (3, GOOD),
+    ])
+    rows = {r["doc_id"]: r for r in prepare_documents(docs).collect()}
+    assert rows[1]["fingerprint"] == rows[2]["fingerprint"]
+    assert rows[1]["fingerprint"] != rows[3]["fingerprint"]
+    assert rows[1]["n_pii"] == 2 and rows[3]["n_pii"] == 0
+    assert "@" not in rows[1]["text"] and "<EMAIL>" in rows[1]["text"]
