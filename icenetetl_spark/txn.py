@@ -179,6 +179,12 @@ class TxnParquetCatalog:
         dirs = manifest["dirs"]
         if not dirs:
             raise FileNotFoundError(f"table {name!r} v{v} is empty")
+        for _, op, _ in where or []:
+            if op not in _PRED_OPS:
+                raise ValueError(
+                    f"unsupported predicate op {op!r}; use one of "
+                    f"{sorted(_PRED_OPS)}"
+                )
         if where:
             dirs = self._prune_dirs(manifest, where)
         base = self._data_dir(name)
