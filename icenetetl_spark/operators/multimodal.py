@@ -362,3 +362,92 @@ def decode_video_frames(media: DataFrame, every_nth: int = 3) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         dec, VIDEO_DECODE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 5, out_h: int = 3
+) -> DataFrame:
+    """REAL resize (nearest neighbor) over decoded PNG/BMP payloads: the
+    normalize-resolution step of an image curation pipeline. Source pixel
+    for output (r, c) is ``(floor(r*h/out_h), floor(c*w/out_w))`` — the
+    canonical NN mapping, chosen because it is exactly reproducible as
+    integer arithmetic in the SQL oracle. Emits the resized raster's
+    channel-0 sum rather than the pixels (metadata-sized output; payloads
+    never shuffle)."""
+    from icenetetl_spark.sources.images import decode_image
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, px = decode_image(bytes(p))
+                gray = px if px.ndim == 2 else px[:, :, 0]
+                h, w = gray.shape
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                resized = gray[np.ix_(rows, cols)]
+                recs.append(
+                    (int(d), w, h, out_w, out_h,
+                     int(resized.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "src_width", "src_height",
+                    "width", "height", "pixel_sum",
+                ],
+            ).astype(
+                {c: "int32" for c in
+                 ("src_width", "src_height", "width", "height")}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(dec, RESIZE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over decoded WAV payloads: channel-0
+    zero-crossing count (strict sign product < 0 — the deterministic ZCR
+    convention) and peak |amplitude| — the cheap signal stats an audio
+    curation pipeline thresholds on (silence/clipping detection). Decode
+    and features run in one Arrow batch pass; output is metadata-sized."""
+    from icenetetl_spark.sources.audio import read_wav
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, arr = read_wav(bytes(p))
+                ch0 = arr[:, 0].astype(np.int64)
+                zcr = int(np.sum(ch0[:-1] * ch0[1:] < 0))
+                peak = int(np.abs(ch0).max()) if len(ch0) else 0
+                recs.append((int(d), len(ch0), zcr, peak))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "n_samples", "zero_crossings", "peak"],
+            ).astype({"peak": "int32"})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        dec, AUDIO_FEATURES_SCHEMA
+    )

@@ -61,8 +61,27 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_video_frames(M.attach_video_payload(docs), every_nth=3)
 
 
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize to 5x3 over the decoded PNG/BMP
+    payloads (operators/multimodal.resize_images) — the
+    resolution-normalization pass; the oracle reproduces the resized sums
+    from the id arithmetic + the same integer NN index mapping."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_images(M.attach_image_payload(docs), out_w=5, out_h=3)
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio features (ZCR + peak) over the decoded WAV fixtures —
+    the oracle reproduces channel-0 sample values by arithmetic and counts
+    the same strict sign-product crossings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.audio_features(M.attach_audio_payload(docs))
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
+    "mm_audio_features": mm_audio_features,
+    "mm_image_resize": mm_image_resize,
     "mm_video_frames": mm_video_frames,
     "mm_audio_decode": mm_audio_decode,
     "mm_decode_stub": mm_decode_stub,
@@ -141,6 +160,50 @@ ORACLES = {
                    AS luma_sum
         FROM px
         GROUP BY doc_id, n_frames, frame_idx, w, h
+    """,
+    "mm_image_resize": """
+        WITH dims AS (
+            SELECT doc_id,
+                   1 + doc_id % 16 AS w,
+                   1 + (doc_id // 16) % 16 AS h
+            FROM documents),
+        px AS (
+            SELECT doc_id, w, h, r2, c2
+            FROM dims,
+                 LATERAL (SELECT unnest(generate_series(0, 2)) AS r2) rr,
+                 LATERAL (SELECT unnest(generate_series(0, 4)) AS c2) cc)
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS src_width,
+               CAST(h AS INTEGER) AS src_height,
+               CAST(5 AS INTEGER) AS width,
+               CAST(3 AS INTEGER) AS height,
+               CAST(SUM((doc_id + ((r2 * h) // 3) * w + (c2 * w) // 5) % 256)
+                    AS BIGINT) AS pixel_sum
+        FROM px
+        GROUP BY doc_id, w, h
+    """,
+    "mm_audio_features": """
+        WITH base AS (
+            SELECT doc_id,
+                   64 + doc_id % 64 AS n,
+                   1 + doc_id % 2 AS ch
+            FROM documents),
+        s AS (
+            SELECT doc_id, n, i,
+                   (doc_id * 31 + i * ch * 7) % 65536 - 32768 AS v,
+                   CASE WHEN i >= 1
+                        THEN (doc_id * 31 + (i - 1) * ch * 7) % 65536 - 32768
+                   END AS vprev
+            FROM base,
+                 LATERAL (SELECT unnest(generate_series(0,
+                     CAST(n - 1 AS BIGINT))) AS i) t)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(count(*) FILTER (vprev * v < 0) AS BIGINT)
+                   AS zero_crossings,
+               CAST(max(abs(v)) AS INTEGER) AS peak
+        FROM s
+        GROUP BY doc_id
     """,
     "mm_decode": """
         WITH dims AS (

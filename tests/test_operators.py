@@ -449,3 +449,40 @@ def test_cdc_segments_survive_prefix_insertion(spark):
     # determinism: same input -> same segmentation
     again, _ = shared(cdc_segments(docs, divisor=8))
     assert again == cdc_shared
+
+
+def test_resize_images_nearest_neighbor_mapping(spark):
+    """NN resize picks source pixel (r*h//H, c*w//W) — checked against a
+    hand-built raster, and upscale (out larger than src) must replicate."""
+    import numpy as np
+
+    from icenetetl_spark.operators.multimodal import resize_images
+    from icenetetl_spark.sources.images import write_png
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4) * 10  # 4x3 gradient
+    df = spark.createDataFrame(
+        [(1, bytearray(write_png(px)))], "doc_id long, payload binary"
+    )
+    out = resize_images(df, out_w=2, out_h=2).first()
+    # rows 0,1 of 3; cols 0,2 of 4 -> values 0,20,40,60
+    assert out["pixel_sum"] == 0 + 20 + 40 + 60
+    assert (out["src_width"], out["src_height"]) == (4, 3)
+    up = resize_images(df, out_w=8, out_h=3).first()
+    # each src col sampled twice per row -> exactly 2x the row sums
+    assert up["pixel_sum"] == 2 * int(px.sum())
+
+
+def test_audio_features_known_signal(spark):
+    import numpy as np
+
+    from icenetetl_spark.operators.multimodal import audio_features
+    from icenetetl_spark.sources.audio import write_wav
+
+    s = np.array([100, -5, 3, 3, -7, 0, -2], dtype=np.int16)  # 3 strict crossings
+    df = spark.createDataFrame(
+        [(1, bytearray(write_wav(s, 8000)))], "doc_id long, payload binary"
+    )
+    row = audio_features(df).first()
+    assert row["n_samples"] == 7
+    assert row["zero_crossings"] == 3  # 100/-5, -5/3, 3/-7 (0 never crosses)
+    assert row["peak"] == 100
