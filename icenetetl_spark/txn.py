@@ -429,6 +429,7 @@ class TxnParquetCatalog:
         name: str,
         num_files: int = 8,
         cluster_by: Sequence[str] = (),
+        zorder: bool = False,
     ) -> None:
         """OPTIMIZE: rewrite the current snapshot as one write set. Just an
         ``overwrite`` of a coalesced self-read — the CAS loop makes it safe
@@ -444,7 +445,13 @@ class TxnParquetCatalog:
         uncorrelated with the query key. One clustered write set is
         committed per range partition (a single-write-set compact would
         collapse the manifest to one all-covering range and prune
-        nothing)."""
+        nothing).
+
+        ``zorder=True`` (exactly two cluster columns) clusters on the
+        Morton-interleaved key instead of the linear sort — Delta's
+        OPTIMIZE ZORDER: each write set then covers a narrow range in
+        BOTH dimensions, so predicates on either column alone still
+        prune, where linear clustering only serves its leading column."""
         manifest = self._load_manifest(name, self.current_version(name))
         stats_cols = sorted(
             {c for s in manifest.get("stats", {}).values() for c in s}
@@ -452,12 +459,22 @@ class TxnParquetCatalog:
         if not cluster_by:
             self.overwrite(name, self.read(name).coalesce(num_files), stats_cols)
             return
-        clustered = (
-            self.read(name)
-            .repartitionByRange(num_files, *cluster_by)
-            .sortWithinPartitions(*cluster_by)
-            .withColumn("__pid", F.spark_partition_id())
-        )
+        current = self.read(name)
+        if zorder:
+            from icenetetl_spark.operators.scale import zorder_key
+
+            key = zorder_key(current, list(cluster_by))
+            clustered = (
+                current.withColumn("__zk", key)
+                .repartitionByRange(num_files, F.col("__zk"))
+                .sortWithinPartitions("__zk")
+                .drop("__zk")
+            )
+        else:
+            clustered = current.repartitionByRange(
+                num_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        clustered = clustered.withColumn("__pid", F.spark_partition_id())
         stats_cols = sorted(set(stats_cols) | set(cluster_by))
         # ONE write job produces every range partition as its own
         # directory (partitionBy keys the layout on __pid); each becomes

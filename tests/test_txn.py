@@ -277,3 +277,37 @@ def test_clustered_compact_tightens_pruning(spark, tmp_path):
     # clustering preserved every row
     assert cat.read("t").count() == 400
     assert cat.vacuum("t") >= 4  # pre-compact sets now unreferenced
+
+
+def test_zorder_compact_prunes_on_both_dimensions(spark, tmp_path):
+    """Morton clustering serves predicates on EITHER column; linear
+    clustering on k1 leaves k2 predicates unprunable."""
+    grid = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("k1"),
+        (F.col("id") / 32).cast("long").alias("k2"),
+    )
+
+    def files_touched(cat, where):
+        out = cat.read("t", where=where)
+        return len({f.split("/data/")[1].split("/")[0] for f in out.inputFiles()})
+
+    lin = _cat(spark, tmp_path / "lin")
+    lin.overwrite("t", grid, stats_cols=["k1", "k2"])
+    lin.compact("t", num_files=8, cluster_by=["k1", "k2"])
+    zo = _cat(spark, tmp_path / "zo")
+    zo.overwrite("t", grid, stats_cols=["k1", "k2"])
+    zo.compact("t", num_files=8, cluster_by=["k1", "k2"], zorder=True)
+
+    for cat in (lin, zo):
+        assert len(cat._load_manifest("t", cat.current_version("t"))["dirs"]) == 8
+        assert cat.read("t").count() == 1024
+        assert cat.read("t", where=[("k1", "==", 3), ("k2", "==", 7)]).count() == 1
+
+    # leading column: both layouts prune
+    assert files_touched(lin, [("k1", "==", 3)]) <= 2
+    assert files_touched(zo, [("k1", "==", 3)]) <= 4
+    # trailing column: linear layout cannot prune at all, zorder can
+    lin_k2 = files_touched(lin, [("k2", "==", 7)])
+    zo_k2 = files_touched(zo, [("k2", "==", 7)])
+    assert lin_k2 == 8
+    assert zo_k2 < lin_k2
