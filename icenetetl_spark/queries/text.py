@@ -556,6 +556,55 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf*ln(N/df) with a
+    deterministic term tiebreak — the classical summarization/labeling
+    pass next to BM25 retrieval. Document frequencies join back
+    TERM-KEYED (the corpus vocabulary outgrows any broadcast at 100 TB);
+    the corpus size N is the only broadcast (one row). The rank window is
+    partitioned by doc_id — millions of small independent partitions, the
+    scale-safe window shape."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            # quantized at 1e9: Java Math.log and libm ln disagree by an
+            # ulp on some inputs — rank on the quantized value so both
+            # engines see the identical ordering (the fsum_col convention
+            # applied to a per-row score)
+            (
+                F.floor(
+                    F.col("tf").cast("double")
+                    * F.log(
+                        F.col("__n").cast("double") / F.col("df").cast("double")
+                    )
+                    * F.lit(1000000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+                .cast("double")
+                / F.lit(1000000000.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+    )
+
+
 QUERIES = {
     "corpus_source_mix": corpus_source_mix,
     "text_repetition": text_repetition,
@@ -577,6 +626,7 @@ QUERIES = {
     "corpus_temperature_mix": corpus_temperature_mix,
     "text_unigram_logprob": text_unigram_logprob,
     "text_bigram_logprob": text_bigram_logprob,
+    "text_tfidf_keywords": text_tfidf_keywords,
 }
 
 
@@ -632,6 +682,31 @@ def _shingle_cte(name: str, where: str) -> str:
 from icenetetl_spark.functions.portable import portable_hash64_sql as _ph_sql
 
 ORACLES = {
+    # Mirrors text_tfidf_keywords: same tf / distinct-doc df / ln(N/df)
+    # arithmetic and the same (score DESC, term) tiebreak.
+    "text_tfidf_keywords": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfc AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, term,
+                   CAST(CAST(FLOOR(CAST(tf AS DOUBLE)
+                                   * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                                   * 1000000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+                       / 1000000000.0 AS score
+            FROM tf JOIN dfc USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
     # Mirrors text_unigram_logprob: same MLE model, same ln argument
     # order, same fixed-point per-doc accumulation.
     "text_unigram_logprob": f"""
