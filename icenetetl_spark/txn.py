@@ -190,11 +190,18 @@ class TxnParquetCatalog:
         base = self._data_dir(name)
         if not dirs:
             # every write set pruned: empty frame with the table's schema
-            df = self.spark.read.parquet(
-                *[os.path.join(base, d) for d in manifest["dirs"]]
-            ).limit(0)
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(base, d) for d in manifest["dirs"]])
+                .limit(0)
+            )
         else:
-            df = self.spark.read.parquet(*[os.path.join(base, d) for d in dirs])
+            # mergeSchema: write sets appended after a column was added
+            # union cleanly (older sets read the new column as NULL) —
+            # Delta-style additive schema evolution
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(base, d) for d in dirs]
+            )
         for col, op, value in where or []:
             df = df.filter(_PRED_OPS[op](F.col(col), F.lit(value)))
         return df
@@ -383,6 +390,81 @@ class TxnParquetCatalog:
                 self._drop_write_set(name, ws)
                 continue
         raise CommitConflict(f"{name}: upsert exceeded {self.max_retries} retries")
+
+    def delete_where(
+        self,
+        name: str,
+        where: Sequence[tuple[str, str, object]],
+        stats_cols: Sequence[str] = (),
+    ) -> int:
+        """Row-level DELETE (the right-to-be-forgotten operation a
+        training-data table must support): rewrite WITHOUT the matching
+        rows as a new snapshot, serializable under concurrent writers via
+        the same CAS loop — a concurrent append that loses the race is
+        recomputed against the post-delete snapshot, and vice versa.
+        Returns rows deleted. Write sets whose statistics prove they hold
+        no matching rows are REUSED by reference (their files are not
+        rewritten): a targeted delete from a well-clustered table rewrites
+        only the affected write sets, not the table."""
+        if not where:
+            raise ValueError("delete_where requires at least one predicate")
+        for _, op, _ in where:
+            if op not in _PRED_OPS:
+                raise ValueError(
+                    f"unsupported predicate op {op!r}; use one of "
+                    f"{sorted(_PRED_OPS)}"
+                )
+        for _ in range(self.max_retries):
+            base = self.current_version(name)
+            if base < 0:
+                raise FileNotFoundError(
+                    f"table {name!r} has no committed version"
+                )
+            manifest = self._load_manifest(name, base)
+            if not stats_cols:
+                # keep the table's data-skipping metadata alive across
+                # deletes (the compact convention)
+                stats_cols = sorted(
+                    {c for s in manifest.get("stats", {}).values() for c in s}
+                )
+            touched = self._prune_dirs(manifest, where)
+            kept = [d for d in manifest["dirs"] if d not in touched]
+            if not touched:
+                return 0
+            bdir = self._data_dir(name)
+            affected = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(bdir, d) for d in touched]
+            )
+            keep_pred = None
+            for col, op, value in where:
+                c = _PRED_OPS[op](F.col(col), F.lit(value))
+                keep_pred = c if keep_pred is None else keep_pred & c
+            survivors = affected.filter(~keep_pred)
+            n_before = affected.count()
+            ws, n_after, st = self._write_set(name, survivors, stats_cols)
+            if n_after == n_before:
+                # stats said "may match" but nothing actually did
+                self._drop_write_set(name, ws)
+                if self.current_version(name) == base:
+                    return 0
+                continue
+            dirs = kept + ([ws] if n_after else [])
+            stats = {
+                d: s
+                for d, s in manifest.get("stats", {}).items()
+                if d in kept
+            }
+            if n_after:
+                stats[ws] = st
+            try:
+                self._try_commit(name, base, dirs, "delete", stats)
+                return n_before - n_after
+            except CommitConflict:
+                self._drop_write_set(name, ws)
+                continue
+        raise CommitConflict(
+            f"{name}: delete_where exceeded {self.max_retries} retries"
+        )
 
     # -- maintenance ------------------------------------------------------
 

@@ -311,3 +311,77 @@ def test_zorder_compact_prunes_on_both_dimensions(spark, tmp_path):
     zo_k2 = files_touched(zo, [("k2", "==", 7)])
     assert lin_k2 == 8
     assert zo_k2 < lin_k2
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """A later write set may carry a new column; reads union with NULLs
+    for older sets (Delta-style additive evolution)."""
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])
+    widened = _rows(spark, 10, 20, "b").withColumn("extra", F.lit(7))
+    cat.append_missing("t", widened, ["k"])
+    out = cat.read("t")
+    assert set(out.columns) == {"k", "v", "extra"}
+    vals = {r["k"]: r["extra"] for r in out.collect()}
+    assert vals[0] is None and vals[15] == 7
+
+
+def test_delete_where_removes_rows_and_reuses_untouched_sets(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for lo in (0, 100, 200):
+        cat.append_missing(
+            "t", _rows(spark, lo, lo + 100, f"b{lo}"), ["k"], stats_cols=["k"]
+        )
+    before = cat._load_manifest("t", cat.current_version("t"))
+    n = cat.delete_where("t", [("k", ">=", 150), ("k", "<", 160)])
+    assert n == 10
+    assert cat.read("t").count() == 290
+    assert cat.read("t", where=[("k", "==", 155)]).count() == 0
+    after = cat._load_manifest("t", cat.current_version("t"))
+    # only the overlapping write set was rewritten; the other two are
+    # the SAME directories, files untouched
+    assert len(set(before["dirs"]) & set(after["dirs"])) == 2
+    # rewritten set keeps data-skipping stats (inherited cols)
+    new = set(after["dirs"]) - set(before["dirs"])
+    assert len(new) == 1
+    # survivors of the touched set are 100..149 and 160..199
+    assert after["stats"][next(iter(new))]["k"] == [100, 199]
+
+    # no-match delete is a no-op commit-wise
+    v = cat.current_version("t")
+    assert cat.delete_where("t", [("k", ">", 10_000)]) == 0
+    assert cat.current_version("t") == v
+
+    # idempotent replay
+    assert cat.delete_where("t", [("k", ">=", 150), ("k", "<", 160)]) == 0
+
+
+def test_delete_where_serializes_with_concurrent_append(spark, tmp_path):
+    import threading
+
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 100, "a"), ["k"], stats_cols=["k"])
+    errs = []
+
+    def deleter():
+        try:
+            cat.delete_where("t", [("k", "<", 50)])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender():
+        try:
+            cat.append_missing(
+                "t", _rows(spark, 100, 150, "b"), ["k"], stats_cols=["k"]
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=deleter), threading.Thread(target=appender)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    ks = sorted(r["k"] for r in cat.read("t").collect())
+    assert ks == list(range(50, 150))  # both effects present, serialized
