@@ -44,16 +44,19 @@ def cmd_ingest(args: argparse.Namespace) -> int:
             # classic header; fall back to the full file if it doesn't
             with open(args.file, "rb") as f:
                 prefix = f.read(8 << 20)
+            file_was_larger = len(prefix) == (8 << 20)
             try:
                 attrs = file_attrs(prefix)
-            except Exception as e:
-                # Retry with the whole file ONLY for a too-short prefix
-                # (classic reader says "truncated"; an xarray backend read
-                # error is also prefix-shaped). A corrupt header (bad
-                # magic/tags) fails identically on the full bytes, so let
-                # it propagate rather than re-reading a multi-GB file
-                # just to fail again.
-                if isinstance(e, ValueError) and "truncated" not in str(e).lower():
+            except Exception:
+                # Retry with the whole file ONLY when the prefix was
+                # genuinely partial (the file is larger than what we
+                # read) — then ANY parse error may be prefix-shaped,
+                # whatever its message (the classic reader says
+                # "truncated", but xarray backends raise arbitrary
+                # reshape/backend errors on cut-off bytes). If the prefix
+                # already covered the whole file, the full read cannot
+                # differ — propagate instead of re-reading to fail again.
+                if not file_was_larger:
                     raise
                 with open(args.file, "rb") as f:
                     attrs = file_attrs(f.read())

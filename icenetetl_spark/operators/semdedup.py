@@ -52,6 +52,10 @@ def semantic_pairs(
     ``doc_a < doc_b``. The self-join keys on the cell id, so candidate
     generation is bucketed exactly like the LSH/SimHash/IVF families."""
     cells = assign_cells_fixed(emb, centroids, id_col, vec_col)
+    return _pairs_from_cells(cells, threshold)
+
+
+def _pairs_from_cells(cells: DataFrame, threshold: float) -> DataFrame:
     a = cells.select(
         F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), "cell"
     )
@@ -83,11 +87,15 @@ def semdedup(
     smaller id — the SemDeDup policy). Isolated vectors are absent: they are
     all keepers by definition and a caller anti-joins the drop set instead
     of materializing the identity mapping."""
-    pairs = semantic_pairs(emb, centroids, threshold, id_col, vec_col)
+    # ONE cell assignment feeds both the pair self-join and the keep
+    # policy — assign_cells_fixed is the expensive corpus x k crossJoin +
+    # argmax aggregate, and sharing the lineage lets ReuseExchange serve
+    # all three consumers from one physical aggregate (a second
+    # assign_cells_fixed call would duplicate the whole pass)
+    cells = assign_cells_fixed(emb, centroids, id_col, vec_col)
+    pairs = _pairs_from_cells(cells, threshold)
     comp = connected_components(pairs.select("doc_a", "doc_b"))
-    csims = assign_cells_fixed(emb, centroids, id_col, vec_col).select(
-        F.col("vec_id").alias("doc_id"), "csim"
-    )
+    csims = cells.select(F.col("vec_id").alias("doc_id"), "csim")
     return (
         comp.join(csims, "doc_id")
         .groupBy("component_id")

@@ -439,7 +439,13 @@ class TxnParquetCatalog:
             for col, op, value in where:
                 c = _PRED_OPS[op](F.col(col), F.lit(value))
                 keep_pred = c if keep_pred is None else keep_pred & c
-            survivors = affected.filter(~keep_pred)
+            # SQL DELETE removes rows where the predicate is TRUE; a NULL
+            # predicate (e.g. a column added by schema evolution that old
+            # write sets read as NULL) must KEEP the row — a bare
+            # ~keep_pred would drop it under three-valued logic
+            survivors = affected.filter(
+                ~F.coalesce(keep_pred, F.lit(False))
+            )
             n_before = affected.count()
             ws, n_after, st = self._write_set(name, survivors, stats_cols)
             if n_after == n_before:
@@ -448,14 +454,16 @@ class TxnParquetCatalog:
                 if self.current_version(name) == base:
                     return 0
                 continue
-            dirs = kept + ([ws] if n_after else [])
+            # the rewritten set is referenced even when empty: its 0-row
+            # parquet carries the schema, so a delete-everything leaves a
+            # readable, appendable empty table instead of dirs=[]
+            dirs = kept + [ws]
             stats = {
                 d: s
                 for d, s in manifest.get("stats", {}).items()
                 if d in kept
             }
-            if n_after:
-                stats[ws] = st
+            stats[ws] = st
             try:
                 self._try_commit(name, base, dirs, "delete", stats)
                 return n_before - n_after
@@ -468,33 +476,50 @@ class TxnParquetCatalog:
 
     # -- maintenance ------------------------------------------------------
 
-    def vacuum(self, name: str, keep_versions: int = 1) -> int:
+    def vacuum(
+        self, name: str, keep_versions: int = 1, min_age_s: float = 3600.0
+    ) -> int:
         """Delete write sets referenced by NO retained manifest (crash
         orphans and superseded snapshots) and manifests older than the
         retained window. Returns directories removed. Like Delta VACUUM,
         concurrent readers of vacuumed-away old versions would break —
-        ``keep_versions`` is that retention window."""
+        ``keep_versions`` is that retention window.
+
+        ``min_age_s`` protects LIVE writers: a concurrent commit
+        materializes its write set BEFORE the manifest references it, so
+        an unreferenced-but-fresh directory may belong to an in-flight
+        transaction — only directories older than the window are removed
+        (Delta's retention-check, defaulting to 1 hour; tests pass 0)."""
         latest = self.current_version(name)
         if latest < 0:
             return 0
         keep = range(max(0, latest - keep_versions + 1), latest + 1)
         referenced: set[str] = set()
         for v in keep:
-            referenced |= set(self._load_manifest(name, v)["dirs"])
+            # versions inside the window may already have been dropped by
+            # an earlier, tighter vacuum — retain what remains
+            try:
+                referenced |= set(self._load_manifest(name, v)["dirs"])
+            except FileNotFoundError:
+                continue
         removed = 0
+        now = time.time()
         ddir = self._data_dir(name)
         for d in os.listdir(ddir) if os.path.isdir(ddir) else []:
-            if d not in referenced:
-                shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+            full = os.path.join(ddir, d)
+            try:
+                fresh = now - os.path.getmtime(full) < min_age_s
+            except OSError:
+                continue
+            if d not in referenced and not fresh:
+                shutil.rmtree(full, ignore_errors=True)
                 removed += 1
-        # crashed compacts leave staging dirs; age-gate the cleanup so a
-        # LIVE concurrent compact's staging isn't deleted under it
+        # crashed compacts leave staging dirs; same age gate as above
         sdir = os.path.join(self.path(name), "_staging")
-        cutoff = time.time() - 3600
         for d in os.listdir(sdir) if os.path.isdir(sdir) else []:
             full = os.path.join(sdir, d)
             try:
-                if os.path.getmtime(full) < cutoff:
+                if now - os.path.getmtime(full) >= min_age_s:
                     shutil.rmtree(full, ignore_errors=True)
                     removed += 1
             except OSError:
@@ -533,15 +558,56 @@ class TxnParquetCatalog:
         Morton-interleaved key instead of the linear sort — Delta's
         OPTIMIZE ZORDER: each write set then covers a narrow range in
         BOTH dimensions, so predicates on either column alone still
-        prune, where linear clustering only serves its leading column."""
-        manifest = self._load_manifest(name, self.current_version(name))
-        stats_cols = sorted(
-            {c for s in manifest.get("stats", {}).values() for c in s}
-        )
-        if not cluster_by:
-            self.overwrite(name, self.read(name).coalesce(num_files), stats_cols)
-            return
-        current = self.read(name)
+        prune, where linear clustering only serves its leading column.
+
+        Concurrency: the rewrite CASes against EXACTLY the version it
+        read. A concurrent commit landing first makes the rewrite stale —
+        the loser discards its write sets and recompacts from the new
+        snapshot, so no concurrently committed rows are ever dropped
+        (a re-CAS of the stale rewrite at the next version would silently
+        erase the interleaved commit)."""
+        for _ in range(self.max_retries):
+            base = self.current_version(name)
+            manifest = self._load_manifest(name, base)
+            stats_cols = sorted(
+                {c for s in manifest.get("stats", {}).values() for c in s}
+            )
+            current = self.read(name, base)
+            if not cluster_by:
+                ws, _, st = self._write_set(
+                    name, current.coalesce(num_files), stats_cols
+                )
+                write_sets = {ws: st}
+            else:
+                stats_cols = sorted(set(stats_cols) | set(cluster_by))
+                write_sets = self._clustered_write_sets(
+                    name, current, num_files, cluster_by, zorder, stats_cols
+                )
+            try:
+                self._try_commit(
+                    name, base, list(write_sets), "compact", write_sets
+                )
+                return
+            except CommitConflict:
+                for ws in write_sets:
+                    self._drop_write_set(name, ws)
+                continue
+        raise CommitConflict(f"{name}: compact exceeded {self.max_retries} retries")
+
+    def _clustered_write_sets(
+        self,
+        name: str,
+        current: DataFrame,
+        num_files: int,
+        cluster_by: Sequence[str],
+        zorder: bool,
+        stats_cols: Sequence[str],
+    ) -> dict[str, dict]:
+        """Materialize the clustered rewrite: ONE write job produces every
+        range partition as its own directory (partitionBy keys the layout
+        on __pid); each becomes an independent write set so manifest stats
+        describe disjoint ranges. Stats for all sets come from one grouped
+        agg pass."""
         if zorder:
             from icenetetl_spark.operators.scale import zorder_key
 
@@ -557,11 +623,6 @@ class TxnParquetCatalog:
                 num_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)
         clustered = clustered.withColumn("__pid", F.spark_partition_id())
-        stats_cols = sorted(set(stats_cols) | set(cluster_by))
-        # ONE write job produces every range partition as its own
-        # directory (partitionBy keys the layout on __pid); each becomes
-        # an independent write set so manifest stats describe disjoint
-        # ranges. Stats for all sets come from one grouped agg pass.
         staging = os.path.join(
             self.path(name), "_staging", f"compact-{uuid.uuid4().hex}"
         )
@@ -583,18 +644,4 @@ class TxnParquetCatalog:
                 for i, c in enumerate(stats_cols)
             }
         shutil.rmtree(staging, ignore_errors=True)
-        for _ in range(self.max_retries):
-            try:
-                self._try_commit(
-                    name,
-                    self.current_version(name),
-                    list(write_sets),
-                    "compact",
-                    write_sets,
-                )
-                return
-            except CommitConflict:
-                continue
-        for ws in write_sets:
-            self._drop_write_set(name, ws)
-        raise CommitConflict(f"{name}: compact exceeded {self.max_retries} retries")
+        return write_sets

@@ -120,7 +120,7 @@ def test_orphaned_write_sets_invisible_and_vacuumed(spark, tmp_path):
     orphan = os.path.join(cat.path("t"), "data", "ws-deadbeef")
     _rows(spark, 90, 99, "crash").write.parquet(orphan)
     assert cat.read("t").count() == 10  # invisible to readers
-    removed = cat.vacuum("t")
+    removed = cat.vacuum("t", min_age_s=0)
     assert removed == 1 and not os.path.isdir(orphan)
     assert cat.read("t").count() == 10
 
@@ -130,7 +130,7 @@ def test_vacuum_retains_window_and_drops_old_versions(spark, tmp_path):
     for i in range(4):
         cat.overwrite("t", _rows(spark, 0, 10 + i, "x"))
     assert cat.current_version("t") == 3
-    cat.vacuum("t", keep_versions=2)
+    cat.vacuum("t", keep_versions=2, min_age_s=0)
     assert cat.read("t", version=3).count() == 13
     assert cat.read("t", version=2).count() == 12
     with pytest.raises(FileNotFoundError):
@@ -276,7 +276,7 @@ def test_clustered_compact_tightens_pruning(spark, tmp_path):
     assert after.count() == 1
     # clustering preserved every row
     assert cat.read("t").count() == 400
-    assert cat.vacuum("t") >= 4  # pre-compact sets now unreferenced
+    assert cat.vacuum("t", min_age_s=0) >= 4  # pre-compact sets now unreferenced
 
 
 def test_zorder_compact_prunes_on_both_dimensions(spark, tmp_path):
@@ -385,3 +385,68 @@ def test_delete_where_serializes_with_concurrent_append(spark, tmp_path):
     assert not errs
     ks = sorted(r["k"] for r in cat.read("t").collect())
     assert ks == list(range(50, 150))  # both effects present, serialized
+
+
+def test_delete_keeps_null_rows_and_survives_full_delete(spark, tmp_path):
+    """SQL DELETE semantics under schema evolution: rows whose predicate
+    column reads as NULL are kept; deleting everything leaves an empty
+    but readable AND appendable table (never dirs=[])."""
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"], stats_cols=["k"])
+    widened = _rows(spark, 10, 20, "b").withColumn("extra", F.lit(5))
+    cat.append_missing("t", widened, ["k"], stats_cols=["k"])
+    assert cat.delete_where("t", [("extra", "==", 5)]) == 10
+    assert cat.read("t").count() == 10  # NULL-extra originals survive
+
+    assert cat.delete_where("t", [("k", ">=", 0)]) == 10
+    assert cat.read("t").count() == 0
+    assert cat.exists("t")
+    assert cat.append_missing("t", _rows(spark, 0, 5, "c"), ["k"]) == 5
+    assert cat.read("t").count() == 5
+
+
+def test_compact_retries_from_fresh_snapshot_on_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """A compact losing the CAS must RECOMPACT from the winner's snapshot
+    — re-CASing its stale rewrite would silently erase the interleaved
+    commit."""
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 100, "a"), ["k"], stats_cols=["k"])
+    real = cat._try_commit
+    state = {"injected": False}
+
+    def racy(name, base, dirs, op, stats=None):
+        if op == "compact" and not state["injected"]:
+            state["injected"] = True
+            other = TxnParquetCatalog(spark, cat.warehouse)
+            other.append_missing(
+                "t", _rows(spark, 100, 110, "b"), ["k"], stats_cols=["k"]
+            )
+        return real(name, base, dirs, op, stats)
+
+    monkeypatch.setattr(cat, "_try_commit", racy)
+    cat.compact("t", num_files=2, cluster_by=["k"])
+    assert cat.read("t").count() == 110  # concurrent rows survived
+    assert sorted(r["k"] for r in cat.read("t").collect()) == list(range(110))
+
+
+def test_vacuum_age_gate_protects_inflight_write_sets(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])
+    orphan = os.path.join(cat.path("t"), "data", "ws-inflight")
+    _rows(spark, 50, 60, "x").write.parquet(orphan)
+    # default window: the fresh unreferenced dir is NOT removed
+    assert cat.vacuum("t") == 0 and os.path.isdir(orphan)
+    # aged out: removed
+    assert cat.vacuum("t", min_age_s=0) == 1 and not os.path.isdir(orphan)
+
+
+def test_vacuum_survives_previously_dropped_manifests(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for i in range(4):
+        cat.overwrite("t", _rows(spark, 0, 10 + i, "x"))
+    cat.vacuum("t", keep_versions=1, min_age_s=0)
+    # widening the window over already-deleted manifests must not crash
+    cat.vacuum("t", keep_versions=3, min_age_s=0)
+    assert cat.read("t").count() == 13
