@@ -740,3 +740,64 @@ ORACLES = {
         GROUP BY c.component_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# ANN recall scorecard: every fixed-plan approximate method evaluated
+# against brute force in ONE gated query — the index-quality report a
+# vector-search deployment watches. Composed from the SAME query functions
+# and oracle texts as the individual gates, so the scorecard can never
+# drift from what it scores.
+
+_RECALL_METHODS = (
+    "knn_sign_lsh",
+    "knn_hyperplane_lsh",
+    "knn_ivf_fixed",
+    "knn_pq",
+    "knn_ivfpq_fixed",
+)
+
+
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, n_queries, n_matched, recall): recall@K of each fixed-plan
+    ANN method vs exact brute force. recall = matched-pairs / (K *
+    n_queries) — integer counts with one final division, so the value is
+    bit-identical across engines with no quantization needed."""
+    bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    nq = F.lit(N_QUERIES)
+    parts = []
+    for m in _RECALL_METHODS:
+        approx = QUERIES[m](spark, sf_dir).select("query_id", "neighbor_id")
+        matched = bf.join(approx, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_matched")
+        )
+        parts.append(
+            matched.select(
+                F.lit(m).alias("method"),
+                nq.alias("n_queries"),
+                "n_matched",
+                (
+                    F.col("n_matched").cast("double")
+                    / F.lit(float(K * N_QUERIES))
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["knn_recall_report"] = knn_recall_report
+
+ORACLES["knn_recall_report"] = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{m}' AS method,
+           CAST({N_QUERIES} AS INTEGER) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(count(*) AS DOUBLE) / {float(K * N_QUERIES)} AS recall
+    FROM ({ORACLES["knn_bruteforce"]}) bf
+    JOIN ({ORACLES[m]}) ap USING (query_id, neighbor_id)
+    """
+    for m in _RECALL_METHODS
+)
