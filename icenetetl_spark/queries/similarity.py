@@ -751,6 +751,7 @@ ORACLES = {
 
 _RECALL_METHODS = (
     "knn_sign_lsh",
+    "knn_sign_lsh_multiprobe",
     "knn_hyperplane_lsh",
     "knn_ivf_fixed",
     "knn_pq",
@@ -763,7 +764,13 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN method vs exact brute force. recall = matched-pairs / (K *
     n_queries) — integer counts with one final division, so the value is
     bit-identical across engines with no quantization needed."""
-    bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # cache: the O(N^2) exact baseline is referenced by every method's
+    # union branch — uncached, Spark would re-run the self-join per branch
+    bf = (
+        knn_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
     nq = F.lit(N_QUERIES)
     parts = []
     for m in _RECALL_METHODS:
