@@ -83,8 +83,10 @@ def epoch_bucket(ts: Column | str, seconds: int, alias: str) -> Column:
 
 # Which hash backs portable_hash64 by default: 'md5' is DuckDB-reproducible
 # (the oracle gate needs bit-identical values in both engines); 'xxhash64'
-# is the production swap — same plan shape, JVM-native, roughly an order of
-# magnitude cheaper per row, but not reproducible in the SQL oracle. Flip
+# is the production swap — same plan shape, JVM-native, an order of
+# magnitude cheaper per ROW (end-to-end: 1.2-1.5x measured on the dedup
+# suite, widening with data size — see SCALING.md), but not reproducible
+# in the SQL oracle. Flip
 # once at deployment with set_default_hash_impl('xxhash64'); every MinHash /
 # SimHash / bucketing / split call site follows.
 _DEFAULT_HASH_IMPL = "md5"
