@@ -122,7 +122,8 @@ def portable_hash64(
       Spark:  conv(substring(md5(s), 1, k), 16, 10)::long
       DuckDB: CAST('0x' || substr(md5(s), 1, k) AS BIGINT)
     impl='xxhash64': production swap (pmod(xxhash64(s), 2^bits)) — same
-      plan shape and value range, ~10x cheaper, no SQL-oracle twin.
+      plan shape and value range, ~10x cheaper per row (1.2-1.5x
+      end-to-end on the dedup suite, SCALING.md), no SQL-oracle twin.
 
     Used for MinHash / SimHash / bucketing where determinism matters;
     ``impl=None`` follows the process default (set_default_hash_impl).

@@ -20,7 +20,8 @@ Scale notes (100 TB):
   self-join, which is also standard practice quality-wise.
 - Hashes here use a portable md5-derived integer (functions.portable) so the
   DuckDB oracle reproduces them bit-for-bit; on a real cluster swap
-  ``portable_hash64`` for ``F.xxhash64`` (same plan, ~10x cheaper).
+  ``portable_hash64`` for ``F.xxhash64`` (same plan, ~10x cheaper per
+  row; 1.2-1.5x end-to-end — SCALING.md).
 """
 
 from __future__ import annotations
