@@ -151,11 +151,33 @@ class TxnParquetCatalog:
 
     # -- snapshot reads ---------------------------------------------------
 
+    def version_at(self, name: str, ts: float) -> int:
+        """Latest committed version whose commit timestamp is <= ``ts``
+        (timestamp-based time travel, resolved from the manifest log's own
+        ``ts`` fields — O(retained versions) small-JSON reads)."""
+        latest = self.current_version(name)
+        if latest < 0:
+            raise FileNotFoundError(f"table {name!r} has no committed version")
+        best = -1
+        for v in range(latest + 1):
+            try:
+                m = self._load_manifest(name, v)
+            except FileNotFoundError:  # vacuumed away
+                continue
+            if m.get("ts", float("inf")) <= ts:
+                best = v
+        if best < 0:
+            raise FileNotFoundError(
+                f"table {name!r} has no version at or before ts={ts}"
+            )
+        return best
+
     def read(
         self,
         name: str,
         version: int | None = None,
         where: Sequence[tuple[str, str, object]] | None = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
         """DataFrame over exactly the write sets the manifest references —
         uncommitted/orphaned data is invisible by construction. Passing
@@ -171,7 +193,14 @@ class TxnParquetCatalog:
         result equals ``read(name).filter(...)`` whether or not any write
         set carries statistics. At cluster scale this turns a point/range
         lookup over a long-appended table into an O(matching write sets)
-        scan driven by O(commits) JSON metadata."""
+        scan driven by O(commits) JSON metadata.
+
+        ``as_of_ts`` time-travels by commit timestamp instead of version
+        number (mutually exclusive with ``version``)."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of_ts, not both")
+            version = self.version_at(name, as_of_ts)
         v = self.current_version(name) if version is None else version
         if v < 0:
             raise FileNotFoundError(f"table {name!r} has no committed version")

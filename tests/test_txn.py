@@ -450,3 +450,20 @@ def test_vacuum_survives_previously_dropped_manifests(spark, tmp_path):
     # widening the window over already-deleted manifests must not crash
     cat.vacuum("t", keep_versions=3, min_age_s=0)
     assert cat.read("t").count() == 13
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])
+    t_after_v0 = _time.time()
+    _time.sleep(0.05)
+    cat.append_missing("t", _rows(spark, 10, 20, "b"), ["k"])
+    assert cat.read("t", as_of_ts=t_after_v0).count() == 10
+    assert cat.read("t", as_of_ts=_time.time()).count() == 20
+    assert cat.version_at("t", t_after_v0) == 0
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        cat.version_at("t", 0.0)
+    with pytest.raises(ValueError, match="not both"):
+        cat.read("t", version=0, as_of_ts=t_after_v0)
