@@ -605,6 +605,30 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling — the SOFT filter real
+    pipelines use instead of a hard quality cut (a hard threshold throws
+    away every mid-quality doc; sampling keeps them in proportion to
+    quality): keep doc iff hash(doc_id) bucket < quality * buckets, so
+    keep probability == quality score, per-doc deterministic (a rerun
+    keeps exactly the same docs — the corpus_temperature_mix hashing
+    discipline applied at document granularity). Pure projection+filter:
+    zero shuffles."""
+    from icenetetl_spark.functions.portable import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id").cast("string"), bits=32) % MIX_HASH_BUCKETS
+    q = T.quality_score(F.col("text"))
+    return (
+        docs.select("doc_id", q.alias("quality"), bucket.alias("__b"))
+        .filter(
+            F.col("__b")
+            < F.floor(F.col("quality") * MIX_HASH_BUCKETS).cast("long")
+        )
+        .select("doc_id", "quality")
+    )
+
+
 QUERIES = {
     "corpus_source_mix": corpus_source_mix,
     "text_repetition": text_repetition,
@@ -627,6 +651,7 @@ QUERIES = {
     "text_unigram_logprob": text_unigram_logprob,
     "text_bigram_logprob": text_bigram_logprob,
     "text_tfidf_keywords": text_tfidf_keywords,
+    "doc_importance_sample": doc_importance_sample,
 }
 
 
@@ -840,6 +865,26 @@ ORACLES = {
                CAST(n_tokens AS DOUBLE) / total AS token_share,
                n_exact_dups, mean_quality
         FROM agg, tot
+    """,
+    # Mirrors doc_importance_sample: same quality arithmetic, same hash
+    # bucket and floor threshold.
+    "doc_importance_sample": f"""
+        WITH feats AS (
+            SELECT doc_id, {_FEATURES}
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   distinct_ratio
+                   * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0
+                           THEN 1.0 ELSE 0.5 END)
+                   * (CASE WHEN stopword_ratio <= 0.5 THEN 1.0 ELSE 0.5 END)
+                       AS quality
+            FROM feats
+        )
+        SELECT doc_id, quality FROM scored
+        WHERE ({_ph_sql("CAST(doc_id AS VARCHAR)", 32)}) % {MIX_HASH_BUCKETS}
+              < CAST(FLOOR(quality * {MIX_HASH_BUCKETS}) AS BIGINT)
     """,
     # Mirrors text_bigram_logprob: same bigram extraction (1-based i vs
     # 0-based: w[i], w[i+1] are the identical adjacent tokens), same MLE
