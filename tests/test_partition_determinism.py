@@ -22,6 +22,14 @@ FLOAT_SENSITIVE = [
     "corpus_temperature_mix",
     "text_bm25_topk",
     "q14_promo_effect",
+    # round-5 float paths: fixed-point ADC sum under IVF candidate
+    # restriction, fixed-point moments + broadcast-back flags, fixed-point
+    # LM means, quantized tf-idf ranking, recall ratio-of-counts
+    "knn_ivfpq_fixed",
+    "dq_outliers",
+    "text_bigram_logprob",
+    "text_tfidf_keywords",
+    "knn_recall_report",
 ]
 
 
