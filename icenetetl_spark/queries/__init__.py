@@ -21,13 +21,14 @@ from icenetetl_spark.queries import (
     icenet,
     multimodal,
     similarity,
+    supply,
     text,
     warehouse,
 )
 
 _MODULES = [
-    core, headline, extended, warehouse, analytics, approx, events, dedup,
-    text, similarity, multimodal, icenet,
+    core, headline, extended, warehouse, supply, analytics, approx, events,
+    dedup, text, similarity, multimodal, icenet,
 ]
 
 

@@ -56,6 +56,11 @@ ANSI_ORACLES = [
     "q17_small_qty_avg",
     "q21_waiting_supplier",
     "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q20_excess_suppliers",
     "w_cume_percent",
     "dq_expectations",
     "approx_distinct_suppliers",
