@@ -23,12 +23,13 @@ from icenetetl_spark.queries import (
     similarity,
     supply,
     text,
+    tokenizer,
     warehouse,
 )
 
 _MODULES = [
     core, headline, extended, warehouse, supply, analytics, approx, events,
-    dedup, text, similarity, multimodal, icenet,
+    dedup, text, tokenizer, similarity, multimodal, icenet,
 ]
 
 
