@@ -1,0 +1,134 @@
+"""Int8 scalar quantization of embedding vectors and quantized ANN.
+
+Symmetric per-vector scalar quantization (the faiss `ScalarQuantizer`
+QT_8bit_direct idea, public): scale = max|x| / 127, code_i =
+floor(x_i / scale + 0.5). The rounding is spelled as floor(v + 0.5) — the
+same IEEE double ops on both engines — rather than engine ROUND (Spark
+HALF_UP vs DuckDB half-away semantics differ on exact halves), so
+quantization is bit-portable and the driver can hash-gate it.
+
+Why it matters at 100 TB: float32 d=64 embeddings are 256 B/vector;
+int8 codes + one float scale are 72 B — a 3.5× working-set cut for the
+candidate-scoring side of every ANN plan, and the scoring itself becomes
+an exact INTEGER dot product (associative, overflow-safe: |codes| <= 127,
+so d=64 dot <= 64*127^2 ~ 1e6, far inside BIGINT) scaled by
+scale_q * scale_c at the end. No float accumulation order anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+INT8_MAX = 127
+
+
+def amax(vec: Column) -> Column:
+    """max(|x|) over the vector, in double."""
+    return F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+
+
+def int8_codes(vec: Column, scale: Column) -> Column:
+    """Per-element code floor(x/scale + 0.5) as INT; all-zero vectors
+    (scale = 0) quantize to zero codes."""
+    return F.transform(
+        vec,
+        lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
+            F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+        ),
+    )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds `scale` (double) and `codes` (array<int>) columns."""
+    out = df.withColumn("scale", amax(F.col(vec_col)) / F.lit(float(INT8_MAX)))
+    return out.withColumn("codes", int8_codes(F.col(vec_col), F.col("scale")))
+
+
+def int_dot(x: Column, y: Column) -> Column:
+    """Exact integer dot product of two code arrays (BIGINT fold)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda u, v: (u * v).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+
+
+def knn_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k under int8-quantized dot-product scoring:
+    (query_id, neighbor_id, rank, qscore) with qscore =
+    int_dot(codes_q, codes_c) * scale_q * scale_c.
+
+    The scoring pass reads 72 B/vector instead of 256 B (codes + scale);
+    the integer dot is exact so ties and ordering are deterministic across
+    partitionings and engines — this is the hash-gateable quantized ANN.
+    Recall vs the exact float top-k is asserted in tests/test_quantization.
+    """
+    q = quantize_int8(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("scale").alias("qs"),
+        F.col("codes").alias("qc"),
+    )
+    c = quantize_int8(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("scale").alias("cs"),
+        F.col("codes").alias("cc"),
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        (
+            int_dot(F.col("qc"), F.col("cc")).cast("double")
+            * F.col("qs")
+            * F.col("cs")
+        ).alias("qscore"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qscore")
+    )
+
+
+def reconstruction_report(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector quantization summary: scale, code extremes/sum, and the
+    mean absolute reconstruction error |x - code*scale| in fixed-point
+    (floor(e*1e9 + 0.5) accumulated as BIGINT — portable)."""
+    qdf = quantize_int8(df, vec_col)
+    err = F.zip_with(
+        F.col(vec_col),
+        F.col("codes"),
+        lambda x, c: F.floor(
+            F.abs(x.cast("double") - c.cast("double") * F.col("scale"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    n = F.size(F.col(vec_col))
+    return qdf.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
+        (
+            F.aggregate(err, F.lit(0).cast("long"), lambda a, x: a + x).cast(
+                "double"
+            )
+            / F.lit(1e9)
+            / n
+        ).alias("mean_abs_err"),
+    )

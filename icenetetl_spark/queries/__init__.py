@@ -20,6 +20,7 @@ from icenetetl_spark.queries import (
     headline,
     icenet,
     multimodal,
+    quantized,
     similarity,
     supply,
     text,
@@ -29,7 +30,7 @@ from icenetetl_spark.queries import (
 
 _MODULES = [
     core, headline, extended, warehouse, supply, analytics, approx, events,
-    dedup, text, tokenizer, similarity, multimodal, icenet,
+    dedup, text, tokenizer, similarity, quantized, multimodal, icenet,
 ]
 
 
