@@ -756,7 +756,24 @@ _RECALL_METHODS = (
     "knn_ivf_fixed",
     "knn_pq",
     "knn_ivfpq_fixed",
+    "knn_int8_topk",
 )
+
+
+def _method_query(m):
+    if m in QUERIES:
+        return QUERIES[m]
+    from icenetetl_spark.queries import quantized
+
+    return quantized.QUERIES[m]
+
+
+def _method_oracle(m):
+    if m in ORACLES:
+        return ORACLES[m]
+    from icenetetl_spark.queries import quantized
+
+    return quantized.ORACLES[m]
 
 
 def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,7 +791,9 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = F.lit(N_QUERIES)
     parts = []
     for m in _RECALL_METHODS:
-        approx = QUERIES[m](spark, sf_dir).select("query_id", "neighbor_id")
+        approx = _method_query(m)(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
         matched = bf.join(approx, ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).alias("n_matched")
         )
@@ -804,7 +823,7 @@ ORACLES["knn_recall_report"] = "\nUNION ALL\n".join(
            CAST(count(*) AS BIGINT) AS n_matched,
            CAST(count(*) AS DOUBLE) / {float(K * N_QUERIES)} AS recall
     FROM ({ORACLES["knn_bruteforce"]}) bf
-    JOIN ({ORACLES[m]}) ap USING (query_id, neighbor_id)
+    JOIN ({_method_oracle(m)}) ap USING (query_id, neighbor_id)
     """
     for m in _RECALL_METHODS
 )
