@@ -176,8 +176,34 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_K = 20
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. ACL'22 re-expressed
+    relationally, operators/substrings.py): maximal regions whose every
+    SUBSTR_K-char window occurs more than once in the corpus."""
+    from icenetetl_spark.operators.substrings import duplicated_spans
+
+    return duplicated_spans(
+        load_table(spark, sf_dir, "documents"), k=SUBSTR_K
+    )
+
+
+def dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-character fraction — the curation-filter
+    feature derived from the span set (zeros for clean documents)."""
+    from icenetetl_spark.operators.substrings import duplication_profile
+
+    return duplication_profile(
+        load_table(spark, sf_dir, "documents"), k=SUBSTR_K
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_substring_profile": dedup_substring_profile,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_estimate": dedup_minhash_estimate,
@@ -459,3 +485,69 @@ ORACLES = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
     """,
 }
+
+
+_SUBSTR_SPANS_CTE = f"""
+    grams AS (
+        SELECT doc_id, i AS pos,
+               {portable_hash64_sql(f"substr(text, i, {SUBSTR_K})", 48)}
+                   AS gram_hash
+        FROM documents,
+             unnest(generate_series(1, length(text) - {SUBSTR_K} + 1))
+                 AS t(i)
+        WHERE length(text) >= {SUBSTR_K}
+    ),
+    dup AS (
+        SELECT gram_hash FROM grams GROUP BY gram_hash HAVING COUNT(*) > 1
+    ),
+    pos_dup AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram_hash)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM pos_dup
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(MIN(pos) AS INTEGER) AS span_start,
+               CAST(MAX(pos) + {SUBSTR_K} - 1 AS INTEGER) AS span_end,
+               CAST(MAX(pos) + {SUBSTR_K} - MIN(pos) AS INTEGER) AS span_len
+        FROM isl GROUP BY doc_id, island
+    )
+"""
+
+ORACLES["dedup_substring_spans"] = f"""
+    WITH {_SUBSTR_SPANS_CTE}
+    SELECT doc_id, span_start, span_end, span_len FROM spans
+"""
+
+ORACLES["dedup_substring_profile"] = f"""
+    WITH {_SUBSTR_SPANS_CTE},
+    lagged AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM pos_dup
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > {SUBSTR_K}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS region
+        FROM lagged
+    ),
+    regions AS (
+        SELECT doc_id, MAX(pos) + {SUBSTR_K} - MIN(pos) AS cov_chars
+        FROM marked GROUP BY doc_id, region
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_regions,
+               CAST(SUM(cov_chars) AS BIGINT) AS dup_chars
+        FROM regions GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_regions, CAST(0 AS BIGINT)) AS n_regions,
+           COALESCE(dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+           CAST(COALESCE(dup_chars, 0) AS DOUBLE) / length(d.text) AS dup_frac
+    FROM documents d LEFT JOIN agg USING (doc_id)
+"""
