@@ -1,0 +1,137 @@
+"""Iterative graph analytics on edge DataFrames: fixed-iteration PageRank
+(Brin & Page 1998, public) with engine-portable arithmetic.
+
+The iterative-algorithm pattern next to operators/dedup.connected_components
+(large-star/small-star): a driver loop of vocab-sized DataFrame jobs with
+localCheckpoint between rounds so lineage never accumulates. What makes
+this one hash-gateable where most iterative numerics are not: every
+per-iteration SUM accumulates FIXED-POINT contributions
+(floor(rank/deg * 10^s + 0.5) as BIGINT — the functions/portable.fsum_col
+construction), so the result is independent of partitioning AND engine,
+and a DuckDB oracle can unroll the same iterations as chained CTEs and
+match bit-for-bit.
+
+Scale shape: per iteration, one join of the edge list with the rank
+vector on src (both partitioned by the join key after round 1 —
+ReuseExchange keeps the edge side's shuffle) and one groupBy dst with
+map-side combine. State per node is one double; the driver holds only
+the node COUNT. Dangling mass: nodes with no out-edges leak their rank
+(the standard simplification); symmetrized undirected graphs have none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DAMPING = 0.85
+FXP_SCALE = 12  # 10^12 fixed-point; ranks <= 1 so contributions fit BIGINT
+
+
+def symmetrize(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Undirected pair list -> directed edge list with both orientations."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = DAMPING,
+    scale: int = FXP_SCALE,
+) -> DataFrame:
+    """(node, rank) after a FIXED number of power iterations over the
+    directed (src, dst) edge list. Uniform 1/n init; teleport
+    (1-damping)/n. Fixed iteration count (not convergence-tested) keeps
+    the result a pure function of the graph — reproducible by the oracle.
+    """
+    q = float(10**scale)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    teleport = (1.0 - damping) / n
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        contrib = edges_deg.join(
+            ranks, edges_deg.src == ranks.node
+        ).select(
+            "dst",
+            F.floor(
+                F.col("rank") / F.col("deg") * F.lit(q) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("contrib_q"),
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.sum("contrib_q").cast("double") / F.lit(q))
+                ).alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iterations: int = 10,
+    damping: float = DAMPING,
+    scale: int = FXP_SCALE,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the same fixed iterations unrolled
+    as chained CTEs (aggregation is not allowed in a recursive CTE term,
+    so the loop is generated, like the MinHash column unrolls).
+    ``edges_cte`` must be the NAME of a CTE providing (src, dst)."""
+    q = f"1e{scale}"
+    steps = [
+        f"""
+        nodes AS (
+            SELECT src AS node FROM {edges_cte}
+            UNION
+            SELECT dst FROM {edges_cte}
+        ),
+        params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (
+            SELECT src, COUNT(*) AS deg FROM {edges_cte} GROUP BY src
+        ),
+        r0 AS (
+            SELECT node, 1.0 / params.n AS rank FROM nodes, params
+        )"""
+    ]
+    for i in range(1, iterations + 1):
+        # CAST the damping literal: DuckDB parses bare 0.85 as exact
+        # DECIMAL; Spark/Python compute in doubles. Forcing DOUBLE makes
+        # (1.0 - d) etc. the identical IEEE ops on both engines.
+        d = f"CAST({damping} AS DOUBLE)"
+        steps.append(
+            f"""
+        r{i} AS (
+            SELECT e.dst AS node,
+                   (1.0 - {d}) / params.n
+                   + {d} * (CAST(SUM(CAST(FLOOR(
+                         r.rank / deg.deg * {q} + 0.5) AS BIGINT)) AS DOUBLE)
+                       / {q}) AS rank
+            FROM {edges_cte} e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            CROSS JOIN params
+            GROUP BY e.dst, params.n
+        )"""
+        )
+    return (
+        ",\n".join(steps)
+        + f"\n    SELECT node, rank FROM r{iterations}"
+    )

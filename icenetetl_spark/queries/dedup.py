@@ -176,6 +176,27 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERATIONS = 10
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the SimHash near-dup graph
+    (operators/graph.py): rank concentrates on documents sitting inside
+    dense duplicate neighborhoods — a centrality-weighted dedup priority.
+    Hash-gated: fixed-point per-iteration sums make the iterative numeric
+    bit-identical to the oracle's unrolled-CTE twin."""
+    from icenetetl_spark.operators.graph import pagerank, symmetrize
+
+    sim = D.simhash(load_table(spark, sf_dir, "documents"), num_bits=SIM_BITS)
+    pairs = D.simhash_near_pairs(sim, max_hamming=HAMMING_T).select(
+        "doc_a", "doc_b"
+    )
+    pr = pagerank(symmetrize(pairs), iterations=PR_ITERATIONS)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.col("rank").alias("pagerank")
+    )
+
+
 SUBSTR_K = 20
 
 
@@ -214,6 +235,7 @@ QUERIES = {
     "dedup_canonical": dedup_canonical,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_cdc": dedup_cdc,
+    "graph_pagerank": graph_pagerank,
 }
 
 
@@ -551,3 +573,27 @@ ORACLES["dedup_substring_profile"] = f"""
            CAST(COALESCE(dup_chars, 0) AS DOUBLE) / length(d.text) AS dup_frac
     FROM documents d LEFT JOIN agg USING (doc_id)
 """
+
+
+def _pagerank_oracle() -> str:
+    from icenetetl_spark.operators.graph import pagerank_oracle_sql
+
+    return f"""
+        SELECT node AS doc_id, rank AS pagerank FROM (
+            WITH sim AS ({_simhash_sql()}),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            {pagerank_oracle_sql("edges")}
+        ) t
+    """
+
+
+ORACLES["graph_pagerank"] = _pagerank_oracle()
