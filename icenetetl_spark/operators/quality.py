@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -160,4 +160,91 @@ def outlier_stats(
         (F.col("n_outliers").cast("double") / F.col("n").cast("double")).alias(
             "outlier_frac"
         ),
+    )
+
+
+def drift_psi(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    period: Column,
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 10,
+    smooth: float = 0.5,
+    quant: int = 9,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-group population stability index between two periods — the
+    standard production drift monitor (PSI; > 0.2 = significant shift).
+
+    ``period`` is a boolean column: False = baseline window (A), True =
+    current window (B). Bins are FIXED-WIDTH over [lo, hi) with clamped
+    edges — data-independent, so the report is deterministic and the
+    DuckDB oracle reproduces it (quantile bins would couple the histogram
+    to a global sort). Missing (group, bin) cells are restored from an
+    exploded grid (types x bins, broadcast nested-loop on two tiny sides)
+    and Laplace-smoothed so empty bins contribute finite terms.
+
+    Output: (group, n_a, n_b, psi, drifted). PSI terms are quantized at
+    10^-quant before the sum (BIGINT accumulation — order-independent;
+    also absorbs the 1-ulp Java-vs-libm ln() divergence, the
+    text_tfidf_keywords precedent). One data-sized groupBy is the only
+    corpus shuffle; everything after runs on groups x bins rows.
+    """
+    spark = df.sparkSession
+    width = (hi - lo) / n_bins
+    q = float(10**quant)
+    bin_expr = (
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(value_col).cast("double") - F.lit(lo))
+                    / F.lit(width)
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+    )
+    counts = (
+        df.select(F.col(group_col), bin_expr.alias("bin"), period.alias("is_b"))
+        .groupBy(group_col, "bin")
+        .agg(
+            F.count(F.when(~F.col("is_b"), 1)).alias("cnt_a"),
+            F.count(F.when(F.col("is_b"), 1)).alias("cnt_b"),
+        )
+    )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    grid = df.select(group_col).distinct().crossJoin(F.broadcast(bins))
+    filled = (
+        grid.join(counts, [group_col, "bin"], "left")
+        .select(
+            group_col,
+            "bin",
+            F.coalesce("cnt_a", F.lit(0).cast("long")).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0).cast("long")).alias("cnt_b"),
+        )
+    )
+    tot = filled.groupBy(group_col).agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    pa = (F.col("cnt_a").cast("double") + F.lit(smooth)) / (
+        F.col("tot_a").cast("double") + F.lit(smooth * n_bins)
+    )
+    pb = (F.col("cnt_b").cast("double") + F.lit(smooth)) / (
+        F.col("tot_b").cast("double") + F.lit(smooth * n_bins)
+    )
+    term_q = F.floor((pa - pb) * F.log(pa / pb) * F.lit(q) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        filled.join(F.broadcast(tot), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("tot_a").alias("n_a"),
+            F.max("tot_b").alias("n_b"),
+            (F.sum(term_q).cast("double") / F.lit(q)).alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > F.lit(threshold))
     )

@@ -308,7 +308,35 @@ def ev_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_SPLIT = "2024-01-16"  # baseline = first half of the month, current = second
+PSI_LO, PSI_HI, PSI_BINS = 0.0, 500.0, 10
+PSI_SMOOTH, PSI_QUANT, PSI_T = 0.5, 9, 0.2
+
+
+def ev_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor per event_type: value
+    histograms of the second half-month vs the first
+    (operators/quality.drift_psi — fixed-width bins, Laplace smoothing,
+    fixed-point term sums)."""
+    from icenetetl_spark.operators.quality import drift_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift_psi(
+        ev,
+        "event_type",
+        "value",
+        period=F.to_date("ts") >= F.lit(PSI_SPLIT).cast("date"),
+        lo=PSI_LO,
+        hi=PSI_HI,
+        n_bins=PSI_BINS,
+        smooth=PSI_SMOOTH,
+        quant=PSI_QUANT,
+        threshold=PSI_T,
+    )
+
+
 QUERIES = {
+    "ev_drift_psi": ev_drift_psi,
     "ev_gapfill_locf": ev_gapfill_locf,
     "ev_gapfill_interp": ev_gapfill_interp,
     "ev_retention": ev_retention,
@@ -547,3 +575,59 @@ ORACLES = {
           ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
 }
+
+
+ORACLES["ev_drift_psi"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               LEAST(GREATEST(CAST(FLOOR(
+                   (CAST(value AS DOUBLE) - CAST({PSI_LO} AS DOUBLE))
+                   / CAST({(PSI_HI - PSI_LO) / PSI_BINS} AS DOUBLE))
+                   AS INTEGER), 0), {PSI_BINS - 1}) AS bin,
+               CAST(ts AS DATE) >= DATE '{PSI_SPLIT}' AS is_b
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               COUNT(CASE WHEN NOT is_b THEN 1 END) AS cnt_a,
+               COUNT(CASE WHEN is_b THEN 1 END) AS cnt_b
+        FROM ev GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT event_type, i AS bin
+        FROM (SELECT DISTINCT event_type FROM ev) t,
+             unnest(generate_series(0, {PSI_BINS - 1})) AS s(i)
+    ),
+    filled AS (
+        SELECT g.event_type, g.bin,
+               COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.bin = c.bin
+    ),
+    tot AS (
+        SELECT event_type, SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b
+        FROM filled GROUP BY 1
+    ),
+    terms AS (
+        SELECT f.event_type, tot_a, tot_b,
+               (CAST(cnt_a AS DOUBLE) + CAST({PSI_SMOOTH} AS DOUBLE))
+                   / (CAST(tot_a AS DOUBLE)
+                      + CAST({PSI_SMOOTH * PSI_BINS} AS DOUBLE)) AS pa,
+               (CAST(cnt_b AS DOUBLE) + CAST({PSI_SMOOTH} AS DOUBLE))
+                   / (CAST(tot_b AS DOUBLE)
+                      + CAST({PSI_SMOOTH * PSI_BINS} AS DOUBLE)) AS pb
+        FROM filled f JOIN tot USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MAX(tot_a) AS BIGINT) AS n_a,
+           CAST(MAX(tot_b) AS BIGINT) AS n_b,
+           CAST(SUM(CAST(FLOOR((pa - pb) * ln(pa / pb)
+                * CAST(1e{PSI_QUANT} AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(1e{PSI_QUANT} AS DOUBLE) AS psi,
+           (CAST(SUM(CAST(FLOOR((pa - pb) * ln(pa / pb)
+                * CAST(1e{PSI_QUANT} AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(1e{PSI_QUANT} AS DOUBLE))
+               > CAST({PSI_T} AS DOUBLE) AS drifted
+    FROM terms
+    GROUP BY event_type
+"""

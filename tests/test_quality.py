@@ -50,3 +50,44 @@ def test_expect_no_checks_returns_stable_empty_schema(spark):
         ("check", "string"),
         ("n_violations", "bigint"),
     ]
+
+
+def test_drift_psi_flags_shift_and_clears_identical(spark):
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.quality import drift_psi
+
+    rows = []
+    # group "stable": same uniform spread in both periods
+    for i in range(400):
+        rows.append(("stable", float(i % 100), i % 2 == 0))
+    # group "shifted": baseline near 0, current near the top of the range
+    for i in range(200):
+        rows.append(("shifted", 5.0 + (i % 10), False))
+        rows.append(("shifted", 450.0 + (i % 10), True))
+    df = spark.createDataFrame(rows, "g string, v double, is_b boolean")
+    out = {
+        r["g"]: r
+        for r in drift_psi(
+            df, "g", "v", period=F.col("is_b"), lo=0.0, hi=500.0
+        ).collect()
+    }
+    assert out["stable"]["psi"] < 0.05 and not out["stable"]["drifted"]
+    assert out["shifted"]["psi"] > 1.0 and out["shifted"]["drifted"]
+    assert out["shifted"]["n_a"] == 200 and out["shifted"]["n_b"] == 200
+
+
+def test_drift_psi_deterministic_and_symmetricish(spark):
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.quality import drift_psi
+
+    rows = [("g", float((i * 37) % 500), i % 3 == 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double, is_b boolean")
+    a = drift_psi(df, "g", "v", period=F.col("is_b")).collect()
+    b = drift_psi(
+        df.repartition(11), "g", "v", period=F.col("is_b")
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # PSI is non-negative up to quantization of each term
+    assert all(r["psi"] >= -1e-8 for r in a)
