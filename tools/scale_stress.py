@@ -69,6 +69,10 @@ STRESS_QUERIES = [
     "doc_chunk_tokens",
     "ev_window_rollup",
     "ev_sessionize",
+    # round-5 late additions
+    "dedup_substring_spans",
+    "knn_int8_topk",
+    "bpe_encode_tokens",  # includes the 12-merge training loop
 ]
 
 
@@ -255,8 +259,17 @@ def main() -> int:
         "fixed while the corpus grows 10x, so their candidate work scales "
         "with corpus size by design.",
     ]
+    # preserve hand-maintained sections (e.g. the hash-swap measurements,
+    # bench-variance notes): everything from the first "## " heading on —
+    # the auto-generated report above uses only the "# " title
+    extra = ""
+    if os.path.exists(args.out):
+        old = open(args.out).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            extra = old[idx:]
     with open(args.out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + extra)
     print("\n".join(lines))
     spark.stop()
     return 0
