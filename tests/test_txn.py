@@ -467,3 +467,90 @@ def test_timestamp_time_travel(spark, tmp_path):
         cat.version_at("t", 0.0)
     with pytest.raises(ValueError, match="not both"):
         cat.read("t", version=0, as_of_ts=t_after_v0)
+
+
+def _changes(cat, name, v1, v2=None):
+    out = {}
+    for r in cat.table_changes(name, v1, v2, keys=["k"]).collect():
+        out.setdefault(r["_change_type"], set()).add((r["k"], r["v"]))
+    return out
+
+
+def test_table_changes_append_is_pure_insert(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])  # v0
+    cat.append_missing("t", _rows(spark, 5, 15, "a"), ["k"])  # v1: adds 10-14
+    ch = _changes(cat, "t", 0, 1)
+    assert set(ch) == {"insert"}
+    assert ch["insert"] == {(k, "a") for k in range(10, 15)}
+
+
+def test_table_changes_upsert_reports_pre_and_post_images(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])  # v0
+    cat.upsert("t", _rows(spark, 8, 12, "b"), ["k"])  # v1: 8,9 updated; 10,11 new
+    ch = _changes(cat, "t", 0, 1)
+    assert ch["insert"] == {(10, "b"), (11, "b")}
+    assert ch["update_preimage"] == {(8, "a"), (9, "a")}
+    assert ch["update_postimage"] == {(8, "b"), (9, "b")}
+    assert "delete" not in ch
+    # unchanged rows (0-7, rewritten by the upsert with equal values)
+    # must not appear under any change type
+    flat = {k for s in ch.values() for (k, _) in s}
+    assert flat == {8, 9, 10, 11}
+
+
+def test_table_changes_delete_where_reports_deletes_only(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])  # v0
+    cat.append_missing("t", _rows(spark, 10, 20, "b"), ["k"])  # v1
+    n = cat.delete_where("t", [("k", "<", 3)])  # v2
+    assert n == 3
+    ch = _changes(cat, "t", 1, 2)
+    assert set(ch) == {"delete"}
+    assert ch["delete"] == {(0, "a"), (1, "a"), (2, "a")}
+
+
+def test_table_changes_same_version_is_empty_and_spans_compose(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 5, "a"), ["k"])  # v0
+    cat.upsert("t", _rows(spark, 0, 2, "b"), ["k"])  # v1
+    cat.delete_where("t", [("k", ">=", 4)])  # v2
+    assert cat.table_changes("t", 1, 1, keys=["k"]).count() == 0
+    # net v0 -> v2 equals replaying the feed onto the v0 snapshot
+    ch = _changes(cat, "t", 0, 2)
+    state = {(r["k"], r["v"]) for r in cat.read("t", 0).collect()}
+    for k, v in ch.get("delete", set()) | ch.get("update_preimage", set()):
+        state.discard((k, v))
+    state |= ch.get("insert", set()) | ch.get("update_postimage", set())
+    want = {(r["k"], r["v"]) for r in cat.read("t", 2).collect()}
+    assert state == want
+
+
+def test_table_changes_skips_shared_write_sets(spark, tmp_path, monkeypatch):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 1000, "a"), ["k"])  # v0 (big set)
+    cat.append_missing("t", _rows(spark, 1000, 1002, "b"), ["k"])  # v1
+    m0 = cat._load_manifest("t", 0)
+    m1 = cat._load_manifest("t", 1)
+    shared = set(m0["dirs"]) & set(m1["dirs"])
+    assert shared  # the v0 write set is retained by v1
+    seen = []
+    orig = cat.spark.read.__class__.parquet
+
+    def spy(reader, *paths):
+        seen.extend(paths)
+        return orig(reader, *paths)
+
+    monkeypatch.setattr(cat.spark.read.__class__, "parquet", spy)
+    ch = _changes(cat, "t", 0, 1)
+    assert ch["insert"] == {(1000, "b"), (1001, "b")}
+    for d in shared:
+        assert not any(d in p for p in seen), f"shared write set {d} scanned"
+
+
+def test_table_changes_requires_keys(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 3, "a"), ["k"])
+    with pytest.raises(ValueError):
+        cat.table_changes("t", 0)
