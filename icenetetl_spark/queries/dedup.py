@@ -597,3 +597,81 @@ def _pagerank_oracle() -> str:
 
 
 ORACLES["graph_pagerank"] = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method scorecard: recall AND precision of every approximate
+# candidate generator against the exact n-gram Jaccard ground truth, in one
+# gated query — the dedup twin of queries/similarity.knn_recall_report, and
+# composed the same way: from the SAME query functions and oracle texts as
+# the individual gates, so the scorecard can never drift from what it scores.
+
+_SCORECARD_METHODS = ("dedup_minhash_lsh", "dedup_simhash_pairs")
+
+
+def dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, n_truth, n_candidates, n_matched, recall, precision) per
+    approximate method. One full-outer join + one aggregate per method —
+    integer counts with two final divisions, bit-identical across engines."""
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_t", F.lit(1))
+    )
+    parts = []
+    for m in _SCORECARD_METHODS:
+        cand = (
+            QUERIES[m](spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .withColumn("in_c", F.lit(1))
+        )
+        j = truth.join(cand, ["doc_a", "doc_b"], "full")
+        parts.append(
+            j.agg(
+                F.count("in_t").alias("n_truth"),
+                F.count("in_c").alias("n_candidates"),
+                F.count(F.when(F.col("in_t").isNotNull(), F.col("in_c"))).alias(
+                    "n_matched"
+                ),
+            ).select(
+                F.lit(m).alias("method"),
+                "n_truth",
+                "n_candidates",
+                "n_matched",
+                (
+                    F.col("n_matched").cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall"),
+                (
+                    F.col("n_matched").cast("double")
+                    / F.col("n_candidates").cast("double")
+                ).alias("precision"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["dedup_scorecard"] = dedup_scorecard
+
+ORACLES["dedup_scorecard"] = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{m}' AS method,
+           CAST(COUNT(t.doc_a) AS BIGINT) AS n_truth,
+           CAST(COUNT(c.doc_a) AS BIGINT) AS n_candidates,
+           CAST(COUNT(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_matched,
+           CAST(COUNT(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+                           THEN 1 END) AS DOUBLE)
+               / CAST(COUNT(t.doc_a) AS DOUBLE) AS recall,
+           CAST(COUNT(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+                           THEN 1 END) AS DOUBLE)
+               / CAST(COUNT(c.doc_a) AS DOUBLE) AS precision
+    FROM (SELECT doc_a, doc_b FROM ({ORACLES["dedup_ngram_jaccard"]}) x) t
+    FULL JOIN (SELECT doc_a, doc_b FROM ({ORACLES[m]}) y) c
+      USING (doc_a, doc_b)
+    """
+    for m in _SCORECARD_METHODS
+)
