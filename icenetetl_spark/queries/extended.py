@@ -272,3 +272,26 @@ ORACLES = {
         FROM orders WHERE o_orderkey = 1
     """,
 }
+
+
+def er_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: customer names within edit
+    distance 1, found by SymSpell deletion blocking + exact levenshtein
+    verification (operators/fuzzy.py) — never an all-pairs join."""
+    from icenetetl_spark.operators.fuzzy import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(
+        load_table(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+
+
+QUERIES["er_fuzzy_customer_pairs"] = er_fuzzy_customer_pairs
+
+
+def _fuzzy_oracle() -> str:
+    from icenetetl_spark.operators.fuzzy import fuzzy_pairs_oracle_sql
+
+    return fuzzy_pairs_oracle_sql("customer", "c_custkey", "c_name")
+
+
+ORACLES["er_fuzzy_customer_pairs"] = _fuzzy_oracle()
