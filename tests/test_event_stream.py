@@ -172,3 +172,80 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     streamed = sorted(map(str, spark.read.parquet(out).collect()))
     assert streamed == batch
+
+
+def test_drift_monitor_flags_shifted_batch_only(spark, tmp_path):
+    from icenetetl_spark.streaming.event_stream import start_drift_monitor
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    input_dir = str(tmp_path / "drift-in")
+    os.makedirs(input_dir)
+
+    def _batch(vals, tag):
+        rows = [
+            (i, base + timedelta(seconds=i), "click", float(v))
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        df.coalesce(1).write.parquet(os.path.join(input_dir, tag))
+        return df
+
+    # baseline: uniform over [0, 500)
+    baseline = spark.createDataFrame(
+        [(i, base, "click", float((i * 37) % 500)) for i in range(400)],
+        SCHEMA,
+    )
+    _batch([float((i * 91) % 500) for i in range(200)], "batch-ok")
+    _batch([float(480 + i % 20) for i in range(200)], "batch-shifted")
+
+    q = start_drift_monitor(
+        spark,
+        input_dir + "/*/",
+        baseline,
+        report_dir=str(tmp_path / "report"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=SCHEMA,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    report = spark.read.parquet(str(tmp_path / "report")).collect()
+    # one row per (batch, group): two batches, one group
+    assert len(report) == 2
+    by_drift = {r["drifted"]: r for r in report}
+    assert set(by_drift) == {True, False}
+    assert by_drift[True]["psi"] > 1.0  # concentrated tail vs uniform
+    assert by_drift[False]["psi"] < 0.2
+    assert {r["batch_id"] for r in report} == {0, 1}
+
+
+def test_drift_monitor_restart_is_noop(spark, tmp_path):
+    from icenetetl_spark.streaming.event_stream import start_drift_monitor
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    input_dir = str(tmp_path / "drift-in2")
+    os.makedirs(input_dir)
+    baseline = spark.createDataFrame(
+        [(i, base, "click", float(i % 500)) for i in range(100)], SCHEMA
+    )
+    df = spark.createDataFrame(
+        [(i, base, "click", float(i % 500)) for i in range(50)], SCHEMA
+    )
+    df.coalesce(1).write.parquet(os.path.join(input_dir, "b0"))
+
+    def _run():
+        q = start_drift_monitor(
+            spark,
+            input_dir + "/*/",
+            baseline,
+            report_dir=str(tmp_path / "report2"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            schema=SCHEMA,
+        )
+        q.awaitTermination(120)
+
+    _run()
+    n1 = spark.read.parquet(str(tmp_path / "report2")).count()
+    _run()  # restart with no new files: checkpoint replays nothing
+    n2 = spark.read.parquet(str(tmp_path / "report2")).count()
+    assert n1 == n2 == 1
