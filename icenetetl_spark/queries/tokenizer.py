@@ -49,7 +49,10 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table after _NUM_MERGES steps — deterministic
-    (count-desc, lexicographic tiebreak), so reruns are identical."""
+    (count-desc, lexicographic tiebreak), so reruns are identical.
+    Rows-only by design: the merge loop is iterative argmax + rewrite,
+    not SQL-expressible — exact values are pinned against an independent
+    pure-Python reference (no oracle) in tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents")
     merges = fit_bpe(docs, _NUM_MERGES)
     return spark.createDataFrame(
@@ -65,7 +68,10 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts per document under the trained tokenizer. Each DISTINCT
     pretoken is encoded once (the merge folds run on the vocab table); the
     exploded corpus joins the per-word subword counts on the word key, so
-    corpus rows carry only (doc_id, word) through the join."""
+    corpus rows carry only (doc_id, word) through the join.
+    Rows-only by design (no SQL oracle for the iterative merge loop);
+    exact token counts are pinned vs the pure-Python reference in
+    tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents")
     merges = fit_bpe(docs, _NUM_MERGES)
     words = docs.select(
