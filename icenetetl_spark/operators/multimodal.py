@@ -451,3 +451,39 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         dec, AUDIO_FEATURES_SCHEMA
     )
+
+
+DHASH_W, DHASH_H = 5, 8  # 4 column comparisons x 8 rows = 32-bit dHash
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash, Krawetz's public algorithm) over
+    the REAL decoded payloads: NN-resize the grayscale raster to
+    DHASH_W x DHASH_H, then bit (r*4 + c) = 1 iff pixel[r][c] <
+    pixel[r][c+1]. 32 bits in a positive BIGINT — the image twin of the
+    text SimHash fingerprint, and the pairs query reuses the SAME Manku
+    pigeonhole segment join (operators/dedup.simhash_near_pairs) for
+    near-duplicate detection. Metadata-sized output; payloads never
+    shuffle."""
+    from icenetetl_spark.sources.images import decode_image
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(
+            DHASH_H * (DHASH_W - 1), dtype=np.int64
+        ).reshape(DHASH_H, DHASH_W - 1)
+        for pdf in batches:
+            recs = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, px = decode_image(bytes(p))
+                gray = px if px.ndim == 2 else px[:, :, 0]
+                h, w = gray.shape
+                rows = (np.arange(DHASH_H) * h) // DHASH_H
+                cols = (np.arange(DHASH_W) * w) // DHASH_W
+                rs = gray[np.ix_(rows, cols)].astype(np.int64)
+                bits = (rs[:, :-1] < rs[:, 1:]).astype(np.int64)
+                recs.append((int(d), int((bits * weights).sum())))
+            yield pd.DataFrame(recs, columns=["doc_id", "dhash"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        dec, "doc_id long, dhash long"
+    )

@@ -224,3 +224,74 @@ ORACLES = {
         GROUP BY doc_id, format, width, height
     """,
 }
+
+
+DHASH_HAMMING_T = 3
+
+
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash fingerprints over the real PNG/BMP decode — the
+    oracle reproduces every bit from the id-derived raster arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.image_dhash(M.attach_image_payload(docs))
+
+
+def mm_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: dHash hamming <= DHASH_HAMMING_T via
+    the SAME Manku pigeonhole segment join as text SimHash
+    (operators/dedup.simhash_near_pairs, num_bits=32) — visual dedup with
+    the identical scale story."""
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.dedup import simhash_near_pairs
+
+    fp = mm_image_dhash(spark, sf_dir).select(
+        "doc_id", F.col("dhash").alias("simhash")
+    )
+    return simhash_near_pairs(
+        fp, max_hamming=DHASH_HAMMING_T, num_bits=32
+    )
+
+
+QUERIES["mm_image_dhash"] = mm_image_dhash
+QUERIES["mm_image_dhash_pairs"] = mm_image_dhash_pairs
+
+# dHash oracle: bit b (= r*4 + c) compares the NN-resized 5x8 raster's
+# (r, c) and (r, c+1) pixels; source pixel index = row-major over the
+# id-derived ramp (pixel i = (id + i) % 256, w = 1+id%16, h = 1+(id//16)%16)
+_DHASH_CTE = """
+    dims AS (
+        SELECT doc_id,
+               1 + doc_id % 16 AS w,
+               1 + (doc_id // 16) % 16 AS h
+        FROM documents),
+    bits AS (
+        SELECT doc_id,
+               b,
+               CASE WHEN
+                   (doc_id + ((b // 4) * h // 8) * w + ((b % 4) * w) // 5)
+                       % 256
+                   <
+                   (doc_id + ((b // 4) * h // 8) * w + (((b % 4) + 1) * w)
+                       // 5) % 256
+               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        FROM dims,
+             LATERAL (SELECT unnest(generate_series(0, 31)) AS b) t),
+    fp AS (
+        SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT)
+                   AS dhash
+        FROM bits GROUP BY doc_id)
+"""
+
+ORACLES["mm_image_dhash"] = f"""
+    WITH {_DHASH_CTE}
+    SELECT doc_id, dhash FROM fp
+"""
+
+ORACLES["mm_image_dhash_pairs"] = f"""
+    WITH {_DHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
+"""

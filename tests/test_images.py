@@ -202,3 +202,51 @@ def test_mm_decode_matches_arithmetic(spark):
         assert r["format"] == ("png" if d % 2 == 0 else "bmp")
         assert r["n_pixels"] == w * h
         assert r["pixel_sum"] == int(((d + np.arange(w * h)) % 256).sum())
+
+
+def test_image_dhash_identical_rasters_collide_and_gradients_differ(spark):
+    from icenetetl_spark.operators.multimodal import (
+        attach_image_payload,
+        image_dhash,
+    )
+
+    # ids 256 apart share (w, h) AND pixel values ((id + i) % 256 equal) ->
+    # identical rasters -> identical dHash. For the difference case the
+    # raster must contain the 255->0 wrap at distinct sampled positions
+    # (a wrap-free ramp is monotone -> all-ones hash for any id): id 250
+    # (11x16 raster, wrap at pixel 6) vs id 252 (13x16, wrap at pixel 4).
+    df = spark.createDataFrame([(250,), (506,), (762,), (252,)], "doc_id long")
+    fp = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(attach_image_payload(df)).collect()
+    }
+    assert fp[250] == fp[506] == fp[762]
+    assert 0 <= fp[250] < (1 << 32)
+    assert fp[252] != fp[250]
+
+
+def test_image_dhash_pairs_match_allpairs_hamming(spark):
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.dedup import simhash_near_pairs
+    from icenetetl_spark.operators.multimodal import (
+        attach_image_payload,
+        image_dhash,
+    )
+
+    df = spark.range(60).select(F.col("id").alias("doc_id"))
+    fp = image_dhash(attach_image_payload(df)).select(
+        "doc_id", F.col("dhash").alias("simhash")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(fp, max_hamming=3, num_bits=32).collect()
+    }
+    rows = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    want = {
+        (a, b, bin(rows[a] ^ rows[b]).count("1"))
+        for a in rows
+        for b in rows
+        if a < b and bin(rows[a] ^ rows[b]).count("1") <= 3
+    }
+    assert got == want and len(want) > 0
