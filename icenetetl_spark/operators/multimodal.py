@@ -487,3 +487,33 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         dec, "doc_id long, dhash long"
     )
+
+
+AHASH_POINTS = 33  # 32 adjacent comparisons = 32-bit audio fingerprint
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """1-D difference fingerprint over the REAL WAV decode — the audio
+    twin of :func:`image_dhash`: NN-downsample channel 0 to AHASH_POINTS
+    samples, bit k = 1 iff sample[k] < sample[k+1]. With the image and
+    text fingerprints this puts all three modalities behind the same
+    near-dup machinery (operators/dedup.simhash_near_pairs)."""
+    from icenetetl_spark.sources.audio import read_wav
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(AHASH_POINTS - 1, dtype=np.int64)
+        for pdf in batches:
+            recs = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, arr = read_wav(bytes(p))
+                c0 = arr[:, 0].astype(np.int64) % 256
+                n = c0.shape[0]
+                idx = (np.arange(AHASH_POINTS) * n) // AHASH_POINTS
+                ds = c0[idx]
+                bits = (ds[:-1] < ds[1:]).astype(np.int64)
+                recs.append((int(d), int((bits * weights).sum())))
+            yield pd.DataFrame(recs, columns=["doc_id", "afp"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        dec, "doc_id long, afp long"
+    )

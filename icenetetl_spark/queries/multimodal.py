@@ -295,3 +295,67 @@ ORACLES["mm_image_dhash_pairs"] = f"""
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
 """
+
+
+AFP_HAMMING_T = 2
+
+
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D difference fingerprints over the real WAV decode; the oracle
+    rebuilds every bit from the id-derived sample arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.audio_fingerprint(M.attach_audio_payload(docs))
+
+
+def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: fingerprint hamming <= AFP_HAMMING_T
+    via the Manku pigeonhole segment join — the third modality behind the
+    same dedup machinery."""
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.dedup import simhash_near_pairs
+
+    fp = mm_audio_fingerprint(spark, sf_dir).select(
+        "doc_id", F.col("afp").alias("simhash")
+    )
+    return simhash_near_pairs(fp, max_hamming=AFP_HAMMING_T, num_bits=32)
+
+
+QUERIES["mm_audio_fingerprint"] = mm_audio_fingerprint
+QUERIES["mm_audio_near_dup"] = mm_audio_near_dup
+
+# channel-0 sample j of the WAV fixture = (id*31 + j*ch*7) % 65536 - 32768
+# (interleaved index j*ch); downsample index for point k = (k*n)//33
+_AFP_CTE = """
+    adims AS (
+        SELECT doc_id,
+               64 + doc_id % 64 AS n,
+               1 + doc_id % 2 AS ch
+        FROM documents),
+    abits AS (
+        SELECT doc_id, k,
+               CASE WHEN
+                   (doc_id * 31 + ((k * n) // 33) * ch * 7) % 256
+                   <
+                   (doc_id * 31 + (((k + 1) * n) // 33) * ch * 7) % 256
+               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        FROM adims,
+             LATERAL (SELECT unnest(generate_series(0, 31)) AS k) t),
+    afp AS (
+        SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT)
+                   AS afp
+        FROM abits GROUP BY doc_id)
+"""
+
+ORACLES["mm_audio_fingerprint"] = f"""
+    WITH {_AFP_CTE}
+    SELECT doc_id, afp FROM afp
+"""
+
+ORACLES["mm_audio_near_dup"] = f"""
+    WITH {_AFP_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+    FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_HAMMING_T}
+"""

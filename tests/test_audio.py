@@ -93,3 +93,34 @@ def test_corrupt_inputs_raise(mutate, msg):
 def test_non_int16_input_rejected_on_write():
     with pytest.raises(ValueError, match="int16"):
         write_wav(np.zeros(4, dtype=np.float32), 8000)
+
+
+def test_audio_fingerprint_bits_and_near_dup_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.dedup import simhash_near_pairs
+    from icenetetl_spark.operators.multimodal import (
+        attach_audio_payload,
+        audio_fingerprint,
+    )
+
+    df = spark.range(80).select(F.col("id").alias("doc_id"))
+    fp = audio_fingerprint(attach_audio_payload(df))
+    rows = {r["doc_id"]: r["afp"] for r in fp.collect()}
+    assert all(0 <= v < (1 << 32) for v in rows.values())
+    assert len(set(rows.values())) > 1  # wrap positions vary with id
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(
+            fp.select("doc_id", F.col("afp").alias("simhash")),
+            max_hamming=2,
+            num_bits=32,
+        ).collect()
+    }
+    want = {
+        (a, b, bin(rows[a] ^ rows[b]).count("1"))
+        for a in rows
+        for b in rows
+        if a < b and bin(rows[a] ^ rows[b]).count("1") <= 2
+    }
+    assert got == want
