@@ -359,3 +359,103 @@ ORACLES["mm_audio_near_dup"] = f"""
     FROM afp a JOIN afp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_HAMMING_T}
 """
+
+
+VIDEO_JACCARD_T = 0.5
+
+
+def mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by frame-signature overlap: every frame's
+    (width, height, luma_sum) from the REAL Y4M decode acts as a frame
+    fingerprint; videos sharing >= VIDEO_JACCARD_T Jaccard of their
+    distinct frame-signature sets are near-dups. The candidate join is an
+    inverted-index equi-join on the signature (the shingle-Jaccard plan
+    shape over frames instead of n-grams) — never an all-pairs compare."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = M.decode_video_frames(
+        M.attach_video_payload(docs), every_nth=1
+    )
+    sig = frames.select("doc_id", "width", "height", "luma_sum").distinct()
+    sizes = sig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsig"))
+    a, b = sig.alias("a"), sig.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+            & (F.col("a.luma_sum") == F.col("b.luma_sum"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("nsig").alias("nsig_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("nsig").alias("nsig_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("nsig_a") + F.col("nsig_b") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(VIDEO_JACCARD_T))
+    )
+
+
+QUERIES["mm_video_near_dup"] = mm_video_near_dup
+
+ORACLES["mm_video_near_dup"] = f"""
+    WITH vdims AS (
+        SELECT doc_id,
+               1 + doc_id % 12 AS n_frames,
+               4 + (doc_id % 3) * 2 AS w,
+               2 + ((doc_id // 3) % 3) * 2 AS h
+        FROM documents),
+    vfr AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT)))
+                   AS frame_idx
+        FROM vdims),
+    vpx AS (
+        SELECT doc_id, w, h, frame_idx,
+               unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS i
+        FROM vfr),
+    sums AS (
+        SELECT doc_id, w, h, frame_idx,
+               SUM((doc_id + frame_idx * 7 + i) % 256) AS luma_sum
+        FROM vpx GROUP BY 1, 2, 3, 4),
+    sig AS (SELECT DISTINCT doc_id, w, h, luma_sum FROM sums),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsig FROM sig GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sig a JOIN sig b
+          ON a.w = b.w AND a.h = b.h AND a.luma_sum = b.luma_sum
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+               / CAST(sa.nsig + sb.nsig - n_shared AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE)
+               / CAST(sa.nsig + sb.nsig - n_shared AS DOUBLE)
+          >= {VIDEO_JACCARD_T}
+"""

@@ -70,3 +70,62 @@ def test_odd_dims_rejected_for_420():
     # but fine for 4:4:4
     params, back = read_y4m(write_y4m(np.zeros((1, 3, 5), np.uint8), chroma="444"))
     assert (params["width"], params["height"]) == (5, 3)
+
+
+def test_video_near_dup_matches_bruteforce_frame_jaccard(spark):
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.multimodal import (
+        attach_video_payload,
+        decode_video_frames,
+    )
+
+    df = spark.range(320).select(F.col("id").alias("doc_id"))
+    frames = decode_video_frames(attach_video_payload(df), every_nth=1)
+    sigs = {}
+    for r in frames.collect():
+        sigs.setdefault(r["doc_id"], set()).add(
+            (r["width"], r["height"], r["luma_sum"])
+        )
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sigs[a] & sigs[b])
+            if inter and inter / len(sigs[a] | sigs[b]) >= 0.5:
+                want.add((a, b, inter))
+    from icenetetl_spark.queries.multimodal import mm_video_near_dup
+
+    # run the registered query's plan on a synthetic-free path: rebuild it
+    # over the same 120 ids via the operator chain used by the query
+    sig = frames.select("doc_id", "width", "height", "luma_sum").distinct()
+    sizes = sig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsig"))
+    a, b = sig.alias("a"), sig.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+            & (F.col("a.luma_sum") == F.col("b.luma_sum"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsig").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsig").alias("nb"))
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_shared"])
+        for r in inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
+            >= 0.5
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
