@@ -423,3 +423,66 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .distinct()
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998, public): iteratively pick the candidate maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_selected`` — the
+    diversity-aware top-k a curation pipeline uses where plain top-k
+    returns k near-duplicates. First pick is pure relevance (the
+    standard convention).
+
+    Driver state is O(k*d) (the selected vectors, like a trained
+    quantizer's centroids); each of the k steps is ONE distributed job —
+    a scan scoring every remaining candidate against the broadcast
+    selected set, then a 1-row argmax collect with a deterministic
+    (score desc, id) tie-break. All similarity arithmetic is the same
+    sequential-fold cosine the brute-force path uses, so the result is
+    engine-portable and the oracle can unroll the identical k steps.
+
+    Returns (rank, id, relevance, mmr_score) for the k selections.
+    """
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = candidates.select(
+        F.col(id_col), F.col(vec_col), cosine(F.col(vec_col), qlit).alias("rel")
+    )
+    selected: list[tuple] = []  # (rank, id, rel, score, vector)
+    for step in range(k):
+        remaining = scored
+        if selected:
+            remaining = remaining.filter(
+                ~F.col(id_col).isin([s[1] for s in selected])
+            )
+            sims = [
+                cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in s[4]]),
+                )
+                for s in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxsim
+        else:
+            score = F.col("rel")
+        top = (
+            remaining.select(id_col, vec_col, "rel", score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            (step + 1, top[id_col], top["rel"], top["score"], list(top[vec_col]))
+        )
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [(r, i, rel, sc) for r, i, rel, sc, _ in selected],
+        f"rank int, {id_col} long, relevance double, mmr_score double",
+    )

@@ -827,3 +827,81 @@ ORACLES["knn_recall_report"] = "\nUNION ALL\n".join(
     """
     for m in _RECALL_METHODS
 )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse selection: the oracle unrolls the SAME k greedy steps as the
+# driver loop (the graph_pagerank unrolled-CTE pattern) — each step is an
+# ORDER BY (score DESC, vec_id) LIMIT 1 over the remaining candidates.
+
+MMR_K = 5
+MMR_LAM = 0.7
+
+
+def doc_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k over embeddings (operators/similarity.
+    mmr_select): relevance to query vector 0, penalized by similarity to
+    already-selected picks — plain top-k's near-duplicate problem solved
+    the MMR way. Hash-gated via the unrolled-CTE oracle."""
+    from icenetetl_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    return mmr_select(
+        emb.filter(F.col("vec_id") > 0), qvec, k=MMR_K, lam=MMR_LAM
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]),"
+        f" CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]),"
+        f" CAST({b} AS DOUBLE[])))))"
+    )
+
+
+def _mmr_oracle(k: int = MMR_K, lam: float = MMR_LAM) -> str:
+    d = f"CAST({lam} AS DOUBLE)"
+    one_minus = f"(CAST(1.0 AS DOUBLE) - {d})"
+    ctes = [
+        f"""scored AS (
+            SELECT c.vec_id, c.embedding,
+                   {_sql_cos("c.embedding", "q.embedding")} AS rel
+            FROM embeddings c,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE c.vec_id > 0
+        )""",
+        """s1 AS (
+            SELECT vec_id, embedding, rel, rel AS score
+            FROM scored ORDER BY rel DESC, vec_id LIMIT 1
+        )""",
+    ]
+    for i in range(2, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        froms = ", ".join(["scored c"] + prev)
+        notin = " AND ".join(f"c.vec_id <> {p}.vec_id" for p in prev)
+        sims = [_sql_cos("c.embedding", f"{p}.embedding") for p in prev]
+        maxsim = sims[0] if len(sims) == 1 else f"GREATEST({', '.join(sims)})"
+        ctes.append(
+            f"""s{i} AS (
+            SELECT c.vec_id, c.embedding, c.rel,
+                   {d} * c.rel - {one_minus} * {maxsim} AS score
+            FROM {froms}
+            WHERE {notin}
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        )"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, vec_id, rel AS relevance,"
+        f" score AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+QUERIES["doc_mmr_diverse"] = doc_mmr_diverse
+ORACLES["doc_mmr_diverse"] = _mmr_oracle()

@@ -181,3 +181,45 @@ def test_vector_mean_exact_on_decimal_half_boundary(spark):
         """
     ).fetchone()[0]
     assert got["mean"] == want, (got["mean"].hex(), want.hex())
+
+
+def test_mmr_first_pick_is_max_relevance_and_set_is_diverse(spark):
+    from icenetetl_spark.operators.similarity import knn_bruteforce, mmr_select
+    from icenetetl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    cand = emb.filter(F.col("vec_id") > 0)
+    sel = mmr_select(cand, qvec, k=5, lam=0.7).collect()
+    assert [r["rank"] for r in sel] == [1, 2, 3, 4, 5]
+    # first pick equals the plain cosine argmax vs vec 0
+    top1 = knn_bruteforce(
+        emb.filter(F.col("vec_id") == 0), emb, k=1
+    ).collect()[0]
+    assert sel[0]["vec_id"] == top1["neighbor_id"]
+    # mmr penalizes redundancy: ranks 2+ never beat rank 1's relevance
+    assert all(r["relevance"] <= sel[0]["relevance"] + 1e-12 for r in sel)
+    # deterministic rerun
+    again = mmr_select(cand.repartition(7), qvec, k=5, lam=0.7).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in sel]
+
+
+def test_mmr_lam_one_equals_plain_topk(spark):
+    from icenetetl_spark.operators.similarity import knn_bruteforce, mmr_select
+    from icenetetl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    sel = mmr_select(emb.filter(F.col("vec_id") > 0), qvec, k=5, lam=1.0)
+    got = [r["vec_id"] for r in sel.collect()]
+    want = [
+        r["neighbor_id"]
+        for r in knn_bruteforce(
+            emb.filter(F.col("vec_id") == 0), emb, k=5
+        ).collect()
+    ]
+    assert got == want
