@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from icenetetl_spark.functions.portable import dsum
+from icenetetl_spark.functions.portable import dsum, fsum_col
 from icenetetl_spark.sources.testdata import load_table
 
 _DISC = "l_extendedprice * (1 - l_discount)"
@@ -63,7 +63,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity", "sum_qty"))
+        .agg(fsum_col("l_quantity", 2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 200)
     )
     return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
@@ -89,7 +89,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
     )
-    return joined.filter(pred).agg(dsum(disc, "revenue", scale=6))
+    return joined.filter(pred).agg(fsum_col(disc, 6).alias("revenue"))
 
 
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,13 +226,16 @@ ORACLES = {
         FROM orders
         JOIN (
             SELECT l_orderkey,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                   CAST(SUM(CAST(FLOOR(l_quantity * 1e2 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e2 AS sum_qty
             FROM lineitem GROUP BY l_orderkey
-            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200
+            HAVING CAST(SUM(CAST(FLOOR(l_quantity * 1e2 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e2 > 200
         ) ON o_orderkey = l_orderkey
     """,
     "q19_disjunctive": f"""
-        SELECT CAST(SUM(CAST({_DISC} AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        SELECT CAST(SUM(CAST(FLOOR(({_DISC}) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e6 AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
                AND l_quantity >= 1 AND l_quantity <= 20)
