@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from icenetetl_spark.functions.portable import dsum, dsum_col, fsum_col
+from icenetetl_spark.functions.portable import fsum_col
 from icenetetl_spark.sources.testdata import load_table
 
 _DISC = "l_extendedprice * (1 - l_discount)"
@@ -150,10 +150,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey")
     )
     per_part = scoped.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
-        dsum(value, "value", scale=2)
+        fsum_col(value, 2).alias("value")
     )
     total = per_part.agg(
-        (dsum_col("value", scale=2) * F.lit(_Q11_FRACTION)).alias("__threshold")
+        (fsum_col("value", 2) * F.lit(_Q11_FRACTION)).alias("__threshold")
     )
     return (
         per_part.join(F.broadcast(total))
@@ -291,13 +291,13 @@ ORACLES = {
         ),
         per_part AS (
             SELECT l_partkey AS p_partkey,
-                   CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS value
+                   CAST(SUM(CAST(FLOOR((v) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS value
             FROM scoped GROUP BY 1
         )
         SELECT p_partkey, value
         FROM per_part
         WHERE value > (
-            SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            SELECT CAST(SUM(CAST(FLOOR((value) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2
                    * {_Q11_FRACTION}
             FROM per_part
         )
