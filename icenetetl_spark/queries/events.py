@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from icenetetl_spark.functions.portable import dsum, epoch_bucket
+from icenetetl_spark.functions.portable import epoch_bucket, fsum_col
 from icenetetl_spark.sources.testdata import load_table
 
 
@@ -26,7 +26,7 @@ def ev_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value", "sum_value", scale=6),
+            fsum_col("value", 6).alias("sum_value"),
         )
     )
 
@@ -90,7 +90,7 @@ def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(w.alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value", "sum_value", scale=6),
+            fsum_col("value", 6).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -107,7 +107,7 @@ def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", scale=6))
+        .agg(F.count(F.lit(1)).alias("n_events"), fsum_col("value", 6).alias("sum_value"))
         .orderBy(F.col("n_events").desc(), F.col("user_id"))
         .limit(20)
     )
@@ -176,7 +176,7 @@ def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour partials -> day level, each coarser tier computed FROM the finer
     tier's partial aggregates (sum-of-sums / sum-of-counts), never from raw
     rows. The oracle aggregates raw->day directly: hash-equality proves the
-    cascade is exact (decimal addition is associative). At 100 TB this is
+    cascade is exact (BIGINT fixed-point addition is associative). At 100 TB this is
     the incremental-maintenance layout: each tier updates from the tier
     below touched by the batch, and day-level queries never scan raw events.
     """
@@ -187,7 +187,11 @@ def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("s"),
+            F.sum(
+                F.floor(
+                    F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)
+                ).cast("long")
+            ).alias("s"),
         )
     )
     hour = (
@@ -197,7 +201,7 @@ def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").alias("n"),
-            F.sum("s").cast("decimal(18,6)").alias("s"),
+            F.sum("s").alias("s"),
         )
     )
     day = (
@@ -207,7 +211,7 @@ def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").alias("n_events"),
-            F.sum("s").cast("double").alias("sum_value"),
+            (F.sum("s").cast("double") / F.lit(1e6)).alias("sum_value"),
         )
     )
     return day
@@ -287,7 +291,7 @@ def ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_bucket = ev.groupBy(
         "event_type", epoch_bucket("ts", 900, "bucket_qh")
-    ).agg(dsum("value", "sum_value", scale=6))
+    ).agg(fsum_col("value", 6).alias("sum_value"))
     return gapfill_locf(
         per_bucket, ["event_type"], "bucket_qh", "sum_value", 900
     )
@@ -302,7 +306,7 @@ def ev_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_bucket = ev.groupBy(
         "event_type", epoch_bucket("ts", 900, "bucket_qh")
-    ).agg(dsum("value", "sum_value", scale=6))
+    ).agg(fsum_col("value", 6).alias("sum_value"))
     return gapfill_interpolate(
         per_bucket, ["event_type"], "bucket_qh", "sum_value", 900
     )
@@ -356,7 +360,7 @@ ORACLES = {
         WITH actual AS (
             SELECT event_type,
                    CAST(FLOOR(EPOCH(ts) / 900) * 900 AS BIGINT) AS bucket_qh,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
                        AS sum_value
             FROM events GROUP BY 1, 2
         ),
@@ -385,7 +389,7 @@ ORACLES = {
         WITH actual AS (
             SELECT event_type,
                    CAST(FLOOR(EPOCH(ts) / 900) * 900 AS BIGINT) AS bucket_qh,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
                        AS sum_value
             FROM events GROUP BY 1, 2
         ),
@@ -466,7 +470,7 @@ ORACLES = {
         SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS bucket_start,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -504,7 +508,7 @@ ORACLES = {
     """,
     "ev_top_users": """
         SELECT user_id, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
         FROM events
         GROUP BY user_id
         ORDER BY n_events DESC, user_id
@@ -531,7 +535,7 @@ ORACLES = {
                CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
                CAST(FLOOR(EPOCH(MAX(ts))) + 1800 AS BIGINT) AS session_end,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
         FROM s GROUP BY user_id, sid
     """,
     "ev_range_join": """
@@ -553,7 +557,7 @@ ORACLES = {
         SELECT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT) AS bucket_day,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
         FROM events
         GROUP BY 1, 2
     """,
