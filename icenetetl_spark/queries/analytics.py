@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from icenetetl_spark.functions.portable import dsum
+from icenetetl_spark.functions.portable import fsum_col
 from icenetetl_spark.sources.testdata import load_table
 
 
@@ -28,7 +28,7 @@ def a_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+        .agg(F.count(F.lit(1)).alias("n"), fsum_col("l_quantity", 2).alias("sum_qty"))
     )
 
 
@@ -39,7 +39,17 @@ def a_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_quantity").cast("double") * F.lit(1e2)
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e2)
+            )
+        )
         .withColumnsRenamed({"A": "qty_a", "N": "qty_n", "R": "qty_r"})
     )
 
@@ -60,7 +70,7 @@ def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frame (ROWS BETWEEN): 3-order moving average per customer.
-    Frame sum via decimal cast / frame count — order-independent and
+    Frame sum via fixed-point BIGINT accumulation / frame count — order-independent and
     engine-exact like every other aggregate here."""
     from pyspark.sql.window import Window
 
@@ -71,7 +81,14 @@ def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-2, 0)
     )
     ma = (
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        F.sum(
+            F.floor(
+                F.col("o_totalprice").cast("double") * F.lit(1e2) + F.lit(0.5)
+            ).cast("long")
+        )
+        .over(w)
+        .cast("double")
+        / F.lit(1e2)
         / F.count(F.lit(1)).over(w)
     )
     return orders.select("o_orderkey", "o_custkey", ma.alias("moving_avg_price"))
@@ -140,7 +157,7 @@ def a_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        dsum("l_quantity", "sum_qty"),
+        fsum_col("l_quantity", 2).alias("sum_qty"),
     )
 
 
@@ -235,7 +252,8 @@ ORACLES = {
     """,
     "a_rollup_grouping": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               CAST(SUM(CAST(FLOOR(l_quantity * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e2 AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -284,18 +302,22 @@ ORACLES = {
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
                count(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               CAST(SUM(CAST(FLOOR(l_quantity * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e2 AS sum_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "a_pivot_returnflag": """
         SELECT l_linestatus,
                CAST(SUM(CASE WHEN l_returnflag = 'A'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+                        THEN CAST(FLOOR(l_quantity * 1e2 + 0.5) AS BIGINT)
+                        END) AS DOUBLE) / 1e2 AS qty_a,
                CAST(SUM(CASE WHEN l_returnflag = 'N'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+                        THEN CAST(FLOOR(l_quantity * 1e2 + 0.5) AS BIGINT)
+                        END) AS DOUBLE) / 1e2 AS qty_n,
                CAST(SUM(CASE WHEN l_returnflag = 'R'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+                        THEN CAST(FLOOR(l_quantity * 1e2 + 0.5) AS BIGINT)
+                        END) AS DOUBLE) / 1e2 AS qty_r
         FROM lineitem GROUP BY l_linestatus
     """,
     "f_string_funcs": """
@@ -310,9 +332,11 @@ ORACLES = {
     """,
     "w_moving_avg": """
         SELECT o_orderkey, o_custkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT))
+                        OVER (
                         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / 1e2
                / COUNT(*) OVER (
                         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
