@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from icenetetl_spark.functions.portable import dsum, fsum_col
+from icenetetl_spark.functions.portable import fsum_col
 from icenetetl_spark.sources.testdata import load_table
 
 _DISC = "l_extendedprice * (1 - l_discount)"
