@@ -635,3 +635,61 @@ ORACLES["ev_drift_psi"] = f"""
     FROM terms
     GROUP BY event_type
 """
+
+
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: per user,
+    consecutive events (ordered by ts, event_id) form (from_type, to_type)
+    pairs; output each pair's count and transition probability. The window
+    is partitioned per user (never global); the per-from totals broadcast
+    back as a k-row frame. Counts are exact ints, probability one final
+    division — engine-portable."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+                "p"
+            ),
+        )
+    )
+
+
+QUERIES["ev_transition_matrix"] = ev_transition_matrix
+
+ORACLES["ev_transition_matrix"] = """
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+    FROM pairs p JOIN totals t USING (from_type)
+"""
