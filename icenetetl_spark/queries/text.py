@@ -345,7 +345,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BM25 retrieval over the corpus: fixed query terms, Robertson idf,
 # k1/b at their standard values. Every arithmetic step is written in the
 # same operation order as the SQL oracle (and the per-doc cross-term sum
-# goes through the decimal accumulator), so scores hash-match.
+# goes through the fixed-point accumulator), so scores hash-match.
 BM25_QUERY = ["spark", "vector", "stream"]
 BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
 
@@ -356,7 +356,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probabilistic Relevance Framework: BM25 and Beyond"). Plan: one
     explode->groupBy for per-doc term frequencies, a 3-row broadcast of
     per-term document frequencies, a 1-row broadcast of (N, avgdl), score
-    arithmetic fully JVM-side, decimal-accumulated per-doc sum, top-k
+    arithmetic fully JVM-side, fixed-point-accumulated per-doc sum, top-k
     window. The token shuffle is the only data-sized exchange."""
     from icenetetl_spark.functions.portable import fsum_col
 
@@ -421,7 +421,7 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable-hash threshold — re-running the pipeline keeps exactly the
     same documents. The rate table is k rows (one per source), broadcast
     back for the keep filter; every float step is ordered identically to
-    the oracle and the cross-source normalizer goes through the decimal
+    the oracle and the cross-source normalizer goes through the fixed-point
     accumulator."""
     from icenetetl_spark.functions.portable import fsum_col, portable_hash64
 
@@ -749,7 +749,7 @@ ORACLES = {
         GROUP BY doc_id
     """,
     # Mirrors corpus_temperature_mix: same tempering arithmetic in the
-    # same order (sqrt shares, decimal normalizer, min-scaled rates) and
+    # same order (sqrt shares, fixed-point normalizer, min-scaled rates) and
     # the same md5 hash threshold per document.
     "corpus_temperature_mix": f"""
         WITH per AS (
@@ -795,7 +795,7 @@ ORACLES = {
         FROM rates LEFT JOIN kept USING (source)
     """,
     # Mirrors text_bm25_topk with the IDENTICAL operation order in every
-    # float expression (ln argument, tf saturation, per-doc decimal sum).
+    # float expression (ln argument, tf saturation, per-doc fixed-point sum).
     "text_bm25_topk": f"""
         WITH toks AS (
             SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
