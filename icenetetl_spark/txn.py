@@ -598,6 +598,39 @@ class TxnParquetCatalog:
         out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
         return out.select(*ordered, "_change_type")
 
+    def restore(self, name: str, version: int) -> int:
+        """Delta-style RESTORE: roll the table back to an older snapshot by
+        committing a NEW version whose manifest references the old
+        version's write sets (history is preserved — a rollback is itself
+        an auditable commit, and the rolled-back versions stay readable
+        until vacuumed). Serializable via the same CAS loop as every
+        write; returns the new head version.
+
+        The restored manifest re-references the old write sets BY NAME, so
+        no data is copied and vacuum keeps them alive as long as a
+        retained manifest points at them."""
+        old = self._load_manifest(name, version)
+        for _ in range(self.max_retries):
+            base = self.current_version(name)
+            if base < 0:
+                raise FileNotFoundError(
+                    f"table {name!r} has no committed version"
+                )
+            try:
+                self._try_commit(
+                    name,
+                    base,
+                    list(old["dirs"]),
+                    f"restore:v{version}",
+                    dict(old.get("stats", {})),
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{name}: restore exceeded {self.max_retries} retries"
+        )
+
     def vacuum(
         self, name: str, keep_versions: int = 1, min_age_s: float = 3600.0
     ) -> int:

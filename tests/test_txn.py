@@ -554,3 +554,32 @@ def test_table_changes_requires_keys(spark, tmp_path):
     cat.append_missing("t", _rows(spark, 0, 3, "a"), ["k"])
     with pytest.raises(ValueError):
         cat.table_changes("t", 0)
+
+
+def test_restore_rolls_back_as_a_new_commit(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])  # v0
+    cat.upsert("t", _rows(spark, 0, 20, "b"), ["k"])  # v1
+    new_head = cat.restore("t", 0)
+    assert new_head == 2 and cat.current_version("t") == 2
+    # contents equal v0, history intact
+    assert {(r["k"], r["v"]) for r in cat.read("t").collect()} == {
+        (k, "a") for k in range(10)
+    }
+    assert cat.read("t", 1).count() == 20  # rolled-back version readable
+    # the restore itself is a diffable commit: v1 -> v2 deletes the upsert
+    ch = _changes(cat, "t", 1, 2)
+    assert {k for (k, _) in ch.get("delete", set())} == set(range(10, 20))
+    assert ch.get("update_postimage", set()) == {(k, "a") for k in range(10)}
+
+
+def test_restore_survives_vacuum_of_newer_history(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 5, "a"), ["k"])  # v0
+    cat.overwrite("t", _rows(spark, 0, 3, "b"))  # v1 drops v0's set
+    cat.restore("t", 0)  # v2 re-references v0's write set
+    removed = cat.vacuum("t", keep_versions=1, min_age_s=0.0)
+    # v0/v1 manifests may go, but v2 still reads v0's data
+    assert {r["v"] for r in cat.read("t").collect()} == {"a"}
+    assert cat.read("t").count() == 5
+    assert removed >= 0
