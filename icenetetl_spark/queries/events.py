@@ -693,3 +693,62 @@ ORACLES["ev_transition_matrix"] = """
            CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
     FROM pairs p JOIN totals t USING (from_type)
 """
+
+
+def ev_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (the TimescaleDB/financial rollup vocabulary): per
+    15-minute bucket and event type, the first (open) and last (close)
+    value by (ts, event_id) order plus min/max. Open/close come from a
+    bucket-partitioned window rank — deterministic tie-break, never a
+    global window; high/low/count are plain aggregates."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        epoch_bucket("ts", 900, "bucket"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("bucket", "event_type")
+    asc = w.orderBy("ts", "event_id")
+    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("__rn_a", F.row_number().over(asc))
+        .withColumn("__rn_d", F.row_number().over(desc))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.min(F.when(F.col("__rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min(F.when(F.col("__rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+QUERIES["ev_ohlc"] = ev_ohlc
+
+ORACLES["ev_ohlc"] = """
+    WITH ranked AS (
+        SELECT CAST(FLOOR(EPOCH(ts) / 900) * 900 AS BIGINT) AS bucket,
+               event_type, value,
+               row_number() OVER (
+                   PARTITION BY CAST(FLOOR(EPOCH(ts) / 900) * 900 AS BIGINT),
+                                event_type
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY CAST(FLOOR(EPOCH(ts) / 900) * 900 AS BIGINT),
+                                event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT bucket, event_type,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY bucket, event_type
+"""
