@@ -61,6 +61,7 @@ ANSI_ORACLES = [
     "q11_important_parts",
     "q12_priority_lines",
     "q20_excess_suppliers",
+    "ev_transition_matrix",
     "w_cume_percent",
     "dq_expectations",
     "approx_distinct_suppliers",
