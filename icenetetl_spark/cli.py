@@ -8,11 +8,13 @@ trigger does). Here:
     python -m icenetetl_spark sql "SELECT ..." [--sf-dir DIR] [--limit N]
     python -m icenetetl_spark list
 
-``ingest`` accepts a long-form parquet drop (the Parquet landing-zone path)
-or a ``.nc`` file (sources.netcdf: xarray when installed, else the built-in
-NetCDF-3 classic parser). For ``.nc`` input the hemisphere is read from the
-file's own global attributes when ``--hemisphere`` is not given — the same
-routing the reference's trigger performs (processor.py:137-153).
+``ingest`` accepts a long-form parquet drop (the Parquet landing-zone path),
+a ``.nc`` file (sources.netcdf: xarray when installed, else the built-in
+NetCDF-3 classic parser), or a Zarr v2 directory store (sources.zarrstore,
+detected by its ``.zgroup``). For ``.nc``/Zarr input the hemisphere is read
+from the dataset's own global attributes when ``--hemisphere`` is not
+given — the same routing the reference's trigger performs
+(processor.py:137-153).
 """
 
 from __future__ import annotations
@@ -33,9 +35,22 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     from icenetetl_spark.plans.icenet import FileAttrs, IceNetPipeline
     from icenetetl_spark.sources.netcdf import melt_netcdf_files, read_binary_files
 
+    import os
+
     spark = _spark()
     attrs = None
-    if args.file.endswith(".nc"):
+    if os.path.isdir(args.file) and os.path.exists(
+        os.path.join(args.file, ".zgroup")
+    ):
+        from icenetetl_spark.sources.netcdf import file_attrs_from_mapping
+        from icenetetl_spark.sources.zarrstore import melt_zarr_stores, read_zarr
+
+        raw = melt_zarr_stores(spark, [args.file])
+        if not args.hemisphere:
+            attrs = file_attrs_from_mapping(read_zarr(args.file).attrs)
+            if args.keywords:
+                attrs.keywords = args.keywords
+    elif args.file.endswith(".nc"):
         raw = melt_netcdf_files(read_binary_files(spark, args.file, glob="*"))
         if not args.hemisphere:
             from icenetetl_spark.sources.netcdf import file_attrs

@@ -91,6 +91,7 @@ def make_netcdf_bytes(
     step_km: float = 25.0,
     seed: int = 42,
     old_format: bool = False,
+    as_dataset: bool = False,
 ) -> bytes:
     """The same fixture as a REAL NetCDF-3 classic file (sources.netcdf3
     writer): dims (time, leadtime, yc, xc), CF-dated time axis, 2-D lat/lon
@@ -150,11 +151,38 @@ def make_netcdf_bytes(
         attrs["geospatial_lat_max"] = np.float64(85.0)
     else:
         attrs["geospatial_lat_min"] = np.float64(-85.0)
-    return write_netcdf3(
-        {"time": 1, "leadtime": leadtimes, "yc": grid_side, "xc": grid_side},
-        variables,
-        attrs,
+    dims = {"time": 1, "leadtime": leadtimes, "yc": grid_side, "xc": grid_side}
+    if as_dataset:
+        return dims, variables, attrs
+    return write_netcdf3(dims, variables, attrs)
+
+
+def make_zarr_store(
+    path: str,
+    generated: str,
+    hemisphere: str = "north",
+    grid_side: int = 16,
+    leadtimes: int = 5,
+    step_km: float = 25.0,
+    seed: int = 42,
+    compressor: dict | None = None,
+) -> str:
+    """The SAME fixture dataset as ``make_netcdf_bytes``, written as a
+    Zarr v2 directory store (sources.zarrstore writer) — feeds the
+    format-agnostic ingest e2e. Zarr JSON attrs must be plain Python
+    scalars, so numpy attr values are converted."""
+    from icenetetl_spark.sources.zarrstore import write_zarr
+
+    _, variables, attrs = make_netcdf_bytes(
+        generated, hemisphere, grid_side, leadtimes, step_km, seed,
+        as_dataset=True,
     )
+    attrs = {
+        k: (float(v) if isinstance(v, np.floating) else v)
+        for k, v in attrs.items()
+    }
+    write_zarr(path, variables, attrs, compressor=compressor)
+    return path
 
 
 def make_raw_file(

@@ -89,7 +89,13 @@ def _melt_nc3(content: bytes) -> pd.DataFrame:
     onto it, CF times decoded, float ``_FillValue`` masked to NaN."""
     from icenetetl_spark.sources.netcdf3 import parse_netcdf3
 
-    nc = parse_netcdf3(content)
+    return melt_ncfile(parse_netcdf3(content))
+
+
+def melt_ncfile(nc) -> pd.DataFrame:
+    """NC3File-shaped dataset (any backend: classic parser, Zarr store)
+    -> the xarray-parity long form (cartesian dim index, variables
+    broadcast, CF time decode, _FillValue masking)."""
     index_dims = [d for d in nc.dims if any(d in v.dims for v in nc.variables.values())]
     shape = tuple(nc.dims[d] for d in index_dims)
     axis_of = {d: i for i, d in enumerate(index_dims)}
@@ -148,6 +154,14 @@ def file_attrs(content: bytes):
         from icenetetl_spark.sources.netcdf3 import parse_netcdf3
 
         attrs = parse_netcdf3(content, load_data=False).attrs
+
+    return file_attrs_from_mapping(attrs)
+
+
+def file_attrs_from_mapping(attrs: dict):
+    """Attribute dict (any backend: classic header, Zarr .zattrs, xarray)
+    -> FileAttrs for hemisphere routing."""
+    from icenetetl_spark.plans.icenet import FileAttrs
 
     def _f(key):
         v = attrs.get(key)
