@@ -157,3 +157,57 @@ ORACLES = {
         FROM latest
     """,
 }
+
+
+def _zarr_fingerprint() -> str:
+    """Content-address the Zarr fixture path by the generator sources so
+    edits can never silently reuse a stale store (the parquet-twin
+    pattern above, for the store)."""
+    import hashlib
+    import inspect
+
+    from icenetetl_spark.sources import fixtures, zarrstore
+
+    key = (
+        inspect.getsource(fixtures.make_raw_pdf)
+        + inspect.getsource(fixtures.make_netcdf_bytes)
+        + inspect.getsource(zarrstore.write_zarr)
+        + f"|{GEN_DATE}|{GRID_SIDE}"
+    ).encode()
+    return hashlib.md5(key).hexdigest()[:8]
+
+
+_ZARR_STORE_PATH = os.path.join(
+    os.path.dirname(_FIXTURE_PATH),
+    f"icenet_zarr_{GEN_DATE}_g{GRID_SIDE}_{_zarr_fingerprint()}",
+)
+
+
+def icenet_zarr_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME composed pipeline chain as icenet_pipeline_latest, but fed
+    from a REAL Zarr v2 store on disk (sources/zarrstore: spec-built
+    reader, zlib chunks, hemisphere attrs) through the distributed store
+    melt — the format-agnostic-ingest claim under the driver's hash gate:
+    the oracle is the parquet-fixture SQL chain, so a store-layout or
+    melt bug that changes ANY value fails the gate. sf_dir unused (the
+    input is the IceNet-shaped fixture store)."""
+    from icenetetl_spark.sources.fixtures import make_zarr_store
+    from icenetetl_spark.sources.zarrstore import melt_zarr_stores
+
+    _ensure_fixture()  # the oracle's parquet twin
+    if not os.path.exists(os.path.join(_ZARR_STORE_PATH, ".zgroup")):
+        make_zarr_store(
+            _ZARR_STORE_PATH,
+            GEN_DATE,
+            "north",
+            grid_side=GRID_SIDE,
+            leadtimes=5,
+            seed=42,
+            compressor={"id": "zlib", "level": 1},
+        )
+    melted = melt_zarr_stores(spark, [_ZARR_STORE_PATH])
+    return latest_view_plan(melted, "north", portable_ids=True)
+
+
+QUERIES["icenet_zarr_pipeline_latest"] = icenet_zarr_pipeline_latest
+ORACLES["icenet_zarr_pipeline_latest"] = ORACLES["icenet_pipeline_latest"]
