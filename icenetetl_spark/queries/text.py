@@ -1174,3 +1174,16 @@ ORACLES["doc_chunk_tokens"] = (
     .replace("__STEP__", str(CHUNK_STEP))
     .replace("__WIN__", str(CHUNK_WINDOW))
 )
+
+
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio (operators/text.compression_signals)
+    — the repetitive-boilerplate / binary-junk quality filter. Rows-only
+    by design: zlib has no SQL oracle; exact values are pinned against
+    direct stdlib calls in tests/test_operators.py."""
+    from icenetetl_spark.operators.text import compression_signals
+
+    return compression_signals(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["text_compression_ratio"] = text_compression_ratio

@@ -486,3 +486,25 @@ def test_audio_features_known_signal(spark):
     assert row["n_samples"] == 7
     assert row["zero_crossings"] == 3  # 100/-5, -5/3, 3/-7 (0 never crosses)
     assert row["peak"] == 100
+
+
+def test_compression_signals_match_stdlib_exactly(spark):
+    import zlib
+
+    from icenetetl_spark.operators.text import compression_signals
+    from icenetetl_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["compression_ratio"])
+        for r in compression_signals(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        c = len(zlib.compress(raw, 6))
+        assert got[r["doc_id"]] == (len(raw), c, len(raw) / c)
+    # the synthetic corpus is word-repetitive: TYPICAL docs compress well
+    # (tiny docs can dip below 1 — zlib header overhead), and the signal
+    # must vary across documents
+    ratios = sorted(v[2] for v in got.values())
+    assert ratios[len(ratios) // 2] > 1.5 and len(set(ratios)) > 10
