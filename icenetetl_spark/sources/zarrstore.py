@@ -268,3 +268,94 @@ def _spark_type(dt: np.dtype) -> str:
     if np.issubdtype(dt, np.integer):
         return "long"
     return "string"
+
+
+def export_forecasts_to_zarr(
+    forecasts, cells, out_dir: str, compressor: dict | None = None
+):
+    """The EXPORT symmetry of the ingest path: pivot the long-form
+    ``forecasts`` table back into one Zarr v2 store per
+    (hemisphere, date_forecast_generated) — dims (time, leadtime, yc, xc),
+    CF-dated time axis, NaN fill for grid cells the pipeline filtered out
+    (sic <= 0 / dropna) — so a downstream xarray/scientific consumer can
+    read the engine's output with the same tooling that produced its
+    input.
+
+    Distributed shape: one task per (hemisphere, date) group
+    (``applyInPandas``); each task pivots ITS group and writes ITS store
+    directory — no driver collection, no cross-group shuffle beyond the
+    one groupBy exchange. ``cells`` maps cell_id back to metre
+    coordinates. Returns a DataFrame of (hemisphere, date, store,
+    n_values) for the written stores."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.sources.netcdf3 import NC3Var
+
+    joined = forecasts.join(
+        F.broadcast(
+            cells.select("cell_id", "centroid_x", "centroid_y")
+        ),
+        "cell_id",
+    ).select(
+        "hemisphere",
+        "date_forecast_generated",
+        "date_forecast_for",
+        "centroid_x",
+        "centroid_y",
+        "sea_ice_concentration_mean",
+        "sea_ice_concentration_stddev",
+    )
+
+    def write_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        hemi, gen = key
+        gen_ts = pd.Timestamp(gen)
+        lead = np.sort(
+            (pd.to_datetime(pdf["date_forecast_for"]) - gen_ts).dt.days.unique()
+        )
+        xs = np.sort(pdf["centroid_x"].unique())
+        ys = np.sort(pdf["centroid_y"].unique())
+        li = {v: i for i, v in enumerate(lead)}
+        xi = {v: i for i, v in enumerate(xs)}
+        yi = {v: i for i, v in enumerate(ys)}
+        shape = (1, len(lead), len(ys), len(xs))
+        mean = np.full(shape, np.nan, dtype=np.float32)
+        std = np.full(shape, np.nan, dtype=np.float32)
+        lt = (pd.to_datetime(pdf["date_forecast_for"]) - gen_ts).dt.days
+        for j, row in enumerate(pdf.itertuples(index=False)):
+            a, b, c = li[int(lt.iloc[j])], yi[row.centroid_y], xi[row.centroid_x]
+            mean[0, a, b, c] = row.sea_ice_concentration_mean
+            std[0, a, b, c] = row.sea_ice_concentration_stddev
+        days = np.array(
+            [(gen_ts - pd.Timestamp("1970-01-01")).days], dtype=np.int32
+        )
+        variables = [
+            NC3Var("time", ("time",), {"units": "days since 1970-01-01"}, days),
+            NC3Var("leadtime", ("leadtime",), {}, lead.astype(np.int32)),
+            NC3Var("yc", ("yc",), {"units": "m"}, ys.astype(np.float64)),
+            NC3Var("xc", ("xc",), {"units": "m"}, xs.astype(np.float64)),
+            NC3Var("sic_mean", ("time", "leadtime", "yc", "xc"), {}, mean),
+            NC3Var("sic_stddev", ("time", "leadtime", "yc", "xc"), {}, std),
+        ]
+        store = os.path.join(out_dir, f"{hemi}_{gen}")
+        write_zarr(
+            store,
+            variables,
+            {"hemisphere": str(hemi), "forecast_date": str(gen)},
+            compressor=compressor,
+        )
+        return pd.DataFrame(
+            {
+                "hemisphere": [str(hemi)],
+                "date": [str(gen)],
+                "store": [store],
+                "n_values": [int(len(pdf))],
+            }
+        )
+
+    return joined.groupBy(
+        "hemisphere", "date_forecast_generated"
+    ).applyInPandas(
+        write_group,
+        "hemisphere string, date string, store string, n_values long",
+    )

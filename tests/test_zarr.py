@@ -217,3 +217,66 @@ def test_zarr_ingest_end_to_end_matches_dataframe_path(spark, tmp_path):
         a = sorted(map(str, cat_z.read(table).collect()))
         b = sorted(map(str, cat_df.read(table).collect()))
         assert a == b, f"{table}: Zarr path diverged from DataFrame path"
+
+
+def test_export_forecasts_roundtrip(spark, tmp_path):
+    """forecasts table -> per-date Zarr stores -> melt back: every
+    exported value matches the table, absent grid cells read as NaN."""
+    import math
+
+    from icenetetl_spark.catalog import ParquetCatalog
+    from icenetetl_spark.plans.icenet import IceNetPipeline
+    from icenetetl_spark.sources.fixtures import make_raw_file
+    from icenetetl_spark.sources.zarrstore import (
+        export_forecasts_to_zarr,
+        melt_zarr_dir,
+    )
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = IceNetPipeline(cat)
+    for date, seed in [("2024-03-01", 1), ("2024-03-08", 2)]:
+        f, a = make_raw_file(spark, date, "north", grid_side=5, leadtimes=3, seed=seed)
+        pipe.run(f, a)
+
+    out = str(tmp_path / "export")
+    report = export_forecasts_to_zarr(
+        cat.read("forecasts"),
+        cat.read("cells"),
+        out,
+        compressor={"id": "zlib", "level": 1},
+    ).collect()
+    assert {r["date"] for r in report} == {"2024-03-01", "2024-03-08"}
+    total = sum(r["n_values"] for r in report)
+    assert total == cat.read("forecasts").count()
+
+    # melt one store back and compare against the table slice
+    store = next(r for r in report if r["date"] == "2024-03-01")["store"]
+    melted = melt_zarr_dir(store)
+    fc = (
+        cat.read("forecasts")
+        .filter("date_forecast_generated = DATE '2024-03-01'")
+        .join(cat.read("cells").select("cell_id", "centroid_x", "centroid_y"), "cell_id")
+        .collect()
+    )
+    want = {
+        (r["centroid_x"], r["centroid_y"],
+         (r["date_forecast_for"] - r["date_forecast_generated"]).days):
+            (r["sea_ice_concentration_mean"], r["sea_ice_concentration_stddev"])
+        for r in fc
+    }
+    got_present = {}
+    n_nan = 0
+    for row in melted.itertuples(index=False):
+        key = (int(row.xc), int(row.yc), int(row.leadtime))
+        if math.isnan(row.sic_mean):
+            n_nan += 1
+            assert key not in want  # NaN only where the pipeline filtered
+        else:
+            got_present[key] = (
+                np.float32(row.sic_mean),
+                np.float32(row.sic_stddev),
+            )
+    assert got_present == {
+        k: (np.float32(a), np.float32(b)) for k, (a, b) in want.items()
+    }
+    assert n_nan == len(melted) - len(want)
