@@ -1187,3 +1187,104 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_compression_ratio"] = text_compression_ratio
+
+
+# Negative sampling for contrastive/retrieval training: k pseudo-random
+# negatives per query doc, deterministic (Knuth multiplicative constant),
+# with near-duplicates of the query EXCLUDED (a near-dup labeled negative
+# poisons the loss). Sampling by arithmetic on ids: zero shuffles for
+# candidate GENERATION; the existence check and the near-dup exclusion are
+# the only joins.
+NEG_QUERIES = 10
+NEG_K = 5
+NEG_MULT = 2654435761  # Knuth 2^32 golden-ratio constant (public)
+NEG_STRIDE = 40503
+
+
+def doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neg_id, slot): k deterministic negatives per query doc,
+    skipping self-pairs and MinHash-LSH near-duplicates of the query.
+    Candidate ids are arithmetic over a dense id space modulo max_id+1;
+    the inner join against documents drops any id gaps."""
+    from icenetetl_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id").alias("mx")).collect()[0]["mx"] + 1
+    queries = docs.select("doc_id").filter(F.col("doc_id") < NEG_QUERIES)
+    slots = F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("slot")
+    cand = queries.select(
+        F.col("doc_id").alias("query_id"), slots
+    ).withColumn(
+        "neg_id",
+        (
+            F.col("query_id") * F.lit(NEG_MULT)
+            + F.col("slot") * F.lit(NEG_STRIDE)
+        )
+        % F.lit(int(n)),
+    )
+    cand = cand.filter(F.col("neg_id") != F.col("query_id")).join(
+        docs.select(F.col("doc_id").alias("neg_id")), "neg_id"
+    )
+    sigs = D.minhash_signatures(
+        D.word_shingles(docs, n=3), 16
+    )
+    near = D.lsh_candidate_pairs(sigs, 16, 4)
+    sym = near.select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("neg_id")
+    ).unionByName(
+        near.select(
+            F.col("doc_b").alias("query_id"), F.col("doc_a").alias("neg_id")
+        )
+    )
+    return cand.join(sym, ["query_id", "neg_id"], "leftanti").select(
+        "query_id", "neg_id", "slot"
+    )
+
+
+QUERIES["doc_negative_pairs"] = doc_negative_pairs
+
+
+def _neg_pairs_oracle() -> str:
+    from icenetetl_spark.queries.dedup import (
+        _SHINGLES_CTE,
+        _banded_sql,
+        _minhash_sig_sql,
+    )
+
+    return f"""
+        WITH {_SHINGLES_CTE},
+        {_minhash_sig_sql()},
+        banded AS ({_banded_sql()}),
+        near AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT doc_a AS query_id, doc_b AS neg_id FROM near
+            UNION ALL
+            SELECT doc_b, doc_a FROM near
+        ),
+        n AS (SELECT MAX(doc_id) + 1 AS mx FROM documents),
+        cand AS (
+            SELECT q.doc_id AS query_id, s.slot,
+                   (q.doc_id * {NEG_MULT} + s.slot * {NEG_STRIDE})
+                       % n.mx AS neg_id
+            FROM documents q,
+                 (SELECT unnest(generate_series(1, {NEG_K})) AS slot) s,
+                 n
+            WHERE q.doc_id < {NEG_QUERIES}
+        )
+        SELECT c.query_id, c.neg_id, CAST(c.slot AS INTEGER) AS slot
+        FROM cand c
+        JOIN documents d ON d.doc_id = c.neg_id
+        WHERE c.neg_id <> c.query_id
+          AND NOT EXISTS (
+              SELECT 1 FROM sym
+              WHERE sym.query_id = c.query_id AND sym.neg_id = c.neg_id
+          )
+    """
+
+
+ORACLES["doc_negative_pairs"] = _neg_pairs_oracle()
