@@ -675,3 +675,65 @@ ORACLES["dedup_scorecard"] = "\nUNION ALL\n".join(
     """
     for m in _SCORECARD_METHODS
 )
+
+
+SPLIT_FRACTIONS = {"train": 90, "val": 5, "test": 5}
+
+
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that can NEVER leak a near-duplicate
+    across splits: documents are keyed by their near-dup COMPONENT id
+    (connected components of the exact-Jaccard graph; isolated docs key
+    by their own id), and the whole component hash-buckets into one
+    split together. The contamination-by-near-copy failure mode of plain
+    per-doc splitting is structurally impossible (property-tested)."""
+    from icenetetl_spark.operators.sampling import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(_capped_shingles(docs), threshold=JACCARD_T)
+    comp = D.connected_components(pairs)
+    keyed = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id"))
+            .cast("string")
+            .alias("split_key"),
+        )
+    )
+    return split_by_hash(keyed, "split_key", SPLIT_FRACTIONS).select(
+        "doc_id", "split"
+    )
+
+
+QUERIES["doc_leakage_safe_split"] = doc_leakage_safe_split
+
+
+def _split_case_sql(bucket_expr: str) -> str:
+    out, lo = [], 0
+    for name, pct in SPLIT_FRACTIONS.items():
+        out.append(
+            f"WHEN {bucket_expr} >= {lo} AND {bucket_expr} < {lo + pct} "
+            f"THEN '{name}'"
+        )
+        lo += pct
+    return "CASE " + " ".join(out) + " END"
+
+
+ORACLES["doc_leakage_safe_split"] = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_PAIRS_CTES},
+    {_COMPONENTS_CTES},
+    keyed AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.component_id, d.doc_id) AS VARCHAR)
+                   AS split_key
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id,
+           {_split_case_sql(
+               portable_hash64_sql("split_key", 32) + " % 100"
+           )} AS split
+    FROM keyed
+"""

@@ -106,3 +106,31 @@ def test_production_hash_impl_swap(spark):
         assert counts == again
     finally:
         set_default_hash_impl(prev)
+
+
+def test_leakage_safe_split_never_straddles_near_dups(spark):
+    from icenetetl_spark.operators.dedup import jaccard_pairs, word_shingles
+    from icenetetl_spark.queries.dedup import (
+        JACCARD_T,
+        _capped_shingles,
+        doc_leakage_safe_split,
+    )
+    from icenetetl_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    split = {
+        r["doc_id"]: r["split"]
+        for r in doc_leakage_safe_split(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    assert set(split) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    pairs = jaccard_pairs(
+        _capped_shingles(docs), threshold=JACCARD_T
+    ).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for r in pairs:
+        assert split[r["doc_a"]] == split[r["doc_b"]], (
+            f"near-dup pair {r['doc_a']}/{r['doc_b']} straddles splits"
+        )
+    # all three splits are actually populated
+    assert set(split.values()) == {"train", "val", "test"}
