@@ -1288,3 +1288,77 @@ def _neg_pairs_oracle() -> str:
 
 
 ORACLES["doc_negative_pairs"] = _neg_pairs_oracle()
+
+
+TOPFRAC_KEEP = 0.5
+
+
+def corpus_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quality filtering: within each source, keep the top
+    TOPFRAC_KEEP fraction of documents by quality score (percent_rank
+    over a per-source window with a deterministic doc_id tiebreak —
+    never a global sort). Output is the per-source report (kept counts +
+    quality floor of the kept set), the shape a curation run logs."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    kept = ranked.filter(F.col("pr") <= F.lit(TOPFRAC_KEEP))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("quality").alias("quality_floor"),
+        )
+        .join(
+            F.broadcast(
+                scored.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n_docs")
+                )
+            ),
+            "source",
+        )
+        .select("source", "n_docs", "n_kept", "quality_floor")
+    )
+
+
+QUERIES["corpus_quality_topfrac"] = corpus_quality_topfrac
+
+
+ORACLES["corpus_quality_topfrac"] = f"""
+    WITH feats AS (SELECT doc_id, source, {_FEATURES} FROM documents),
+    scored AS (
+        SELECT doc_id, source,
+               distinct_ratio
+               * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 8.0
+                       THEN 1.0 ELSE 0.5 END)
+               * (CASE WHEN stopword_ratio <= 0.5 THEN 1.0 ELSE 0.5 END)
+                   AS quality
+        FROM feats
+    ),
+    ranked AS (
+        SELECT source, doc_id, quality,
+               percent_rank() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id) AS pr
+        FROM scored
+    ),
+    kept AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MIN(quality) AS quality_floor
+        FROM ranked WHERE pr <= {TOPFRAC_KEEP}
+        GROUP BY source
+    ),
+    totals AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM scored GROUP BY source
+    )
+    SELECT k.source, t.n_docs, k.n_kept, k.quality_floor
+    FROM kept k JOIN totals t USING (source)
+"""
