@@ -799,3 +799,94 @@ ORACLES["ev_top_paths"] = """
     ORDER BY n DESC, path
     LIMIT 10
 """
+
+
+RATE_WINDOW_S = 900
+RATE_Z = 3.0
+RATE_QUANT = 9
+
+
+def ev_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection: per event_type, 15-minute window counts
+    flagged when they exceed mean + RATE_Z * sigma of that type's own
+    window-count distribution. Per-type moments come from one grouped
+    pass over the window counts (fixed-point sums, E[x^2]-E[x]^2 in a
+    fixed op order, sqrt quantized to absorb ulp divergence) and
+    broadcast back — never a window over the data. The alerting shape a
+    traffic monitor runs."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            epoch_bucket("ts", RATE_WINDOW_S, "bucket"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = float(10**RATE_QUANT)
+    nw = F.count(F.lit(1))
+    stats = counts.groupBy("event_type").agg(
+        nw.alias("n_windows"),
+        (F.sum("n").cast("double") / nw).alias("mean_n"),
+        (F.sum(F.col("n") * F.col("n")).cast("double") / nw).alias("ex2"),
+    ).select(
+        "event_type",
+        "n_windows",
+        "mean_n",
+        (
+            F.floor(
+                F.sqrt(
+                    F.greatest(
+                        F.col("ex2") - F.col("mean_n") * F.col("mean_n"),
+                        F.lit(0.0),
+                    )
+                )
+                * F.lit(q)
+                + F.lit(0.5)
+            )
+            / F.lit(q)
+        ).alias("sigma"),
+    )
+    return (
+        counts.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            "mean_n",
+            "sigma",
+            (
+                F.col("n").cast("double")
+                > F.col("mean_n") + F.lit(RATE_Z) * F.col("sigma")
+            ).alias("spike"),
+        )
+    )
+
+
+QUERIES["ev_rate_spike"] = ev_rate_spike
+
+ORACLES["ev_rate_spike"] = f"""
+    WITH counts AS (
+        SELECT CAST(FLOOR(EPOCH(ts) / {RATE_WINDOW_S}) * {RATE_WINDOW_S}
+                    AS BIGINT) AS bucket,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n,
+               CAST(SUM(n * n) AS DOUBLE) / COUNT(*) AS ex2
+        FROM counts GROUP BY 1
+    ),
+    s2 AS (
+        SELECT event_type, n_windows, mean_n,
+               FLOOR(sqrt(GREATEST(ex2 - mean_n * mean_n,
+                                   CAST(0.0 AS DOUBLE)))
+                     * CAST(1e{RATE_QUANT} AS DOUBLE) + 0.5)
+                   / CAST(1e{RATE_QUANT} AS DOUBLE) AS sigma
+        FROM stats
+    )
+    SELECT c.event_type, c.bucket, c.n, s.mean_n, s.sigma,
+           CAST(c.n AS DOUBLE)
+               > s.mean_n + CAST({RATE_Z} AS DOUBLE) * s.sigma AS spike
+    FROM counts c JOIN s2 s USING (event_type)
+"""

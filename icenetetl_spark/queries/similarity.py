@@ -905,3 +905,58 @@ def _mmr_oracle(k: int = MMR_K, lam: float = MMR_LAM) -> str:
 
 QUERIES["doc_mmr_diverse"] = doc_mmr_diverse
 ORACLES["doc_mmr_diverse"] = _mmr_oracle()
+
+
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (the vector-DB capability plain ANN lacks):
+    top-k restricted to corpus vectors sharing the query's label — the
+    metadata predicate applies BEFORE scoring, so the scan cost is the
+    filtered subset, not the corpus. Composition: label equi-constraint
+    into the same brute-force scorer; at scale the same filter composes
+    with the IVF/PQ candidate generators unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = queries.join(
+        cand,
+        (F.col("qlabel") == F.col("clabel"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        S.cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+QUERIES["knn_filtered"] = knn_filtered
+
+ORACLES["knn_filtered"] = f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS} AS cos,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c
+          ON q.label = c.label AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE rank <= {K}
+"""
