@@ -183,6 +183,44 @@ _ZARR_STORE_PATH = os.path.join(
 )
 
 
+def _assert_melt_matches_twin(melted: DataFrame, spark: SparkSession) -> None:
+    """Localizing probe for the driver gate (round-5 lesson: a driver-side
+    hash red on the composed chain gave no signal WHERE the divergence
+    was). Compares the melted store frame against the parquet twin the
+    oracle reads, bitwise, on every column both sides share semantically
+    (lat/lon are excluded: the store's are deterministic 2-D coords, the
+    twin's are random scalars — both dropped by the pipeline). A mismatch
+    raises HERE, turning a would-be hash-red into an err that names the
+    store-vs-melt layer; the chain downstream is then exonerated. Cost:
+    one extra job over ~1k fixture rows."""
+    import numpy as np
+
+    cols = ["time", "leadtime", "xc", "yc", "sic_mean", "sic_stddev"]
+    a = melted.select(cols).toPandas()
+    b = spark.read.parquet(_FIXTURE_PATH).select(cols).toPandas()
+    key = ["time", "leadtime", "yc", "xc"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    if len(a) != len(b):
+        raise AssertionError(
+            f"zarr melt rows {len(a)} != parquet twin rows {len(b)}"
+        )
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype != bv.dtype:
+            raise AssertionError(
+                f"zarr melt col {c}: dtype {av.dtype} != twin {bv.dtype} "
+                "(the driver value-hash is dtype-sensitive)"
+            )
+        ok = (
+            np.array_equal(av, bv, equal_nan=True)
+            if av.dtype.kind == "f"
+            else bool((av == bv).all())
+        )
+        if not ok:
+            raise AssertionError(f"zarr melt col {c}: values differ from twin")
+
+
 def icenet_zarr_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME composed pipeline chain as icenet_pipeline_latest, but fed
     from a REAL Zarr v2 store on disk (sources/zarrstore: spec-built
@@ -190,12 +228,17 @@ def icenet_zarr_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     melt — the format-agnostic-ingest claim under the driver's hash gate:
     the oracle is the parquet-fixture SQL chain, so a store-layout or
     melt bug that changes ANY value fails the gate. sf_dir unused (the
-    input is the IceNet-shaped fixture store)."""
+    input is the IceNet-shaped fixture store).
+
+    Store creation is ATOMIC (make_zarr_store builds in a tmp dir and
+    os.replace()s it in), so the root's existence IS the completeness
+    marker — a .zgroup-keyed check on an in-place write could bless a
+    half-written store forever (round-5 hazard (a))."""
     from icenetetl_spark.sources.fixtures import make_zarr_store
     from icenetetl_spark.sources.zarrstore import melt_zarr_stores
 
     _ensure_fixture()  # the oracle's parquet twin
-    if not os.path.exists(os.path.join(_ZARR_STORE_PATH, ".zgroup")):
+    if not os.path.isdir(_ZARR_STORE_PATH):
         make_zarr_store(
             _ZARR_STORE_PATH,
             GEN_DATE,
@@ -206,6 +249,7 @@ def icenet_zarr_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             compressor={"id": "zlib", "level": 1},
         )
     melted = melt_zarr_stores(spark, [_ZARR_STORE_PATH])
+    _assert_melt_matches_twin(melted, spark)
     return latest_view_plan(melted, "north", portable_ids=True)
 
 

@@ -181,7 +181,28 @@ def make_zarr_store(
         k: (float(v) if isinstance(v, np.floating) else v)
         for k, v in attrs.items()
     }
-    write_zarr(path, variables, attrs, compressor=compressor)
+    # Atomic creation (the write_raw_fixture tmp+rename pattern, here for a
+    # DIRECTORY): write_zarr lays .zgroup down FIRST, so an interrupted or
+    # concurrently-observed in-place write looks like a complete store to
+    # any .zgroup-keyed existence check and would be reused forever. Build
+    # in a tmp dir and os.replace() it into place — the renamed ROOT is the
+    # completeness marker. A lost race (target appeared meanwhile) is fine:
+    # the content is deterministic, keep the winner.
+    import shutil
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_zarr(tmp, variables, attrs, compressor=compressor)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        if os.path.isdir(os.path.join(path)) and os.path.exists(
+            os.path.join(path, ".zgroup")
+        ):
+            shutil.rmtree(tmp)  # concurrent creator won; identical bytes
+        else:
+            raise
     return path
 
 

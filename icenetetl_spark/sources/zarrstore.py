@@ -261,10 +261,21 @@ def melt_zarr_stores(spark, paths: list[str]):
 
 
 def _spark_type(dt: np.dtype) -> str:
+    """Width-PRESERVING numpy->Spark mapping. Widening float32 to double
+    here is what put the round-5 driver gate red on
+    icenet_zarr_pipeline_latest: the values survive the widening exactly
+    (float32 -> float64 is lossless), so every local float()-normalizing
+    comparison passed, but the driver's value hash is dtype-sensitive —
+    a store's <f4 column must reach the query surface as FloatType, the
+    same type the parquet twin and the in-memory fixture path carry."""
     if np.issubdtype(dt, np.datetime64):
         return "timestamp"
+    if dt == np.dtype(np.float32):
+        return "float"
     if np.issubdtype(dt, np.floating):
         return "double"
+    if dt.kind in "iu" and dt.itemsize <= 4:
+        return "int"
     if np.issubdtype(dt, np.integer):
         return "long"
     return "string"

@@ -280,3 +280,50 @@ def test_export_forecasts_roundtrip(spark, tmp_path):
         k: (np.float32(a), np.float32(b)) for k, (a, b) in want.items()
     }
     assert n_nan == len(melted) - len(want)
+
+
+def test_melt_preserves_storage_widths(spark, tmp_path):
+    """A <f4 store column must surface as FloatType and an int32 as
+    IntegerType — the round-5 driver gate went red because the melt
+    widened float32 to double: numerically lossless, so every
+    float()-normalizing local comparison passed, but the driver's value
+    hash is dtype-sensitive and saw float64 renderings of float32 data."""
+    from icenetetl_spark.sources.zarrstore import melt_zarr_stores
+
+    variables = [
+        NC3Var("xi", ("xi",), {}, np.array([1, 2], dtype=np.int32)),
+        NC3Var(
+            "v32", ("xi",), {}, np.array([0.5, 0.25], dtype=np.float32)
+        ),
+        NC3Var(
+            "v64", ("xi",), {}, np.array([0.5, 0.25], dtype=np.float64)
+        ),
+    ]
+    p = str(tmp_path / "widths")
+    write_zarr(p, variables, {})
+    df = melt_zarr_stores(spark, [p])
+    types = dict(df.dtypes)
+    assert types["v32"] == "float"
+    assert types["v64"] == "double"
+    assert types["xi"] == "int"
+    pdf = df.toPandas()
+    assert pdf["v32"].dtype == np.float32
+    assert sorted(pdf["v32"].tolist()) == [0.25, 0.5]
+
+
+def test_make_zarr_store_is_atomic(tmp_path):
+    """The store root only appears by os.replace() of a fully-written tmp
+    dir: root existence == completeness (no window where a .zgroup-keyed
+    check could bless a half-written store), and a second creation into
+    an existing path is a clean no-op with the tmp dir cleaned up."""
+    from icenetetl_spark.sources.fixtures import make_zarr_store
+
+    p = str(tmp_path / "store")
+    make_zarr_store(p, "2024-03-01", grid_side=4, leadtimes=2)
+    assert os.path.exists(os.path.join(p, ".zgroup"))
+    first = read_zarr(p).variables["sic_mean"].data.copy()
+    # re-create over the existing root: loses the os.replace race by
+    # construction, must keep the (identical) winner and leave no tmp
+    make_zarr_store(p, "2024-03-01", grid_side=4, leadtimes=2)
+    assert [d for d in os.listdir(tmp_path) if "tmp" in d] == []
+    np.testing.assert_array_equal(read_zarr(p).variables["sic_mean"].data, first)
