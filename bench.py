@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "knn_bruteforce",
     "knn_sign_lsh",
-    "mm_decode_stub",
+    "mm_decode",
 ]
 
 

@@ -2,9 +2,11 @@
 for media blobs — the container has no image/audio libs; see
 operators.multimodal for the stubbed decode and the real Arrow plumbing).
 
-``mm_decode_stub`` runs a genuine mapInPandas decode pass; its oracle mirrors
-the deterministic fake-decoder arithmetic, so even the Python-side plumbing
-is value-checked end to end.
+The early plumbing stand-ins (``mm_decode_stub``, ``mm_frame_sample``) were
+retired from the registry once the REAL codecs landed (``mm_decode``,
+``mm_video_frames`` gate the same plumbing plus true decode); their
+fake-decoder assertions live on as plain pytest tests
+(tests/test_operators.py::test_multimodal_plumbing).
 """
 
 from __future__ import annotations
@@ -18,16 +20,6 @@ from icenetetl_spark.sources.testdata import load_table
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.binary_metadata(docs)
-
-
-def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return M.decode_media(docs)
-
-
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return M.frame_sample_plan(docs, every_nth=10)
 
 
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,8 +76,6 @@ QUERIES = {
     "mm_image_resize": mm_image_resize,
     "mm_video_frames": mm_video_frames,
     "mm_audio_decode": mm_audio_decode,
-    "mm_decode_stub": mm_decode_stub,
-    "mm_frame_sample": mm_frame_sample,
     "mm_decode": mm_decode,
 }
 
@@ -97,21 +87,6 @@ ORACLES = {
                CAST({_NB} AS BIGINT) AS n_bytes,
                lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
                {_NB} > 0 AS is_nonempty
-        FROM documents
-    """,
-    "mm_decode_stub": f"""
-        SELECT doc_id,
-               CAST({_NB} AS BIGINT) AS n_bytes,
-               CASE WHEN {_NB} % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-               CAST(1 + {_NB} % 64 AS INTEGER) AS width,
-               CAST(1 + ({_NB} // 64) % 64 AS INTEGER) AS height,
-               CAST((1 + {_NB} % 64) * (1 + ({_NB} // 64) % 64) AS BIGINT)
-                   AS n_pixels
-        FROM documents
-    """,
-    "mm_frame_sample": f"""
-        SELECT doc_id, CAST(unnest(generate_series(0, {_NB} % 256, 10)) AS INTEGER)
-                   AS frame_idx
         FROM documents
     """,
     "mm_audio_decode": """

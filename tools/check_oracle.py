@@ -75,7 +75,21 @@ def compare(name, spark_df, duck_df):
     if sc != dc:
         issues.append(f"columns differ: spark={sc} duck={dc}")
         return issues
-    a, b = normalize(spark_df.toPandas()), normalize(duck_df)
+    spark_pdf = spark_df.toPandas()
+    # The driver's value hash is DTYPE-sensitive (round-5 lesson: a float32
+    # column widened to float64 passed the float()-normalizing comparison
+    # below but failed the driver). Flag float-width mismatches explicitly.
+    for c in spark_pdf.columns:
+        sk = spark_pdf[c].dtype
+        dk = duck_df[c].dtype if c in duck_df.columns else None
+        if dk is not None and sk.kind == "f" and dk.kind == "f" and sk != dk:
+            issues.append(
+                f"float width differs on {c!r}: spark={sk} duck={dk} "
+                "(driver hash is dtype-sensitive)"
+            )
+    if issues:
+        return issues
+    a, b = normalize(spark_pdf), normalize(duck_df)
     if len(a) != len(b):
         issues.append(f"row count differs: spark={len(a)} duck={len(b)}")
         return issues
