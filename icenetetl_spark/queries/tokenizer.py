@@ -97,11 +97,116 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pinned merge table: fit_bpe(documents@sf0.01, 12) frozen as a constant —
+# the knn_ivf_fixed pattern applied to the tokenizer. Freezing the MODEL
+# splits the gate: bpe_train_merges stays rows-only (iterative argmax loop),
+# while encoding under a KNOWN model becomes pure deterministic dataflow
+# that DuckDB can replay, so the encode path earns a value-hash gate.
+FIXED_MERGES: list[dict] = [
+    {"left": "e", "right": "r", "merged": "er"},
+    {"left": "e", "right": "</w>", "merged": "e</w>"},
+    {"left": "n", "right": "</w>", "merged": "n</w>"},
+    {"left": "er", "right": "</w>", "merged": "er</w>"},
+    {"left": "o", "right": "w", "merged": "ow"},
+    {"left": "ow", "right": "</w>", "merged": "ow</w>"},
+    {"left": "o", "right": "r", "merged": "or"},
+    {"left": "s", "right": "t", "merged": "st"},
+    {"left": "h", "right": "</w>", "merged": "h</w>"},
+    {"left": "a", "right": "t", "merged": "at"},
+    {"left": "l", "right": "u", "merged": "lu"},
+    {"left": "i", "right": "n", "merged": "in"},
+]
+
+
+def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts per document under the PINNED merge table — the same
+    vocab-table plan as bpe_encode_tokens (merge folds over DISTINCT
+    pretokens, corpus joins back on the word key) with the model frozen,
+    which makes the whole path hash-gated: the oracle replays every merge
+    as one chained string-rewrite CTE per step."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("word"),
+    )
+    encoded = (
+        words.select("word")
+        .distinct()
+        .withColumn(
+            "n_sub",
+            F.size(apply_merges(symbolize(F.col("word")), FIXED_MERGES)),
+        )
+    )
+    return (
+        words.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").alias("n_tokens"))
+    )
+
+
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train_merges": bpe_train_merges,
     "bpe_encode_tokens": bpe_encode_tokens,
+    "bpe_encode_fixed": bpe_encode_fixed,
 }
+
+
+def _encode_fixed_oracle() -> str:
+    """DuckDB restatement of the greedy BPE merge as chained string
+    rewrites (the graph_pagerank CTE-unrolling trick, applied to folds).
+
+    Encoding: each word becomes a string of SEP-wrapped symbols
+    (``[h, at] -> ~h~~at~``); one merge step is ONE ``replace()`` of
+    ``~left~~right~`` by ``~merged~``. DuckDB's replace scans left to
+    right and continues AFTER each replacement, which is exactly the
+    Sennrich simultaneous-merge semantics (``aaaa`` + (a,a) -> [aa, aa]);
+    a fresh wrapper on every symbol makes cross-symbol false matches
+    impossible (pinned against the pure-Python reference in
+    tests/test_bpe.py::test_fixed_encode_sql_rewrite_parity). SEP is the
+    ASCII unit separator, which the corpus provably lacks (and which the
+    \\s-splitting pretokenizer would isolate anyway)."""
+    sep = "chr(31)"
+    steps = []
+    prev = "s0"
+    for k, m in enumerate(FIXED_MERGES, start=1):
+        pat = f"{sep} || '{m['left']}' || {sep} || {sep} || '{m['right']}' || {sep}"
+        rep = f"{sep} || '{m['merged']}' || {sep}"
+        steps.append(
+            f"m{k} AS (SELECT word, replace(s, {pat}, {rep}) AS s FROM "
+            f"{'m' + str(k - 1) if k > 1 else prev})"
+        )
+    chain = ",\n        ".join(steps)
+    last = f"m{len(FIXED_MERGES)}"
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_extract_all(
+                lower(text), '{BPE_TOKEN_PATTERN}')) AS word
+            FROM documents
+        ),
+        vocab AS (SELECT DISTINCT word FROM words),
+        s0 AS (
+            SELECT word,
+                   string_agg({sep} || substr(word, i, 1) || {sep},
+                              '' ORDER BY i)
+                       || {sep} || '</w>' || {sep} AS s
+            FROM vocab, unnest(generate_series(1, length(word))) AS t(i)
+            GROUP BY word
+        ),
+        {chain},
+        counts AS (
+            SELECT word,
+                   (length(s) - length(replace(s, {sep}, ''))) // 2 AS n_sub
+            FROM {last}
+        )
+        SELECT w.doc_id, CAST(SUM(c.n_sub) AS BIGINT) AS n_tokens
+        FROM words w JOIN counts c USING (word)
+        GROUP BY w.doc_id
+    """
 
 ORACLES = {
     "bpe_pair_counts": f"""
@@ -124,4 +229,5 @@ ORACLES = {
         ORDER BY pair_count DESC, left_sym, right_sym
         LIMIT {_TOP_PAIRS}
     """,
+    "bpe_encode_fixed": _encode_fixed_oracle(),
 }

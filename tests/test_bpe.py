@@ -198,3 +198,54 @@ def test_encoding_compresses(texts, merges):
     t = next(iter(texts.values()))
     chars = sum(len(w) + 1 for w in _PAT.findall(t.lower()))
     assert ref_encode_len(t, merges) < chars
+
+
+def test_fixed_encode_sql_rewrite_parity():
+    """The bpe_encode_fixed oracle encodes by chained string replace()s
+    over SEP-wrapped symbols. Pin that rewrite against the pure-Python
+    fold (_merge_word) on adversarial words: runs under (a,a), a merge
+    whose right side is itself merged (a,aa), suffix-collision bait
+    (ba + a), and single-punctuation pretokens."""
+    import duckdb
+
+    from icenetetl_spark.operators.bpe import _merge_word
+
+    merges = [
+        ("a", "a"),
+        ("a", "aa"),
+        ("b", "a"),
+        ("ba", "</w>"),
+        ("<", "/"),
+    ]
+    words = ["aaaa", "aaa", "aaaaaa", "ba", "baa", "ab", "|", "<", "a", ""]
+    sep = "chr(31)"
+    steps, prev = [], "s0"
+    for k, (left, right) in enumerate(merges, start=1):
+        pat = f"{sep} || '{left}' || {sep} || {sep} || '{right}' || {sep}"
+        rep = f"{sep} || '{left + right}' || {sep}"
+        steps.append(
+            f"m{k} AS (SELECT word, replace(s, {pat}, {rep}) AS s FROM "
+            f"{'m' + str(k - 1) if k > 1 else prev})"
+        )
+    chain = ",\n".join(steps)
+    sql = f"""
+        WITH vocab AS (SELECT unnest(?) AS word),
+        s0 AS (
+            SELECT word,
+                   coalesce(string_agg({sep} || substr(word, i, 1) || {sep},
+                            '' ORDER BY i), '')
+                       || {sep} || '</w>' || {sep} AS s
+            FROM vocab LEFT JOIN LATERAL
+                 (SELECT unnest(generate_series(1, length(word))) AS i) t
+                 ON true
+            GROUP BY word
+        ),
+        {chain}
+        SELECT word,
+               (length(s) - length(replace(s, {sep}, ''))) // 2 AS n_sub
+        FROM m{len(merges)}
+    """
+    got = dict(duckdb.connect().execute(sql, [words]).fetchall())
+    for w in words:
+        expect = len(_merge_word(list(w) + ["</w>"], merges))
+        assert got[w] == expect, (w, got[w], expect)
