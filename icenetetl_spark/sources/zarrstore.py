@@ -321,22 +321,23 @@ def export_forecasts_to_zarr(
     def write_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         hemi, gen = key
         gen_ts = pd.Timestamp(gen)
-        lead = np.sort(
-            (pd.to_datetime(pdf["date_forecast_for"]) - gen_ts).dt.days.unique()
-        )
+        lt = (pd.to_datetime(pdf["date_forecast_for"]) - gen_ts).dt.days.to_numpy()
+        lead = np.unique(lt)
         xs = np.sort(pdf["centroid_x"].unique())
         ys = np.sort(pdf["centroid_y"].unique())
-        li = {v: i for i, v in enumerate(lead)}
-        xi = {v: i for i, v in enumerate(xs)}
-        yi = {v: i for i, v in enumerate(ys)}
         shape = (1, len(lead), len(ys), len(xs))
         mean = np.full(shape, np.nan, dtype=np.float32)
         std = np.full(shape, np.nan, dtype=np.float32)
-        lt = (pd.to_datetime(pdf["date_forecast_for"]) - gen_ts).dt.days
-        for j, row in enumerate(pdf.itertuples(index=False)):
-            a, b, c = li[int(lt.iloc[j])], yi[row.centroid_y], xi[row.centroid_x]
-            mean[0, a, b, c] = row.sea_ice_concentration_mean
-            std[0, a, b, c] = row.sea_ice_concentration_stddev
+        # Vectorized pivot: axis index per row via searchsorted on the
+        # sorted axes, one fancy-indexed assignment per array. At reference
+        # scale one (hemisphere, date) group is ~187k cells x ~93 leadtimes
+        # ~= 17M rows — O(n log n) numpy here vs a 17M-iteration Python
+        # loop (~100x per-task CPU) in the single task that owns the group.
+        li = np.searchsorted(lead, lt)
+        yi = np.searchsorted(ys, pdf["centroid_y"].to_numpy())
+        xi = np.searchsorted(xs, pdf["centroid_x"].to_numpy())
+        mean[0, li, yi, xi] = pdf["sea_ice_concentration_mean"].to_numpy()
+        std[0, li, yi, xi] = pdf["sea_ice_concentration_stddev"].to_numpy()
         days = np.array(
             [(gen_ts - pd.Timestamp("1970-01-01")).days], dtype=np.int32
         )
