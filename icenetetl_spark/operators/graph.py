@@ -50,6 +50,7 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -71,14 +72,25 @@ def pagerank(
             .cast("long")
             .alias("contrib_q"),
         )
+        sums = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("contrib_q").alias("sum_q")
+        )
+        # Left-join the FULL node set so in-degree-0 nodes (out-edges but
+        # nothing pointing at them — possible only on directed inputs)
+        # keep a teleport-only rank instead of dropping out of the vector
+        # and losing their contributions in later iterations.
         ranks = (
-            contrib.groupBy(F.col("dst").alias("node"))
-            .agg(
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
-                    * (F.sum("contrib_q").cast("double") / F.lit(q))
-                ).alias("rank")
+                    * (
+                        F.coalesce(F.col("sum_q"), F.lit(0)).cast("double")
+                        / F.lit(q)
+                    )
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
@@ -116,19 +128,28 @@ def pagerank_oracle_sql(
         # DECIMAL; Spark/Python compute in doubles. Forcing DOUBLE makes
         # (1.0 - d) etc. the identical IEEE ops on both engines.
         d = f"CAST({damping} AS DOUBLE)"
+        # nodes LEFT JOIN the contribution sums (not a groupBy over edges):
+        # in-degree-0 nodes keep their teleport-only rank, matching the
+        # Spark side's full-node-set left join.
         steps.append(
             f"""
-        r{i} AS (
+        s{i} AS (
             SELECT e.dst AS node,
-                   (1.0 - {d}) / params.n
-                   + {d} * (CAST(SUM(CAST(FLOOR(
-                         r.rank / deg.deg * {q} + 0.5) AS BIGINT)) AS DOUBLE)
-                       / {q}) AS rank
+                   SUM(CAST(FLOOR(
+                       r.rank / deg.deg * {q} + 0.5) AS BIGINT)) AS sum_q
             FROM {edges_cte} e
             JOIN r{i - 1} r ON e.src = r.node
             JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ),
+        r{i} AS (
+            SELECT n.node,
+                   (1.0 - {d}) / params.n
+                   + {d} * (CAST(COALESCE(s.sum_q, 0) AS DOUBLE) / {q})
+                       AS rank
+            FROM nodes n
+            LEFT JOIN s{i} s ON s.node = n.node
             CROSS JOIN params
-            GROUP BY e.dst, params.n
         )"""
         )
     return (

@@ -472,12 +472,15 @@ def mmr_select(
             score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxsim
         else:
             score = F.col("rel")
-        top = (
+        rows = (
             remaining.select(id_col, vec_col, "rel", score.alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # pool exhausted before k picks: return what we have
+            break
+        top = rows[0]
         selected.append(
             (step + 1, top[id_col], top["rel"], top["score"], list(top[vec_col]))
         )

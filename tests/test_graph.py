@@ -79,3 +79,30 @@ def test_dangling_free_directed_cycle_is_uniform(spark):
 def test_empty_graph(spark):
     edges = _edges(spark, []).filter("src IS NOT NULL")
     assert pagerank(edges, 5).count() == 0
+
+
+def test_source_only_nodes_keep_teleport_rank(spark):
+    """A node with out-edges but NO in-edges must stay in the rank vector
+    with the teleport-only rank (not drop out after iteration 1), and its
+    contributions must keep flowing. Also pins Spark-vs-oracle parity on
+    a DIRECTED graph with such a node."""
+    import duckdb
+
+    from icenetetl_spark.operators.graph import pagerank_oracle_sql
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    assert set(got) == {0, 1, 2}
+    n, d = 3, 0.85
+    assert got[0] == pytest.approx((1 - d) / n, abs=1e-12)
+    assert got[1] > got[0] and got[2] > got[0]
+    sql = (
+        "WITH e(src, dst) AS (VALUES (0, 1), (1, 2), (2, 1)),\n"
+        + pagerank_oracle_sql("e", iterations=4)
+    )
+    oracle = dict(duckdb.connect().execute(sql).fetchall())
+    assert set(oracle) == set(got)
+    for k in got:
+        assert got[k] == pytest.approx(oracle[k], abs=0), (k, got[k], oracle[k])

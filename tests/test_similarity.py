@@ -223,3 +223,19 @@ def test_mmr_lam_one_equals_plain_topk(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_mmr_pool_smaller_than_k_returns_all(spark):
+    """k larger than the candidate pool must return every candidate
+    (ranks 1..n) instead of raising on the empty argmax collect."""
+    from icenetetl_spark.operators.similarity import mmr_select
+    from icenetetl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    cand = emb.filter(F.col("vec_id").isin([1, 2, 3]))
+    sel = mmr_select(cand, qvec, k=10, lam=0.7).collect()
+    assert [r["rank"] for r in sel] == [1, 2, 3]
+    assert {r["vec_id"] for r in sel} == {1, 2, 3}
