@@ -11,9 +11,22 @@ regions the suffix-array method reports.
 Scale shape: the gram table is O(total characters); its hash groupBy is
 the one data-sized shuffle (grams travel as 8-byte hashes, not strings).
 The duplicated-gram join reuses the same hash partitioning, and the island
-window is partitioned per document — never global. At 100 TB the stride
-can rise above 1 (sample every s-th position) at a bounded recall cost;
-stride stays 1 here so the spans are exact.
+window is partitioned per document — never global.
+
+The 100-TB lever is ``sample_mod``: CONTENT-DEFINED gram sampling (keep a
+position iff gram_hash % sample_mod == 0 — the winnowing/mod-p idea of
+Schleimer et al. SIGMOD 2003, public). Every stage after the map-side
+hash (the shuffle, the duplicate groupBy, the join, the island window)
+then carries ~1/sample_mod of the rows. Content-defined, NOT positional:
+a fixed position stride would sample DIFFERENT substrings in two
+alignment-shifted copies of a repeat, so their hashes would never match
+and detection would collapse; keying the sample on the hash itself means
+every copy of a repeated substring samples identically, and a sampled
+gram's occurrence count is EXACT (no count dilution). Misses are only
+regions none of whose grams hash to 0 mod s — probability ~(1-1/s)^(L-k+1)
+for a repeated region of length L — plus <= s-1 characters of boundary
+shrinkage per side (recall pinned vs sample_mod=1 in
+tests/test_substrings.py).
 """
 
 from __future__ import annotations
@@ -33,6 +46,7 @@ def kgram_positions(
     text_col: str = "text",
     hash_bits: int = 48,
     hash_impl: str | None = None,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """(doc_id, pos, gram_hash) for every character position (1-based,
     stride 1). Documents shorter than k contribute nothing (the filter also
@@ -41,9 +55,15 @@ def kgram_positions(
     48-bit hashes: a colliding pair of UNIQUE grams would falsely mark
     both duplicated; expected collisions ~ n^2/2^49 stay below one up to
     ~10^7 grams per corpus (32 bits produced 2 false spans on even the
-    0.001 test corpus)."""
+    0.001 test corpus).
+
+    ``sample_mod`` > 1 keeps only positions with gram_hash % sample_mod
+    == 0 (content-defined sampling — see module docstring): the filter
+    runs map-side inside the same codegen stage as the hash, so the
+    gram-table shuffle and everything after it shrink by ~1/sample_mod.
+    """
     n = F.length(F.col(text_col))
-    return (
+    grams = (
         docs.filter(n >= k)
         .select(
             F.col(id_col),
@@ -62,6 +82,9 @@ def kgram_positions(
             ).alias("gram_hash"),
         )
     )
+    if sample_mod > 1:
+        grams = grams.filter(F.col("gram_hash") % sample_mod == 0)
+    return grams
 
 
 def duplicated_spans(
@@ -105,6 +128,7 @@ def duplication_profile(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_impl: str | None = None,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Per-document duplication signal: number of duplicated REGIONS, total
     duplicated characters (union coverage), and the duplicated fraction of
@@ -115,8 +139,19 @@ def duplication_profile(
     position covers [pos, pos+k-1]), so the profile merges positions with
     gap <= k into coverage regions (lag + running-sum islands — the
     variable-gap form of gaps-and-islands) and dup_frac is guaranteed in
-    [0, 1]. Documents with no duplication appear with zeros."""
-    grams = kgram_positions(docs, k, id_col, text_col, hash_impl=hash_impl)
+    [0, 1]. Documents with no duplication appear with zeros.
+
+    ``sample_mod`` > 1 estimates the profile from the content-defined
+    gram sample (the scale lever): sampled duplicated positions are a
+    SUBSET of the exact ones and occurrence counts stay exact, so the
+    estimated coverage never exceeds the exact coverage — dup_chars and
+    dup_frac are conservative (recall pinned in tests/test_substrings.py).
+    The gap<=k region merge is kept: within a real duplicated region
+    sampled positions sit ~sample_mod apart, so for sample_mod < k they
+    still fuse into one region."""
+    grams = kgram_positions(
+        docs, k, id_col, text_col, hash_impl=hash_impl, sample_mod=sample_mod
+    )
     dup = (
         grams.groupBy("gram_hash")
         .agg(F.count(F.lit(1)).alias("n_occ"))

@@ -221,10 +221,30 @@ def dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_SAMPLE_MOD = 4
+
+
+def dedup_substring_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication profile under content-defined gram sampling
+    (gram_hash % SUBSTR_SAMPLE_MOD == 0 — the operators/substrings.py
+    100-TB lever): every post-hash stage carries ~1/4 of the rows. The
+    sampling predicate is a pure function of the portable hash, so the
+    estimate is deterministic and the oracle replays it exactly — the
+    approximation itself sits under the value-hash gate."""
+    from icenetetl_spark.operators.substrings import duplication_profile
+
+    return duplication_profile(
+        load_table(spark, sf_dir, "documents"),
+        k=SUBSTR_K,
+        sample_mod=SUBSTR_SAMPLE_MOD,
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_profile": dedup_substring_profile,
+    "dedup_substring_sampled": dedup_substring_sampled,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_estimate": dedup_minhash_estimate,
@@ -509,8 +529,16 @@ ORACLES = {
 }
 
 
-_SUBSTR_SPANS_CTE = f"""
-    grams AS (
+def _substr_cte(sample_mod: int = 1) -> str:
+    """grams/dup/pos_dup/isl/spans CTE chain, optionally with the
+    content-defined sampling predicate (gram_hash % sample_mod = 0) the
+    sampled profile query applies — generated from the same constants the
+    Spark operator uses so the two can never drift."""
+    sample = (
+        f" AND gram_hash % {sample_mod} = 0" if sample_mod > 1 else ""
+    )
+    return f"""
+    grams0 AS (
         SELECT doc_id, i AS pos,
                {portable_hash64_sql(f"substr(text, i, {SUBSTR_K})", 48)}
                    AS gram_hash
@@ -519,6 +547,7 @@ _SUBSTR_SPANS_CTE = f"""
                  AS t(i)
         WHERE length(text) >= {SUBSTR_K}
     ),
+    grams AS (SELECT * FROM grams0 WHERE true{sample}),
     dup AS (
         SELECT gram_hash FROM grams GROUP BY gram_hash HAVING COUNT(*) > 1
     ),
@@ -538,13 +567,15 @@ _SUBSTR_SPANS_CTE = f"""
     )
 """
 
+
+_SUBSTR_SPANS_CTE = _substr_cte()
+
 ORACLES["dedup_substring_spans"] = f"""
     WITH {_SUBSTR_SPANS_CTE}
     SELECT doc_id, span_start, span_end, span_len FROM spans
 """
 
-ORACLES["dedup_substring_profile"] = f"""
-    WITH {_SUBSTR_SPANS_CTE},
+_SUBSTR_PROFILE_BODY = f"""
     lagged AS (
         SELECT doc_id, pos,
                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
@@ -572,6 +603,16 @@ ORACLES["dedup_substring_profile"] = f"""
            COALESCE(dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
            CAST(COALESCE(dup_chars, 0) AS DOUBLE) / length(d.text) AS dup_frac
     FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+ORACLES["dedup_substring_profile"] = f"""
+    WITH {_SUBSTR_SPANS_CTE},
+    {_SUBSTR_PROFILE_BODY}
+"""
+
+ORACLES["dedup_substring_sampled"] = f"""
+    WITH {_substr_cte(SUBSTR_SAMPLE_MOD)},
+    {_SUBSTR_PROFILE_BODY}
 """
 
 

@@ -98,3 +98,66 @@ def test_short_documents_are_skipped_not_crashed(spark):
     assert prof[1]["n_regions"] == 0 and prof[1]["dup_frac"] == 0.0
     # the two identical docs are fully covered by one span each
     assert prof[2]["dup_frac"] == 1.0 and prof[3]["dup_frac"] == 1.0
+
+
+def test_sampled_profile_is_conservative_with_bounded_recall(spark):
+    """Content-defined sampling (sample_mod=4): per-document coverage
+    never exceeds the exact profile (sampled dup positions are a subset
+    and occurrence counts are exact), and corpus-wide character recall
+    stays high — regions are missed only when none of their grams hash
+    to 0 mod 4, probability ~(3/4)^(L-k+1)."""
+    from icenetetl_spark.operators.substrings import duplication_profile
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        r["doc_id"]: r["dup_chars"]
+        for r in duplication_profile(docs, k=20).collect()
+    }
+    sampled = {
+        r["doc_id"]: r["dup_chars"]
+        for r in duplication_profile(docs, k=20, sample_mod=4).collect()
+    }
+    assert set(sampled) == set(exact)
+    for d, chars in sampled.items():
+        assert chars <= exact[d], (d, chars, exact[d])
+    tot_exact = sum(exact.values())
+    recall = sum(sampled.values()) / tot_exact
+    # The sf0.001 corpus's duplicated regions are mostly SHORT (L near
+    # k=20), where a region carries few grams (detection ~1/s) and the
+    # <=s-1-per-side boundary shrinkage is a large fraction of the
+    # region, so natural-corpus recall lands around 0.6 (measured
+    # 0.597). Pin the floor; the long-region guarantee the lever
+    # actually targets at scale is pinned below.
+    assert recall >= 0.55, recall
+
+
+def test_sampled_profile_detects_long_repeats_reliably(spark):
+    """The lever's real guarantee: a repeated region of length L >> k is
+    missed only with probability ~(1-1/s)^(L-k+1). Inject 60-char
+    repeats (miss prob (3/4)^41 ~ 7e-6) into otherwise-random docs and
+    require every one detected with near-full coverage (per-side\n    boundary loss is Geometric(1/s), expected s-1 chars)."""
+    import random
+
+    from icenetetl_spark.operators.substrings import duplication_profile
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    repeat = "".join(rng.choice(alpha) for _ in range(60))
+    rows = []
+    for i in range(40):
+        noise = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+        if i % 2 == 0:
+            rows.append((i, noise(80) + repeat + noise(80)))
+        else:
+            rows.append((i, noise(200)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dup_chars"]
+        for r in duplication_profile(docs, k=20, sample_mod=4).collect()
+    }
+    covs = [got[i] for i in range(0, 40, 2)]
+    # every repeat detected; per-side boundary loss is Geometric(1/s)
+    # (expected s-1=3, occasionally more), so bound each region loosely
+    # and the mean tightly
+    assert all(c >= 40 for c in covs), covs
+    assert sum(covs) / len(covs) >= 52, sum(covs) / len(covs)

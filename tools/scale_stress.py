@@ -73,6 +73,10 @@ STRESS_QUERIES = [
     "dedup_substring_spans",
     "knn_int8_topk",
     "bpe_encode_tokens",  # includes the 12-merge training loop
+    # round-6: the content-defined sampling lever (vs the exact row above)
+    # and encoding under a pinned merge table (no training loop)
+    "dedup_substring_sampled",
+    "bpe_encode_fixed",
 ]
 
 
