@@ -63,6 +63,33 @@ class ParquetCatalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
+    def read_pruned(
+        self, name: str, branches: Sequence[Sequence[tuple[str, str, object]]]
+    ) -> DataFrame:
+        """Read restricted to an OR of predicate conjunctions (each branch a
+        list of ``(col, op, value)``): one scan with the literal disjunction
+        pushed into it — Catalyst turns equality branches on layout columns
+        into hive PartitionFilters, so only matching partition directories
+        are listed. Shared seam with TxnParquetCatalog.read_pruned (which
+        prunes at the manifest level instead), letting plan code like the
+        latest-snapshot recompute stay catalog-agnostic."""
+        from pyspark.sql import functions as F
+
+        ops = {
+            "==": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        disj = F.lit(False)
+        for branch in branches:
+            conj = F.lit(True)
+            for col, op, value in branch:
+                conj = conj & ops[op](F.col(col), F.lit(value))
+            disj = disj | conj
+        return self.read(name).filter(disj)
+
     def _writer(self, df: DataFrame, name: str):
         w = df.write
         parts = PARTITIONING.get(name)

@@ -89,7 +89,13 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         )
     timer = StageTimer()
     timer.start("ingest")
-    pipeline = IceNetPipeline(ParquetCatalog(spark, args.warehouse))
+    if args.txn:
+        from icenetetl_spark.plans.icenet import make_txn_catalog
+
+        catalog = make_txn_catalog(spark, args.warehouse)
+    else:
+        catalog = ParquetCatalog(spark, args.warehouse)
+    pipeline = IceNetPipeline(catalog)
     pipeline.run(raw, attrs, incremental_meta=args.incremental_meta)
     n = pipeline.catalog.read("forecasts").count()
     timer.finish("ingest", n_records=n)
@@ -143,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--hemisphere", choices=["north", "south"], default=None)
     pi.add_argument("--keywords", default="")
     pi.add_argument("--incremental-meta", action="store_true")
+    pi.add_argument(
+        "--txn",
+        action="store_true",
+        help="write through the manifest-logged TxnParquetCatalog "
+        "(concurrent-writer-safe commits) instead of the plain "
+        "directory-swap catalog",
+    )
     pi.set_defaults(fn=cmd_ingest)
 
     pq = sub.add_parser("query", help="run a named query")

@@ -29,7 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from icenetetl_spark.catalog import ParquetCatalog
+from icenetetl_spark.catalog import PARTITIONING, ParquetCatalog
 from icenetetl_spark.functions.geo import build_cell_grid
 from icenetetl_spark.functions.reproject import ring_4326_wkt
 from icenetetl_spark.operators.relational import latest_snapshot, rename_normalize
@@ -122,6 +122,23 @@ def surrogate_cell_id() -> F.Column:
 
 
 class IceNetPipeline:
+    """Runs against either catalog implementation (duck-typed seam):
+
+    - :class:`icenetetl_spark.catalog.ParquetCatalog` — single-writer,
+      hive-partitioned layout, atomic directory swaps.
+    - :class:`icenetetl_spark.txn.TxnParquetCatalog` (via
+      :func:`make_txn_catalog`) — manifest log + CAS commits; safe for
+      CONCURRENT ingests: append_missing/upsert serialize per table, so
+      ``forecasts``/``cells``/``forecast_meta`` never lose rows under
+      racing writers (reference semantics: row-atomic ON CONFLICT,
+      processor.py:249-256). Cross-TABLE consistency matches the
+      reference's function model, which also runs each statement
+      non-transactionally: the ``forecast_latest``/``forecast_meta``
+      derived tables are recomputed deterministically from ``forecasts``,
+      so a racing refresh can briefly lag the fact table and the LAST
+      refresh converges (pinned by test_txn_pipeline_concurrent_ingest).
+    """
+
     def __init__(self, catalog: ParquetCatalog):
         self.catalog = catalog
 
@@ -213,13 +230,20 @@ class IceNetPipeline:
         per_hemi_max = forecasts.groupBy("hemisphere").agg(
             F.max("date_forecast_generated").alias("__latest")
         )
-        latest_filter = F.lit(False)
-        for r in per_hemi_max.collect():
-            latest_filter = latest_filter | (
-                (F.col("hemisphere") == r["hemisphere"])
-                & (F.col("date_forecast_generated") == F.lit(r["__latest"]))
-            )
-        return forecasts.filter(latest_filter)
+        # read_pruned is the catalog seam: ParquetCatalog pushes the
+        # disjunction into one scan (hive PartitionFilters); the txn
+        # catalog prunes write sets at the MANIFEST level per branch —
+        # either way the recompute reads only the max-date data.
+        branches = [
+            [
+                ("hemisphere", "==", r["hemisphere"]),
+                ("date_forecast_generated", "==", r["__latest"]),
+            ]
+            for r in per_hemi_max.collect()
+        ]
+        if not branches:
+            return forecasts.filter(F.lit(False))
+        return self.catalog.read_pruned("forecasts", branches)
 
     def latest_frame(self) -> DataFrame:
         """The matview SELECT as a DataFrame (separated from the write so
@@ -308,6 +332,19 @@ class IceNetPipeline:
             self.update_meta(touched)
         else:
             self.update_meta()
+
+
+def make_txn_catalog(spark, warehouse: str):
+    """TxnParquetCatalog wired for the ingest pipeline: every write set's
+    manifest entry carries min/max statistics on the tables' layout keys
+    (the same columns ParquetCatalog hive-partitions by), so
+    ``read_pruned`` skips non-matching write sets from the manifest alone
+    — the txn twin of hive partition pruning."""
+    from icenetetl_spark.txn import TxnParquetCatalog
+
+    stats = dict(PARTITIONING)
+    stats["forecast_meta"] = ["hemisphere", "date_forecast_generated"]
+    return TxnParquetCatalog(spark, warehouse, default_stats=stats)
 
 
 def latest_view_plan(

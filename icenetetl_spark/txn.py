@@ -108,12 +108,28 @@ class TxnParquetCatalog:
     """
 
     def __init__(
-        self, spark: SparkSession, warehouse: str, max_retries: int = 20
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        max_retries: int = 20,
+        default_stats: dict[str, Sequence[str]] | None = None,
     ):
+        """``default_stats`` maps table name -> columns whose min/max go
+        into every write set's manifest entry unless the call site passes
+        its own ``stats_cols`` — the seam that lets generic callers (the
+        ingest pipeline writes through the ParquetCatalog-shaped API,
+        which has no stats parameter) still get manifest-level data
+        skipping on their layout keys."""
         self.spark = spark
         self.warehouse = warehouse
         self.max_retries = max_retries
+        self.default_stats = {
+            k: list(v) for k, v in (default_stats or {}).items()
+        }
         os.makedirs(warehouse, exist_ok=True)
+
+    def _stats_for(self, name: str, stats_cols: Sequence[str]) -> Sequence[str]:
+        return stats_cols or self.default_stats.get(name, ())
 
     # -- layout -----------------------------------------------------------
 
@@ -235,6 +251,21 @@ class TxnParquetCatalog:
             df = df.filter(_PRED_OPS[op](F.col(col), F.lit(value)))
         return df
 
+    def read_pruned(
+        self, name: str, branches: Sequence[Sequence[tuple[str, str, object]]]
+    ) -> DataFrame:
+        """Read restricted to an OR of predicate conjunctions: each branch
+        runs through ``read(..., where=branch)`` (manifest-level write-set
+        skipping per branch) and the branches union. Callers must pass
+        DISJOINT branches (e.g. per-hemisphere conjunctions) — the union
+        would duplicate rows matching two branches. The ParquetCatalog twin
+        pushes the same disjunction into one hive-partitioned scan."""
+        dfs = [self.read(name, where=list(b)) for b in branches]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     @staticmethod
     def _prune_dirs(
         manifest: dict, where: Sequence[tuple[str, str, object]]
@@ -329,7 +360,7 @@ class TxnParquetCatalog:
         """CREATE OR REPLACE: new snapshot referencing only this write set.
         Blind write — no read-set to validate, so a conflict just means
         re-CAS at the next version (data files are already durable)."""
-        ws, _, st = self._write_set(name, df, stats_cols)
+        ws, _, st = self._write_set(name, df, self._stats_for(name, stats_cols))
         for _ in range(self.max_retries):
             try:
                 self._try_commit(
@@ -358,7 +389,7 @@ class TxnParquetCatalog:
         for _ in range(self.max_retries):
             base = self.current_version(name)
             if base < 0:
-                ws, n, st = self._write_set(name, df, stats_cols)
+                ws, n, st = self._write_set(name, df, self._stats_for(name, stats_cols))
                 try:
                     self._try_commit(name, -1, [ws], "create", {ws: st})
                     return n
@@ -366,7 +397,7 @@ class TxnParquetCatalog:
                     self._drop_write_set(name, ws)
                     continue
             fresh = insert_missing(df, self.read(name, base), keys)
-            ws, n, st = self._write_set(name, fresh, stats_cols)
+            ws, n, st = self._write_set(name, fresh, self._stats_for(name, stats_cols))
             if n == 0:
                 self._drop_write_set(name, ws)
                 # nothing to add relative to `base`; a later version can
@@ -403,7 +434,7 @@ class TxnParquetCatalog:
         for _ in range(self.max_retries):
             base = self.current_version(name)
             if base < 0:
-                ws, _, st = self._write_set(name, df, stats_cols)
+                ws, _, st = self._write_set(name, df, self._stats_for(name, stats_cols))
                 try:
                     self._try_commit(name, -1, [ws], "create", {ws: st})
                     return
@@ -411,7 +442,7 @@ class TxnParquetCatalog:
                     self._drop_write_set(name, ws)
                     continue
             merged = upsert_plan(df, self.read(name, base), keys)
-            ws, _, st = self._write_set(name, merged, stats_cols)
+            ws, _, st = self._write_set(name, merged, self._stats_for(name, stats_cols))
             try:
                 self._try_commit(name, base, [ws], "upsert", {ws: st})
                 return

@@ -225,3 +225,94 @@ def test_incremental_meta_equivalent(spark, tmp_path):
     assert table_fingerprint(cats["full"].read("forecast_meta")) == table_fingerprint(
         cats["inc"].read("forecast_meta")
     )
+
+
+def test_txn_pipeline_e2e_matches_plain_catalog(spark, tmp_path):
+    """The five-stage pipeline over the manifest-logged TxnParquetCatalog
+    (make_txn_catalog) produces value-identical tables to the plain
+    directory-swap catalog — the txn layer is a drop-in sink."""
+    from icenetetl_spark.plans.icenet import make_txn_catalog
+
+    files = [
+        make_raw_file(spark, "2024-03-01", "north", grid_side=6, seed=1),
+        make_raw_file(spark, "2024-03-08", "north", grid_side=6, seed=2),
+        make_raw_file(spark, "2024-03-05", "south", grid_side=6, seed=3),
+    ]
+    plain = ParquetCatalog(spark, str(tmp_path / "plain"))
+    txn = make_txn_catalog(spark, str(tmp_path / "txn"))
+    for cat in (plain, txn):
+        pipe = IceNetPipeline(cat)
+        for f, a in files:
+            pipe.run(f, a)
+    tables = ["cells", "forecasts", "forecast_latest", "forecast_meta"]
+    for t in tables:
+        assert table_fingerprint(plain.read(t)) == table_fingerprint(
+            txn.read(t)
+        ), t
+    # replay through the txn catalog is also a fixed point
+    pipe = IceNetPipeline(txn)
+    before = {t: table_fingerprint(txn.read(t)) for t in tables}
+    for f, a in files:
+        pipe.run(f, a)
+    after = {t: table_fingerprint(txn.read(t)) for t in tables}
+    assert before == after
+    # manifest-level skipping is wired: forecasts write sets carry stats
+    # on the layout keys, and the latest recompute's read prunes on them
+    m = txn._load_manifest("forecasts", txn.current_version("forecasts"))
+    assert all(
+        set(st) >= {"hemisphere", "date_forecast_generated"}
+        for st in m["stats"].values()
+    )
+
+
+def test_txn_pipeline_concurrent_ingest_loses_no_rows(spark, tmp_path):
+    """Two writers ingest DIFFERENT files plus one SHARED file into the
+    same txn warehouse concurrently (reference semantics: row-atomic ON
+    CONFLICT DO NOTHING, processor.py:249-256): after both finish, the
+    fact tables hold exactly the union — no lost rows, no duplicate keys,
+    the shared file landed once — and a final derived-table refresh
+    converges to the serial result."""
+    import threading
+
+    from icenetetl_spark.plans.icenet import make_txn_catalog
+
+    f_north, a_north = make_raw_file(spark, "2024-03-01", "north", grid_side=6, seed=1)
+    f_south, a_south = make_raw_file(spark, "2024-03-05", "south", grid_side=6, seed=3)
+    f_shared, a_shared = make_raw_file(spark, "2024-03-08", "north", grid_side=6, seed=2)
+
+    wh = str(tmp_path / "txn-conc")
+    errors = []
+
+    def writer(own_file, own_attrs):
+        try:
+            pipe = IceNetPipeline(make_txn_catalog(spark, wh))
+            pipe.run(own_file, own_attrs)
+            pipe.run(f_shared, a_shared)
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(f_north, a_north))
+    t2 = threading.Thread(target=writer, args=(f_south, a_south))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+
+    cat = make_txn_catalog(spark, wh)
+    pipe = IceNetPipeline(cat)
+    # derived tables are eventually consistent across tables; one final
+    # refresh must converge them (see IceNetPipeline docstring)
+    pipe.update_latest()
+    pipe.update_meta()
+
+    # serial reference run
+    ref = ParquetCatalog(spark, str(tmp_path / "serial"))
+    rpipe = IceNetPipeline(ref)
+    for f, a in [(f_north, a_north), (f_south, a_south), (f_shared, a_shared)]:
+        rpipe.run(f, a)
+
+    for t in ["cells", "forecasts", "forecast_latest", "forecast_meta"]:
+        assert table_fingerprint(cat.read(t)) == table_fingerprint(
+            ref.read(t)
+        ), t
+    key = ["hemisphere", "date_forecast_generated", "date_forecast_for", "cell_id"]
+    forecasts = cat.read("forecasts")
+    assert forecasts.select(*key).distinct().count() == forecasts.count()
