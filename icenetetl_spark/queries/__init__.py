@@ -14,6 +14,7 @@ from icenetetl_spark.queries import (
     analytics,
     approx,
     core,
+    database,
     dedup,
     events,
     extended,
@@ -31,6 +32,7 @@ from icenetetl_spark.queries import (
 _MODULES = [
     core, headline, extended, warehouse, supply, analytics, approx, events,
     dedup, text, tokenizer, similarity, quantized, multimodal, icenet,
+    database,
 ]
 
 
