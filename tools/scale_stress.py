@@ -240,12 +240,20 @@ def main() -> int:
     ]
     known_over = {
         "dedup_substring_spans": (
-            "its work is per-CHARACTER md5 hashing (the oracle-portable "
-            "impl) and the 10x perturbed corpus is also ~10x denser in "
-            "duplicated positions, so the islands stage processes more "
-            "rows per doc on top of 10x docs; production levers are the "
-            "xxhash64 swap (1.2-1.5x measured below) and stride > 1 "
-            "sampling in kgram_positions"
+            "linear in its TRUE input, which grows faster than the "
+            "corpus: duplicated k-gram positions are 464k at 1x vs 8.59M "
+            "at 10x (18.5x — the perturbed copies repeat each other's "
+            "unperturbed word runs; measured in the density section "
+            "below), so >10x wall on a 10x corpus is the data, not the "
+            "plan — per-dup-position cost falls; production levers: "
+            "content-defined sampling (next row) and the xxhash64 swap"
+        ),
+        "dedup_substring_sampled": (
+            "the sampling lever (sample_mod=4, operators/substrings.py) "
+            "cuts absolute wall ~2x vs the exact row above at 10x by "
+            "shrinking every post-hash stage 4x; the RATIO stays "
+            "density-bound because duplicated content itself grew 18.5x "
+            "(density section below)"
         ),
     }
     if over:
