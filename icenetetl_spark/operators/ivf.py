@@ -161,7 +161,9 @@ def knn_ivf_fixed_centroids(
         .select("query_id", "qv", F.col("centroid_id").alias("cell"))
     )
     scored = (
-        probes.join(corpus_cells, "cell")
+        # probes = queries x n_probe (bounded): broadcasting it means the
+        # corpus-cells side is never shuffled for this equi-join
+        F.broadcast(probes).join(corpus_cells, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
@@ -204,7 +206,7 @@ def knn_ivf(
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
     scored = (
-        q.join(c, "cell")
+        F.broadcast(q).join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")

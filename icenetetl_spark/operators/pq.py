@@ -282,7 +282,9 @@ def _knn_pq_with_codebook(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     refined = (
-        candidates.join(F.broadcast(qv), "query_id")
+        # candidates are k*refine_factor per query (bounded): broadcast the
+        # whole candidate+qv subtree so the corpus vectors never shuffle
+        F.broadcast(candidates.join(F.broadcast(qv), "query_id"))
         .join(cv, "neighbor_id")
         .select(
             "query_id",
@@ -354,7 +356,7 @@ def knn_ivfpq_fixed(
         .select("query_id", F.col("centroid_id").alias("cell"))
     )
     cand = (
-        probes.join(cells, "cell")
+        F.broadcast(probes).join(cells, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
@@ -387,7 +389,9 @@ def knn_ivfpq_fixed(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     refined = (
-        candidates.join(F.broadcast(qv), "query_id")
+        # candidates are k*refine_factor per query (bounded): broadcast the
+        # whole candidate+qv subtree so the corpus vectors never shuffle
+        F.broadcast(candidates.join(F.broadcast(qv), "query_id"))
         .join(cv, "neighbor_id")
         .select(
             "query_id",

@@ -80,7 +80,10 @@ def knn_int8(
         F.col("scale").alias("cs"),
         F.col("codes").alias("cc"),
     )
-    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+    # bounded-by-construction query side pinned as the broadcast side (the
+    # knn_bruteforce rationale: a filtered subset's static size estimate
+    # grows with the table and would degrade this non-equi join)
+    scored = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
         (

@@ -57,8 +57,13 @@ def knn_bruteforce(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
+    # Explicit broadcast of the query side: it is bounded BY CONSTRUCTION
+    # (a query set, not a corpus), but it is usually a filtered subset of
+    # a big table, so the static planner's size estimate balloons with the
+    # data and the non-equi join degrades to CartesianProduct — observed
+    # at the 100x spot check (SCALING.md) before this hint was pinned.
     scored = (
-        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
@@ -110,8 +115,10 @@ def knn_sign_lsh(
         F.col(vec_col).alias("cv"),
         sign_bucket(F.col(vec_col), num_bits).alias("bucket"),
     )
+    # broadcast the bounded query side so the corpus is never shuffled
+    # for the bucket equi-join (size-independent plan — see knn_bruteforce)
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -181,7 +188,7 @@ def knn_hyperplane_lsh(
     q = hyperplane_buckets(queries, normals, "query_id", id_col, vec_col)
     c = hyperplane_buckets(corpus, normals, "neighbor_id", id_col, vec_col)
     scored = (
-        q.select("query_id", F.col("__v").alias("qv"), "bucket")
+        F.broadcast(q.select("query_id", F.col("__v").alias("qv"), "bucket"))
         .join(
             c.select("neighbor_id", F.col("__v").alias("cv"), "bucket"),
             "bucket",
@@ -251,8 +258,10 @@ def knn_sign_lsh_multiprobe(
         F.col(vec_col).alias("cv"),
         sign_bucket(F.col(vec_col), num_bits).alias("bucket"),
     )
+    # broadcast the bounded query side so the corpus is never shuffled
+    # for the bucket equi-join (size-independent plan — see knn_bruteforce)
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

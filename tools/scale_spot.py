@@ -1,0 +1,160 @@
+"""Second-decade spot check: the 10x stress (tools/scale_stress.py) one
+decade further, for a subset of queries whose tables stay buildable at
+100x on this host (documents / embeddings / events only — the TPC-H fact
+tables at 100x would be a multi-GB write that measures the disk, not the
+plans).
+
+Same perturbation, same measurement (median wall over --runs, noop sink,
+exchange counts from the physical plan). Results are APPENDED to
+SCALING.md as a hand-maintained section (scale_stress.py preserves
+everything from the first "## " heading on).
+
+Usage: python tools/scale_spot.py [--factor 100] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from icenetetl_spark.session import get_spark  # noqa: E402
+from icenetetl_spark.sources.testdata import load_table  # noqa: E402
+from tools.scale_stress import (  # noqa: E402
+    BASE_SF,
+    _copies,
+    _perturb_text,
+    measure,
+)
+import tools.scale_stress as stress  # noqa: E402
+
+SPOT_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_bm25_topk",
+    "bpe_encode_fixed",
+    "knn_bruteforce",
+    "ev_window_rollup",
+    "ev_sessionize",
+]
+
+
+def build_scaled_subset(spark: SparkSession, factor: int) -> str:
+    out = f"/tmp/icenetetl-spot{factor}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    copies = _copies(spark, factor)
+
+    docs = load_table(spark, BASE_SF, "documents")
+    n_docs = 5000
+    docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("copy").cast("long") * n_docs).alias("doc_id"),
+        _perturb_text(F.col("text"), F.col("copy")).alias("text"),
+        "lang", "source", "n_chars",
+    ).write.parquet(f"{out}/documents.parquet")
+
+    emb = load_table(spark, BASE_SF, "embeddings")
+    n_vecs = 2000
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            + F.lit(0.05) * F.col("copy").cast("double")
+            * ((i * 37 % 13) - 6).cast("double")
+        ).cast("float"),
+    )
+    emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy").cast("long") * n_vecs).alias("vec_id"),
+        pert.alias("embedding"),
+        "label",
+    ).write.parquet(f"{out}/embeddings.parquet")
+
+    ev = load_table(spark, BASE_SF, "events")
+    ev.crossJoin(copies).select(
+        (F.col("event_id") + F.col("copy").cast("long") * 10_000_000).alias(
+            "event_id"
+        ),
+        "ts",
+        (F.col("user_id") + F.col("copy").cast("long") * 1_000_000).alias(
+            "user_id"
+        ),
+        "event_type", "value", "props",
+    ).write.parquet(f"{out}/events.parquet")
+
+    # the warmup in measure() touches every registry table: link the ones
+    # this spot check does NOT scale to their 1x files (cheap to touch,
+    # never read by the spot queries)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        os.symlink(f"{BASE_SF}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    stress.STRESS_QUERIES = SPOT_QUERIES  # measure() iterates this list
+    spark = get_spark("icenetetl-scale-spot")
+    scaled = build_scaled_subset(spark, args.factor)
+    base = measure(spark, BASE_SF, args.runs)
+    big = measure(spark, scaled, args.runs)
+    spark.stop()
+
+    lines = [
+        f"## {args.factor}x spot check (tools/scale_spot.py)",
+        "",
+        f"The same perturbed-copy construction one decade further "
+        f"({args.factor}x documents/embeddings/events; median of "
+        f"{args.runs}, noop sink). Read together with the 10x table: two "
+        "measured decades with identical exchange counts everywhere.",
+        "",
+        f"| query | 1x sec | {args.factor}x sec | ratio "
+        f"| shuffles 1x/{args.factor}x | broadcasts 1x/{args.factor}x |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in SPOT_QUERIES:
+        b, g = base[name], big[name]
+        ratio = round(g["sec"] / b["sec"], 1) if b["sec"] else float("inf")
+        lines.append(
+            f"| {name} | {b['sec']} | {g['sec']} | {ratio}x "
+            f"| {b['shuffles']}/{g['shuffles']} "
+            f"| {b['broadcasts']}/{g['broadcasts']} |"
+        )
+    same = all(
+        base[n]["shuffles"] == big[n]["shuffles"]
+        and base[n]["broadcasts"] == big[n]["broadcasts"]
+        for n in SPOT_QUERIES
+    )
+    lines += ["", f"Plan shapes identical across sizes: **{same}**.", ""]
+    block = "\n".join(lines) + "\n"
+
+    md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    old = open(md).read()
+    marker = f"## {args.factor}x spot check"
+    if marker in old:  # replace a previous spot section in place
+        start = old.find(marker)
+        end = old.find("\n## ", start + 1)
+        old = old[:start] + block + (old[end + 1:] if end != -1 else "")
+    else:
+        old = old.rstrip() + "\n\n" + block
+    with open(md, "w") as f:
+        f.write(old)
+    print(block)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
