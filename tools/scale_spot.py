@@ -115,8 +115,17 @@ def main() -> int:
         "",
         f"The same perturbed-copy construction one decade further "
         f"({args.factor}x documents/embeddings/events; median of "
-        f"{args.runs}, noop sink). Read together with the 10x table: two "
-        "measured decades with identical exchange counts everywhere.",
+        f"{args.runs}, noop sink). Every ratio stays at or under the "
+        "factor. One plan adapts by design: dedup_minhash_lsh's band "
+        "self-join is broadcast by the planner while the signature table "
+        "is tiny (1x) and becomes the designed hash-partitioned "
+        "shuffle join once it is corpus-sized — the opposite adaptation "
+        "(keeping a corpus-sized broadcast) would be the scale bug. "
+        "Query-side joins stay broadcast at every size because the "
+        "bounded side is pinned with an explicit hint (see the "
+        "knn_bruteforce note in operators/similarity.py; before the pin, "
+        "this spot check caught the non-equi join degrading to "
+        "CartesianProduct at 100x).",
         "",
         f"| query | 1x sec | {args.factor}x sec | ratio "
         f"| shuffles 1x/{args.factor}x | broadcasts 1x/{args.factor}x |",
