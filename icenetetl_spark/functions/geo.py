@@ -49,13 +49,17 @@ def build_cell_grid(centroids_x: DataFrame, centroids_y: DataFrame) -> DataFrame
     cross join of two tiny distinct-value frames.
 
     Scale note: both inputs are O(grid-side) rows (~432 each for EASE2), the
-    product is ~187k rows — Spark executes this as BroadcastNestedLoopJoin
-    with negligible cost; no shuffle.
+    product is ~187k rows — the y side is bounded by construction (distinct
+    axis values), so it is PINNED with an explicit F.broadcast: the plan is
+    BroadcastNestedLoopJoin by design, not by the planner's size estimate,
+    and cannot degrade to CartesianProduct when the estimate grows (the
+    centroids come from a filtered scan of a table that scales with data).
+    No shuffle either way.
     """
     sx = centroids_x.agg(grid_spacing_expr("centroid_x").alias("step_x"))
     sy = centroids_y.agg(grid_spacing_expr("centroid_y").alias("step_y"))
     grid = (
-        centroids_x.crossJoin(centroids_y)
+        centroids_x.crossJoin(F.broadcast(centroids_y))
         .crossJoin(F.broadcast(sx))
         .crossJoin(F.broadcast(sy))
     )
