@@ -49,6 +49,18 @@ def test_oracle_sql_is_nonempty_select():
         assert s.startswith(("SELECT", "WITH")), f"{name}: not a query"
 
 
+def test_bench_queries_are_registered():
+    """bench.py's headline list must stay a subset of the registry —
+    retiring a query from the registry without updating BENCH_QUERIES
+    would crash the driver's per-round bench run (the round-6 stub
+    retirement nearly did)."""
+    import bench
+
+    mod = _load_entry()
+    missing = set(bench.BENCH_QUERIES) - set(mod.queries())
+    assert not missing, f"bench queries not in registry: {missing}"
+
+
 def test_entry_importable_without_repo_on_path():
     saved = list(sys.path)
     try:
