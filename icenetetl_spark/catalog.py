@@ -75,18 +75,13 @@ class ParquetCatalog:
         latest-snapshot recompute stay catalog-agnostic."""
         from pyspark.sql import functions as F
 
-        ops = {
-            "==": lambda c, v: c == v,
-            "<": lambda c, v: c < v,
-            "<=": lambda c, v: c <= v,
-            ">": lambda c, v: c > v,
-            ">=": lambda c, v: c >= v,
-        }
+        from icenetetl_spark.operators.relational import PRED_OPS
+
         disj = F.lit(False)
         for branch in branches:
             conj = F.lit(True)
             for col, op, value in branch:
-                conj = conj & ops[op](F.col(col), F.lit(value))
+                conj = conj & PRED_OPS[op](F.col(col), F.lit(value))
             disj = disj | conj
         return self.read(name).filter(disj)
 

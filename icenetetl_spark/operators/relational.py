@@ -12,6 +12,18 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# The (col, op, value) predicate vocabulary shared by the two catalog
+# implementations (catalog.ParquetCatalog pushes it into a scan filter,
+# txn.TxnParquetCatalog prunes manifests with it) — one table so an
+# operator added for one side of the seam reaches the other.
+PRED_OPS = {
+    "==": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
 
 def rename_normalize(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
     """Conditionally rename columns that are present — old-format input

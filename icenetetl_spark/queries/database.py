@@ -36,26 +36,13 @@ def _make_rows() -> list[tuple]:
     return rows
 
 
-def _fingerprint() -> str:
-    import hashlib
-    import inspect
-
-    src = inspect.getsource(_make_rows) + f"|{N_ROWS}"
-    return hashlib.md5(src.encode()).hexdigest()[:8]
-
-
-_BASE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".fixtures",
-)
-DB_PATH = os.path.join(_BASE, f"cellsdb_{_fingerprint()}.sqlite")
-_TWIN_PATH = os.path.join(_BASE, f"cellsdb_{_fingerprint()}.parquet")
-
-
 def ensure_db_fixture() -> tuple[str, str]:
     """Materialize the sqlite database and its parquet twin (atomic
     tmp+rename per file; content-addressed paths so a generator edit can
-    never silently reuse stale fixtures)."""
+    never silently reuse stale fixtures). DB_PATH/_TWIN_PATH are module
+    globals resolved at call time — they are derived from a fingerprint
+    that hashes THIS function's source, so they must be assigned after it
+    is defined."""
     import sqlite3
 
     import pandas as pd
@@ -85,6 +72,30 @@ def ensure_db_fixture() -> tuple[str, str]:
         pdf.to_parquet(tmp, engine="pyarrow", index=False)
         os.replace(tmp, _TWIN_PATH)
     return DB_PATH, _TWIN_PATH
+
+
+def _fingerprint() -> str:
+    """Content-addresses the fixture paths. Hashes the WRITER too
+    (ensure_db_fixture) — an edit to the CREATE TABLE schema or the twin's
+    dtype handling must rotate the paths, or the exists-checks would
+    silently reuse stale files built by the old writer."""
+    import hashlib
+    import inspect
+
+    src = (
+        inspect.getsource(_make_rows)
+        + inspect.getsource(ensure_db_fixture)
+        + f"|{N_ROWS}"
+    )
+    return hashlib.md5(src.encode()).hexdigest()[:8]
+
+
+_BASE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".fixtures",
+)
+DB_PATH = os.path.join(_BASE, f"cellsdb_{_fingerprint()}.sqlite")
+_TWIN_PATH = os.path.join(_BASE, f"cellsdb_{_fingerprint()}.parquet")
 
 
 def db_scan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,9 +150,12 @@ ORACLES = {
 }
 
 # Best-effort at import so the oracle's twin exists even if the driver runs
-# the SQL before the Spark query (the icenet fixture pattern; OSError kept
-# non-fatal for read-only checkouts — the query call re-attempts and raises).
+# the SQL before the Spark query (the icenet fixture pattern). Kept
+# non-fatal for read-only/degraded checkouts: sqlite raises
+# sqlite3.OperationalError (NOT an OSError) on an unwritable database file,
+# and a failure here must not take down the whole query registry — the
+# query call re-attempts and raises with the real error there.
 try:
     ensure_db_fixture()
-except OSError:
+except Exception:
     pass

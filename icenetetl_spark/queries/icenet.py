@@ -233,11 +233,23 @@ def icenet_zarr_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Store creation is ATOMIC (make_zarr_store builds in a tmp dir and
     os.replace()s it in), so the root's existence IS the completeness
     marker — a .zgroup-keyed check on an in-place write could bless a
-    half-written store forever (round-5 hazard (a))."""
+    half-written store forever (round-5 hazard (a)). One legacy case the
+    root check alone cannot see: a partial dir left AT THIS PATH by the
+    old pre-atomic writer (the fingerprint hashes the store CONTENT
+    generators, not make_zarr_store itself, so the path did not rotate
+    with the atomicity fix). A root that exists without its .zgroup is
+    therefore provably such a remnant — the atomic writer can never
+    produce it — and is deleted and rebuilt rather than trusted."""
     from icenetetl_spark.sources.fixtures import make_zarr_store
     from icenetetl_spark.sources.zarrstore import melt_zarr_stores
 
     _ensure_fixture()  # the oracle's parquet twin
+    if os.path.isdir(_ZARR_STORE_PATH) and not os.path.exists(
+        os.path.join(_ZARR_STORE_PATH, ".zgroup")
+    ):
+        import shutil
+
+        shutil.rmtree(_ZARR_STORE_PATH)
     if not os.path.isdir(_ZARR_STORE_PATH):
         make_zarr_store(
             _ZARR_STORE_PATH,

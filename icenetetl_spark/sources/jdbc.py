@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def read_jdbc_table(
@@ -97,10 +97,14 @@ def read_dbapi_table(
     types). ``columns``/``where`` are pushed into the generated SQL, so
     projection and filtering happen IN the database.
 
-    Plan shape: one row per partition predicate, repartitioned so each
-    task owns exactly one range query, then mapInPandas streams that
-    range's rows through Arrow in chunks — the table itself never touches
-    the driver."""
+    Plan shape: one row per partition predicate with EXACTLY one row per
+    task — ``spark.range(n, numPartitions=n)`` slices [0, n) into n
+    contiguous one-element partitions by construction (a hash
+    ``repartition`` on the pid would birthday-collide several range
+    queries into one task and leave others empty, serializing those
+    scans), then mapInPandas streams each range's rows through Arrow in
+    chunks — the table itself never touches the driver, and there is no
+    exchange anywhere in the plan."""
     import pandas as pd
 
     preds = range_predicates(
@@ -122,7 +126,8 @@ def read_dbapi_table(
                 finally:
                     con.close()
 
-    spec = spark.createDataFrame(
-        pd.DataFrame({"pid": range(len(queries)), "q": queries})
-    ).repartition(len(queries), "pid")
+    qarr = F.array(*[F.lit(q) for q in queries])
+    spec = spark.range(0, len(queries), 1, len(queries)).select(
+        F.element_at(qarr, (F.col("id") + 1).cast("int")).alias("q")
+    )
     return spec.mapInPandas(read_partition, schema)

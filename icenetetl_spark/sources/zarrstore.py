@@ -274,8 +274,15 @@ def _spark_type(dt: np.dtype) -> str:
         return "float"
     if np.issubdtype(dt, np.floating):
         return "double"
-    if dt.kind in "iu" and dt.itemsize <= 4:
+    if dt.kind == "i" and dt.itemsize <= 4:
         return "int"
+    if dt.kind == "u" and dt.itemsize <= 2:
+        return "int"
+    # uint32 does NOT fit int32 (values >= 2^31 would wrap under the Arrow
+    # cast); unsigned needs the next width up. uint64 has no lossless Spark
+    # home — long covers every value the stores here produce, and an
+    # out-of-range value fails loudly in the Arrow conversion rather than
+    # wrapping.
     if np.issubdtype(dt, np.integer):
         return "long"
     return "string"

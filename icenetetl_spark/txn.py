@@ -49,13 +49,7 @@ import datetime as _dt  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
-_PRED_OPS = {
-    "==": lambda c, v: c == v,
-    "<": lambda c, v: c < v,
-    "<=": lambda c, v: c <= v,
-    ">": lambda c, v: c > v,
-    ">=": lambda c, v: c >= v,
-}
+from icenetetl_spark.operators.relational import PRED_OPS as _PRED_OPS  # noqa: E402
 
 
 def _json_stat(v):
@@ -259,7 +253,11 @@ class TxnParquetCatalog:
         skipping per branch) and the branches union. Callers must pass
         DISJOINT branches (e.g. per-hemisphere conjunctions) — the union
         would duplicate rows matching two branches. The ParquetCatalog twin
-        pushes the same disjunction into one hive-partitioned scan."""
+        pushes the same disjunction into one hive-partitioned scan; both
+        sides of the seam return an EMPTY frame for an empty disjunction
+        (OR of nothing is false)."""
+        if not branches:
+            return self.read(name).filter(F.lit(False))
         dfs = [self.read(name, where=list(b)) for b in branches]
         out = dfs[0]
         for d in dfs[1:]:

@@ -64,7 +64,10 @@ def test_dbapi_read_matches_database(spark, db):
         "SELECT COUNT(*), SUM(v) FROM t"
     ).fetchone()
     agg = got.agg(F.count(F.lit(1)), F.sum("v")).collect()[0]
-    assert agg[0] == direct[0] and agg[1] == pytest.approx(direct[1], rel=0)
+    # float SUM is order-sensitive in the last ulp and the distributed
+    # combine order differs from sqlite's sequential scan — ulp-scale
+    # tolerance, not exactness, is the correct contract here
+    assert agg[0] == direct[0] and agg[1] == pytest.approx(direct[1], rel=1e-12)
 
 
 def test_dbapi_pushdown_projection_and_where(spark, db):
@@ -85,6 +88,33 @@ def test_dbapi_pushdown_projection_and_where(spark, db):
         "SELECT COUNT(*) FROM t WHERE grp = 'g1'"
     ).fetchone()[0]
     assert got.count() == want
+
+
+def test_each_task_owns_exactly_one_range_query(spark, db):
+    """The parallelism claim itself: every task must carry exactly ONE
+    range query (spark.range slices, not a hash repartition — hashing 8
+    pids into 8 partitions birthday-collides several queries into one
+    task and leaves others empty, serializing those scans; and
+    getNumPartitions()==8 alone cannot see that)."""
+    got = read_dbapi_table(
+        spark,
+        functools.partial(sqlite3.connect, db),
+        "t",
+        "k long, grp string, v double",
+        partition_column="k",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=8,
+    )
+    per_task = sorted(
+        got.withColumn("part", F.spark_partition_id())
+        .groupBy("part")
+        .count()
+        .toPandas()["part"]
+    )
+    # every one of the 8 partitions produced rows => no task got 0 or 2+
+    # range queries (each range of this table is non-empty)
+    assert per_task == list(range(8))
 
 
 def test_single_partition_reads_everything(spark, db):

@@ -204,6 +204,25 @@ def test_stats_recorded_and_pruned_read(spark, tmp_path):
     assert miss.count() == 0 and set(miss.columns) == {"k", "v"}
 
 
+def test_read_pruned_empty_branches_matches_catalog_twin(spark, tmp_path):
+    """Both sides of the documented read_pruned seam must agree on the
+    degenerate input: an empty disjunction (OR of nothing) is false, so
+    both catalogs return an EMPTY frame with the table's schema — the txn
+    side used to IndexError on dfs[0] where the ParquetCatalog twin
+    filtered by lit(False)."""
+    from icenetetl_spark.catalog import ParquetCatalog
+
+    cat = _cat(spark, tmp_path)
+    cat.append_missing("t", _rows(spark, 0, 10, "a"), ["k"])
+    out = cat.read_pruned("t", [])
+    assert out.count() == 0 and set(out.columns) == {"k", "v"}
+
+    plain = ParquetCatalog(spark, str(tmp_path / "plainwh"))
+    plain.overwrite("t", _rows(spark, 0, 10, "a"))
+    out2 = plain.read_pruned("t", [])
+    assert out2.count() == 0 and set(out2.columns) == {"k", "v"}
+
+
 def test_pruning_is_only_an_optimization_without_stats(spark, tmp_path):
     cat = _cat(spark, tmp_path)
     cat.append_missing("t", _rows(spark, 0, 100, "a"), ["k"])  # no stats

@@ -311,6 +311,27 @@ def test_melt_preserves_storage_widths(spark, tmp_path):
     assert sorted(pdf["v32"].tolist()) == [0.25, 0.5]
 
 
+def test_melt_uint32_values_above_int32_survive(spark, tmp_path):
+    """uint32 does NOT fit Spark's int — a width-preserving map that sent
+    kind 'u' itemsize 4 to IntegerType would wrap 3e9 negative under the
+    Arrow cast. Unsigned needs the next width up (uint32 -> long,
+    uint16 -> int)."""
+    from icenetetl_spark.sources.zarrstore import _spark_type, melt_zarr_stores
+
+    assert _spark_type(np.dtype("<u4")) == "long"
+    assert _spark_type(np.dtype("<u2")) == "int"
+    assert _spark_type(np.dtype("<i4")) == "int"
+    big = np.array([3_000_000_000, 7], dtype=np.uint32)
+    variables = [
+        NC3Var("xi", ("xi",), {}, np.array([1, 2], dtype=np.int32)),
+        NC3Var("u", ("xi",), {}, big),
+    ]
+    p = str(tmp_path / "u32")
+    write_zarr(p, variables, {})
+    pdf = melt_zarr_stores(spark, [p]).toPandas()
+    assert sorted(pdf["u"].tolist()) == [7, 3_000_000_000]
+
+
 def test_make_zarr_store_is_atomic(tmp_path):
     """The store root only appears by os.replace() of a fully-written tmp
     dir: root existence == completeness (no window where a .zgroup-keyed
