@@ -117,6 +117,24 @@ def test_each_task_owns_exactly_one_range_query(spark, db):
     assert per_task == list(range(8))
 
 
+def test_scan_plan_has_no_exchange(spark, db):
+    """spark.range already lays one query per partition — a shuffle
+    between the spec and the mapInPandas scan would be pure overhead (and
+    at cluster scale, a needless barrier before the parallel reads)."""
+    got = read_dbapi_table(
+        spark,
+        functools.partial(sqlite3.connect, db),
+        "t",
+        "k long, grp string, v double",
+        partition_column="k",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=8,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_single_partition_reads_everything(spark, db):
     got = read_dbapi_table(
         spark,
