@@ -133,7 +133,67 @@ def db_scan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"db_scan_cells": db_scan_cells}
+def db_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core ingest loop (pull -> dedup-upsert -> read back,
+    processor.py:296-333) run INCREMENTALLY from the database: batch 1
+    pulls ids below a cutoff into a fresh txn catalog, a high-watermark
+    (one 1-row MAX aggregate — partition metadata, not data, on the
+    driver) steers batch 2 to ``id >= watermark`` — deliberately
+    RE-READING the boundary row so the anti-join dedup
+    (txn.append_missing, ON CONFLICT DO NOTHING semantics) is exercised
+    under the gate: a duplicated or lost boundary row changes n_rows and
+    every sum. The oracle is a straight rollup of the parquet twin — the
+    sync must reconstruct the full table exactly, whatever the batch
+    boundaries. area values are k*2.5 (exactly representable), so the
+    float SUM is order-independent and hash-stable. sf_dir unused (the
+    input is the database fixture)."""
+    import functools
+    import sqlite3
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.sources.jdbc import read_dbapi_table
+    from icenetetl_spark.txn import TxnParquetCatalog
+
+    db, _ = ensure_db_fixture()
+    schema = (
+        "id long, hemisphere string, centroid_x long, centroid_y long, "
+        "area double"
+    )
+    pull = functools.partial(
+        read_dbapi_table,
+        spark,
+        functools.partial(sqlite3.connect, db),
+        "cells",
+        schema,
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=N_ROWS,
+        num_partitions=4,
+    )
+    cat = TxnParquetCatalog(spark, tempfile.mkdtemp(prefix="dbsync-"))
+    cutoff = N_ROWS // 2
+    cat.append_missing(
+        "cells_sync", pull(where=f"id < {cutoff}"), ["id"], stats_cols=["id"]
+    )
+    wm = cat.read("cells_sync").agg(F.max("id")).collect()[0][0]
+    cat.append_missing(
+        "cells_sync", pull(where=f"id >= {wm}"), ["id"], stats_cols=["id"]
+    )
+    return cat.read("cells_sync").groupBy("hemisphere").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("area").alias("sum_area"),
+        F.sum("centroid_y").alias("sum_y"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+QUERIES = {
+    "db_scan_cells": db_scan_cells,
+    "db_incremental_sync": db_incremental_sync,
+}
 
 ORACLES = {
     "db_scan_cells": f"""
@@ -145,6 +205,16 @@ ORACLES = {
                CAST(MAX(id) AS BIGINT) AS max_id
         FROM read_parquet('{_TWIN_PATH}')
         WHERE centroid_x >= 0
+        GROUP BY hemisphere
+    """,
+    "db_incremental_sync": f"""
+        SELECT hemisphere,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(area) AS DOUBLE) AS sum_area,
+               CAST(SUM(centroid_y) AS BIGINT) AS sum_y,
+               CAST(MIN(id) AS BIGINT) AS min_id,
+               CAST(MAX(id) AS BIGINT) AS max_id
+        FROM read_parquet('{_TWIN_PATH}')
         GROUP BY hemisphere
     """,
 }
