@@ -90,6 +90,7 @@ def assign_cells_fixed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_id: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-1 fixed-centroid assignment: ``(out_id, v, cell, csim)``
     where ``csim`` is the cosine to the OWN cell's centroid (SemDeDup's
@@ -97,11 +98,18 @@ def assign_cells_fixed(
     over a (sim, -centroid_id, v) struct — the k scored copies of each row
     collapse map-side (see :func:`knn_ivf_fixed_centroids`'s plan note);
     ties go to the smaller centroid id."""
+    from icenetetl_spark.operators.similarity import cosine_unrolled
+
     cents = F.broadcast(centroids)
+    sim = (
+        cosine_unrolled(F.col(vec_col), F.col("cvec"), dim)
+        if dim
+        else cosine(F.col(vec_col), F.col("cvec"))
+    )
     scored = vectors.crossJoin(cents).select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias("v"),
-        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+        sim.alias("__sim"),
         (-F.col("centroid_id")).alias("__negcid"),
     )
     return (

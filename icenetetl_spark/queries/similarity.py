@@ -216,6 +216,15 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate pair. 0.3 yields ~200 within-cell pairs over the 500-vector
 # testdata (non-vacuous groups) while staying far from the all-pairs floor.
 SEM_T = 0.3
+# SemDeDup centroid density: every SEM_CELL_MOD-th vector is a centroid,
+# so the CELL COUNT scales with the corpus and per-cell occupancy stays
+# ~constant (~97). With a FIXED centroid set (the old IVF_CENTROID_IDS
+# list), occupancy grows with N and the within-cell pair stage goes
+# quadratic — measured 116x wall at 10x data. A deterministic density
+# predicate keeps the paper's O(n^2/k) bound an O(n) bound in practice
+# AND stays SQL-reproducible, unlike trained KMeans centroids.
+SEM_CELL_MOD = 97
+EMB_DIM = 64  # embeddings table width — enables the codegen-unrolled cosine
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,14 +232,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-by-nearest-centroid, within-cell cosine pairs, connected
     components, keep the least-prototypical member per group. The plan
     never materializes a cross-cell pair; the oracle mirrors every step
-    (assignment argmax, pair threshold, recursive closure, keep argmin)."""
+    (assignment argmax, pair threshold, recursive closure, keep argmin).
+    Centroids are the density-scaled subset vec_id % SEM_CELL_MOD == 0
+    (constant occupancy at any corpus size) and every cosine is the
+    codegen-unrolled twin (bit-identical values, no interpreted fold)."""
     from icenetetl_spark.operators.semdedup import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+    cents = emb.filter(F.col("vec_id") % SEM_CELL_MOD == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    return semdedup(emb, cents, threshold=SEM_T)
+    return semdedup(emb, cents, threshold=SEM_T, dim=EMB_DIM)
 
 
 def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,7 +711,7 @@ ORACLES = {
     "dedup_semantic": f"""
         WITH RECURSIVE cents AS (
             SELECT vec_id AS centroid_id, embedding AS cvec
-            FROM embeddings WHERE vec_id IN ({", ".join(map(str, IVF_CENTROID_IDS))})
+            FROM embeddings WHERE vec_id % {SEM_CELL_MOD} = 0
         ),
         scored AS (
             SELECT e.vec_id, e.embedding, ct.centroid_id,

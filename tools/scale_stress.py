@@ -77,6 +77,15 @@ STRESS_QUERIES = [
     # and encoding under a pinned merge table (no training loop)
     "dedup_substring_sampled",
     "bpe_encode_fixed",
+    # round-6 widening: the iterative / self-join families that were not
+    # yet under measured stress — fixed-point iteration (pagerank),
+    # star-contraction connected components, IVF-cell semantic dedup,
+    # banded perceptual-hash self-join, and sequence-path explode
+    "graph_pagerank",
+    "dedup_groups",
+    "dedup_semantic",
+    "mm_image_dhash_pairs",
+    "ev_top_paths",
 ]
 
 
@@ -101,6 +110,12 @@ def _perturb_text(text, copy):
 
 
 def build_scaled(spark: SparkSession, factor: int) -> str:
+    # 32-way layout on every scaled table: the 1x tables are single files,
+    # and a naive scaled write inherits 1-2 output files — which caps the
+    # SOURCE-side parallelism of Python decode stages (mapInPandas runs per
+    # input split) at 2 tasks and made mm_image_dhash_pairs look 100x+
+    # slower at 10x when 30 of 32 cores were idle. A real corpus at this
+    # size has many files; the measurement should too.
     out = SCALED_DIR.format(factor=factor)
     if os.path.isdir(out):
         shutil.rmtree(out)
@@ -113,7 +128,7 @@ def build_scaled(spark: SparkSession, factor: int) -> str:
         (F.col("doc_id") + F.col("copy").cast("long") * n_docs).alias("doc_id"),
         _perturb_text(F.col("text"), F.col("copy")).alias("text"),
         "lang", "source", "n_chars",
-    ).write.parquet(f"{out}/documents.parquet")
+    ).repartition(32).write.parquet(f"{out}/documents.parquet")
 
     emb = load_table(spark, BASE_SF, "embeddings")
     n_vecs = 2000
@@ -129,7 +144,7 @@ def build_scaled(spark: SparkSession, factor: int) -> str:
         (F.col("vec_id") + F.col("copy").cast("long") * n_vecs).alias("vec_id"),
         pert.alias("embedding"),
         "label",
-    ).write.parquet(f"{out}/embeddings.parquet")
+    ).repartition(32).write.parquet(f"{out}/embeddings.parquet")
 
     ev = load_table(spark, BASE_SF, "events")
     ev.crossJoin(copies).select(
@@ -137,20 +152,20 @@ def build_scaled(spark: SparkSession, factor: int) -> str:
         "ts",
         (F.col("user_id") + F.col("copy").cast("long") * 1_000_000).alias("user_id"),
         "event_type", "value", "props",
-    ).write.parquet(f"{out}/events.parquet")
+    ).repartition(32).write.parquet(f"{out}/events.parquet")
 
     li = load_table(spark, BASE_SF, "lineitem")
     okey = 1_000_000
     li.crossJoin(copies).select(
         (F.col("l_orderkey") + F.col("copy").cast("long") * okey).alias("l_orderkey"),
         *[c for c in li.columns if c != "l_orderkey"],
-    ).write.parquet(f"{out}/lineitem.parquet")
+    ).repartition(32).write.parquet(f"{out}/lineitem.parquet")
 
     orders = load_table(spark, BASE_SF, "orders")
     orders.crossJoin(copies).select(
         (F.col("o_orderkey") + F.col("copy").cast("long") * okey).alias("o_orderkey"),
         *[c for c in orders.columns if c != "o_orderkey"],
-    ).write.parquet(f"{out}/orders.parquet")
+    ).repartition(32).write.parquet(f"{out}/orders.parquet")
 
     for t in ("customer", "supplier", "part", "nation", "region"):
         load_table(spark, BASE_SF, t).write.parquet(f"{out}/{t}.parquet")
