@@ -65,8 +65,17 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     teleport = (1.0 - damping) / n
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # DISK_ONLY for the one-time edge checkpoint: it is the corpus-sized
+    # side (rank vectors are node-sized), it is read sequentially once per
+    # iteration, and the default deserialized-heap level OOMed a 16g
+    # driver on a dense 10x graph. Disk-backed blocks cost one sequential
+    # read per iteration and zero heap.
+    from pyspark.storagelevel import StorageLevel
+
     edges_deg = (
-        edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+        edges.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True

@@ -180,15 +180,24 @@ PR_ITERATIONS = 10
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration PageRank over the SimHash near-dup graph
-    (operators/graph.py): rank concentrates on documents sitting inside
-    dense duplicate neighborhoods — a centrality-weighted dedup priority.
+    """Fixed-iteration PageRank over the near-dup graph (operators/
+    graph.py): rank concentrates on documents sitting inside dense
+    duplicate neighborhoods — a centrality-weighted dedup priority.
     Hash-gated: fixed-point per-iteration sums make the iterative numeric
-    bit-identical to the oracle's unrolled-CTE twin."""
+    bit-identical to the oracle's unrolled-CTE twin.
+
+    The graph is the CAPPED-SHINGLE Jaccard pair set (same edges as
+    dedup_groups) rather than the SimHash Hamming-ball pairs: the df-cap
+    bounds every document's candidate degree by construction, so graph
+    CONSTRUCTION stays linear on corpora where hash-space density grows
+    faster than the corpus (the 10x stress corpus's Hamming balls grew
+    super-quadratically and made the uncapped variant OOM the 16g heap —
+    an unbounded-degree graph is the wrong input for an iterative
+    operator at any scale)."""
     from icenetetl_spark.operators.graph import pagerank, symmetrize
 
-    sim = D.simhash(load_table(spark, sf_dir, "documents"), num_bits=SIM_BITS)
-    pairs = D.simhash_near_pairs(sim, max_hamming=HAMMING_T).select(
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(_capped_shingles(docs), threshold=JACCARD_T).select(
         "doc_a", "doc_b"
     )
     pr = pagerank(symmetrize(pairs), iterations=PR_ITERATIONS)
@@ -621,11 +630,8 @@ def _pagerank_oracle() -> str:
 
     return f"""
         SELECT node AS doc_id, rank AS pagerank FROM (
-            WITH sim AS ({_simhash_sql()}),
-            pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-                WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+            WITH pairs AS (
+                SELECT doc_a, doc_b FROM ({ORACLES["dedup_ngram_jaccard"]}) jp
             ),
             edges AS (
                 SELECT doc_a AS src, doc_b AS dst FROM pairs
