@@ -256,19 +256,26 @@ def main() -> int:
     known_over = {
         "dedup_substring_spans": (
             "linear in its TRUE input, which grows faster than the "
-            "corpus: duplicated k-gram positions are 464k at 1x vs 8.59M "
-            "at 10x (18.5x — the perturbed copies repeat each other's "
-            "unperturbed word runs; measured in the density section "
-            "below), so >10x wall on a 10x corpus is the data, not the "
-            "plan — per-dup-position cost falls; production levers: "
-            "content-defined sampling (next row) and the xxhash64 swap"
+            "corpus: duplicated k-gram positions grow 18.5x at 10x data "
+            "(the perturbed copies repeat each other's unperturbed word "
+            "runs; measured in the density section below) — the data, "
+            "not the plan; levers: content-defined sampling (next row) "
+            "and the xxhash64 swap"
         ),
         "dedup_substring_sampled": (
-            "the sampling lever (sample_mod=4, operators/substrings.py) "
-            "cuts absolute wall ~2x vs the exact row above at 10x by "
-            "shrinking every post-hash stage 4x; the RATIO stays "
-            "density-bound because duplicated content itself grew 18.5x "
-            "(density section below)"
+            "density-bound like the exact row above; the sampling lever "
+            "(sample_mod=4) shrinks every post-hash stage 4x"
+        ),
+        "mm_image_dhash_pairs": (
+            "linear in its OUTPUT, which grows quadratically by "
+            "construction on this corpus: the synthetic images are so "
+            "self-similar that 58% of ALL possible pairs are near-dups "
+            "at 1x (7.2M pairs from 5k images), so 10x images -> 100x "
+            "pairs (723M) while wall grows far less — per-pair "
+            "throughput IMPROVES at 10x; a real corpus has sparse "
+            "near-dup structure, and a pipeline that expects dense "
+            "duplication should go straight to components/canonical "
+            "(dedup_groups) instead of materializing pairs"
         ),
     }
     if over:
