@@ -52,13 +52,17 @@ def build_scaled_subset(spark: SparkSession, factor: int) -> str:
     os.makedirs(out)
     copies = _copies(spark, factor)
 
+    # 64-way layout: the 1x sources are single files, so the scaled
+    # crossJoin output inherits 1-2 partitions — which caps source-side
+    # (mapInPandas / scan) parallelism at 2 of 32 cores and inflates
+    # every 100x number (same lesson as scale_stress.build_scaled).
     docs = load_table(spark, BASE_SF, "documents")
     n_docs = 5000
     docs.crossJoin(copies).select(
         (F.col("doc_id") + F.col("copy").cast("long") * n_docs).alias("doc_id"),
         _perturb_text(F.col("text"), F.col("copy")).alias("text"),
         "lang", "source", "n_chars",
-    ).write.parquet(f"{out}/documents.parquet")
+    ).repartition(64).write.parquet(f"{out}/documents.parquet")
 
     emb = load_table(spark, BASE_SF, "embeddings")
     n_vecs = 2000
@@ -74,7 +78,7 @@ def build_scaled_subset(spark: SparkSession, factor: int) -> str:
         (F.col("vec_id") + F.col("copy").cast("long") * n_vecs).alias("vec_id"),
         pert.alias("embedding"),
         "label",
-    ).write.parquet(f"{out}/embeddings.parquet")
+    ).repartition(64).write.parquet(f"{out}/embeddings.parquet")
 
     ev = load_table(spark, BASE_SF, "events")
     ev.crossJoin(copies).select(
@@ -86,7 +90,7 @@ def build_scaled_subset(spark: SparkSession, factor: int) -> str:
             "user_id"
         ),
         "event_type", "value", "props",
-    ).write.parquet(f"{out}/events.parquet")
+    ).repartition(64).write.parquet(f"{out}/events.parquet")
 
     # the warmup in measure() touches every registry table: link the ones
     # this spot check does NOT scale to their 1x files (cheap to touch,
