@@ -98,14 +98,8 @@ def assign_cells_fixed(
     over a (sim, -centroid_id, v) struct — the k scored copies of each row
     collapse map-side (see :func:`knn_ivf_fixed_centroids`'s plan note);
     ties go to the smaller centroid id."""
-    from icenetetl_spark.operators.similarity import cosine_unrolled
-
     cents = F.broadcast(centroids)
-    sim = (
-        cosine_unrolled(F.col(vec_col), F.col("cvec"), dim)
-        if dim
-        else cosine(F.col(vec_col), F.col("cvec"))
-    )
+    sim = cosine(F.col(vec_col), F.col("cvec"), dim=dim)
     scored = vectors.crossJoin(cents).select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias("v"),

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from icenetetl_spark.operators.dedup import connected_components
 from icenetetl_spark.operators.ivf import assign_cells_fixed, fit_coarse_quantizer
-from icenetetl_spark.operators.similarity import cosine, cosine_unrolled
+from icenetetl_spark.operators.similarity import cosine
 
 
 def semantic_pairs(
@@ -75,11 +75,7 @@ def _pairs_from_cells(
             "doc_a",
             "doc_b",
             "cell",
-            (
-                cosine_unrolled(F.col("va"), F.col("vb"), dim)
-                if dim
-                else cosine(F.col("va"), F.col("vb"))
-            ).alias("cos"),
+            cosine(F.col("va"), F.col("vb"), dim=dim).alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )

@@ -160,9 +160,13 @@ ORACLES = {
 
 
 def _zarr_fingerprint() -> str:
-    """Content-address the Zarr fixture path by the generator sources so
-    edits can never silently reuse a stale store (the parquet-twin
-    pattern above, for the store)."""
+    """Content-address the Zarr fixture path by the generator AND writer
+    sources so edits can never silently reuse a stale store (the
+    parquet-twin pattern above, for the store). Hashing make_zarr_store
+    — the WRITER — means any change to how the store is laid down (e.g.
+    the round-6 atomicity fix) rotates the path, so remnants left by an
+    OLD writer are unreachable by construction rather than guarded
+    against heuristically."""
     import hashlib
     import inspect
 
@@ -172,6 +176,7 @@ def _zarr_fingerprint() -> str:
         inspect.getsource(fixtures.make_raw_pdf)
         + inspect.getsource(fixtures.make_netcdf_bytes)
         + inspect.getsource(zarrstore.write_zarr)
+        + inspect.getsource(fixtures.make_zarr_store)
         + f"|{GEN_DATE}|{GRID_SIDE}"
     ).encode()
     return hashlib.md5(key).hexdigest()[:8]
@@ -233,13 +238,12 @@ def icenet_zarr_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Store creation is ATOMIC (make_zarr_store builds in a tmp dir and
     os.replace()s it in), so the root's existence IS the completeness
     marker — a .zgroup-keyed check on an in-place write could bless a
-    half-written store forever (round-5 hazard (a)). One legacy case the
-    root check alone cannot see: a partial dir left AT THIS PATH by the
-    old pre-atomic writer (the fingerprint hashes the store CONTENT
-    generators, not make_zarr_store itself, so the path did not rotate
-    with the atomicity fix). A root that exists without its .zgroup is
-    therefore provably such a remnant — the atomic writer can never
-    produce it — and is deleted and rebuilt rather than trusted."""
+    half-written store forever (round-5 hazard (a)). Remnants from any
+    OLDER writer cannot collide here at all: _zarr_fingerprint hashes
+    make_zarr_store itself, so a writer change rotates the path. The
+    .zgroup sanity check below is belt-and-braces for a manually
+    corrupted dir: a root without its .zgroup is invalid whatever its
+    origin and is rebuilt rather than trusted."""
     from icenetetl_spark.sources.fixtures import make_zarr_store
     from icenetetl_spark.sources.zarrstore import melt_zarr_stores
 

@@ -216,15 +216,24 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate pair. 0.3 yields ~200 within-cell pairs over the 500-vector
 # testdata (non-vacuous groups) while staying far from the all-pairs floor.
 SEM_T = 0.3
-# SemDeDup centroid density: every SEM_CELL_MOD-th vector is a centroid,
-# so the CELL COUNT scales with the corpus and per-cell occupancy stays
-# ~constant (~97). With a FIXED centroid set (the old IVF_CENTROID_IDS
-# list), occupancy grows with N and the within-cell pair stage goes
-# quadratic — measured 116x wall at 10x data. A deterministic density
-# predicate keeps the paper's O(n^2/k) bound an O(n) bound in practice
-# AND stays SQL-reproducible, unlike trained KMeans centroids.
-SEM_CELL_MOD = 97
+# SemDeDup centroid density: every mod-th vector is a centroid with
+# mod = ceil(2*sqrt(N)), so cell count k ~ sqrt(N)/2 and occupancy
+# ~ 2*sqrt(N). With a FIXED centroid set (the old IVF_CENTROID_IDS
+# list), occupancy grows linearly with N and the within-cell pair stage
+# goes quadratic — measured 116x wall at 10x data. The sqrt law BALANCES
+# the two stages (assignment work N*k and pair work N*occupancy are both
+# ~N^1.5) and keeps the broadcast centroid table sqrt(N)-sized — bounded
+# in practice (10^9 vectors -> ~16k centroids, a few MB), never
+# corpus-sized. The mod is a pure function of COUNT(*), so the oracle
+# reproduces it; at true cluster scale the production path is
+# semdedup_trained (KMeans k tuned to the corpus, same downstream plan).
 EMB_DIM = 64  # embeddings table width — enables the codegen-unrolled cosine
+
+
+def _sem_cell_mod(n: int) -> int:
+    import math
+
+    return max(2, math.ceil(2.0 * math.sqrt(n)))
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,13 +242,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     components, keep the least-prototypical member per group. The plan
     never materializes a cross-cell pair; the oracle mirrors every step
     (assignment argmax, pair threshold, recursive closure, keep argmin).
-    Centroids are the density-scaled subset vec_id % SEM_CELL_MOD == 0
-    (constant occupancy at any corpus size) and every cosine is the
-    codegen-unrolled twin (bit-identical values, no interpreted fold)."""
+    Centroids are the density-scaled subset vec_id % ceil(2*sqrt(N)) == 0
+    (sqrt-balanced assignment/pair work, sqrt(N)-bounded broadcast — see
+    _sem_cell_mod note) and every cosine is the codegen-unrolled twin
+    (bit-identical values, no interpreted fold). The N lookup is one
+    1-row count — table metadata, not data, on the driver."""
     from icenetetl_spark.operators.semdedup import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % SEM_CELL_MOD == 0).select(
+    mod = _sem_cell_mod(emb.count())
+    cents = emb.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     return semdedup(emb, cents, threshold=SEM_T, dim=EMB_DIM)
@@ -711,7 +723,9 @@ ORACLES = {
     "dedup_semantic": f"""
         WITH RECURSIVE cents AS (
             SELECT vec_id AS centroid_id, embedding AS cvec
-            FROM embeddings WHERE vec_id % {SEM_CELL_MOD} = 0
+            FROM embeddings
+            WHERE vec_id % GREATEST(2, CAST(CEIL(2.0 * SQRT(
+                      (SELECT COUNT(*) FROM embeddings))) AS BIGINT)) = 0
         ),
         scored AS (
             SELECT e.vec_id, e.embedding, ct.centroid_id,

@@ -117,10 +117,14 @@ def main() -> int:
     # Derive the headline claim FROM the measurements (the round-6 review
     # caught an unconditional "every ratio stays under the factor" here —
     # the published prose must not be able to contradict its own table).
+    # A rounded-to-zero baseline makes the ratio unmeasurable (the table
+    # prints inf) — count it as over rather than silently skipping it, or
+    # the prose could again contradict its own table.
     over = [
         n
         for n in SPOT_QUERIES
-        if base[n]["sec"] and big[n]["sec"] / base[n]["sec"] > args.factor
+        if base[n]["sec"] == 0
+        or big[n]["sec"] / base[n]["sec"] > args.factor
     ]
     ratio_claim = (
         "Every ratio stays at or under the factor."
