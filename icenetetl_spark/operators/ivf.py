@@ -126,6 +126,7 @@ def knn_ivf_fixed_centroids(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """The IVF probe/assign/re-rank plan with a FIXED centroid table
     (columns ``centroid_id``, ``cvec``) instead of a fitted KMeans model.
@@ -146,13 +147,13 @@ def knn_ivf_fixed_centroids(
     """
     cents = F.broadcast(centroids)
     corpus_cells = assign_cells_fixed(
-        corpus, centroids, id_col, vec_col, out_id="neighbor_id"
+        corpus, centroids, id_col, vec_col, out_id="neighbor_id", dim=dim
     ).select("neighbor_id", F.col("v").alias("cv"), "cell")
     q_scored = queries.crossJoin(cents).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("centroid_id"),
-        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+        cosine(F.col(vec_col), F.col("cvec"), dim=dim).alias("__sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("centroid_id")
@@ -168,7 +169,7 @@ def knn_ivf_fixed_centroids(
         F.broadcast(probes).join(corpus_cells, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos")
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -190,6 +191,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: (query_id, neighbor_id, rank, cos); corpus side is
     assigned 1 cell, query side probes ``n_probe`` cells."""
@@ -211,7 +213,7 @@ def knn_ivf(
         F.broadcast(q).join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos")
         )
         # a (query, neighbor) pair can meet in several probed cells
         .dropDuplicates(["query_id", "neighbor_id"])

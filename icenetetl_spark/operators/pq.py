@@ -203,6 +203,7 @@ def knn_pq_trained(
     vec_col: str = "embedding",
     seed: int = 42,
     train_sample_fraction: float | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """PQ ANN with the trained quantizer — identical plan to
     :func:`knn_pq`, codebook swapped for :func:`fit_pq_codebooks`
@@ -212,7 +213,8 @@ def knn_pq_trained(
         corpus, m, k_codes, vec_col, seed, width, train_sample_fraction
     )
     return _knn_pq_with_codebook(
-        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col, width
+        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col, width,
+        dim=dim,
     )
 
 
@@ -225,6 +227,7 @@ def knn_pq(
     refine_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """ADC top-k with exact re-rank: (query_id, neighbor_id, rank, cos).
 
@@ -234,7 +237,8 @@ def knn_pq(
     width = _vector_width(corpus, vec_col)  # one metadata job, shared below
     codebook = pq_codebook(corpus, code_ids, m, id_col, vec_col, width)
     return _knn_pq_with_codebook(
-        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col, width
+        queries, corpus, codebook, k, m, refine_factor, id_col, vec_col, width,
+        dim=dim,
     )
 
 
@@ -248,6 +252,7 @@ def _knn_pq_with_codebook(
     id_col: str,
     vec_col: str,
     width: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     w = _sub_width(width or _vector_width(corpus, vec_col), m)
     codes = encode_pq(corpus, codebook, m, id_col, vec_col, width=w * m)
@@ -289,7 +294,7 @@ def _knn_pq_with_codebook(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(
@@ -313,6 +318,7 @@ def knn_ivfpq_fixed(
     refine_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed billion-scale index (Jégou TPAMI'11 IVFADC,
     non-residual flavor — codes quantize the raw vectors, not the
@@ -345,7 +351,7 @@ def knn_ivfpq_fixed(
     q_scored = queries.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col).alias("query_id"),
         F.col("centroid_id"),
-        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+        cosine(F.col(vec_col), F.col("cvec"), dim=dim).alias("__sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("centroid_id")
@@ -396,7 +402,7 @@ def knn_ivfpq_fixed(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(

@@ -79,6 +79,7 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
 
@@ -100,7 +101,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -133,6 +134,7 @@ def knn_sign_lsh(
     num_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's sign-LSH bucket,
     then exact cosine rank within bucket. One equi-join shuffle on bucket id
@@ -156,7 +158,7 @@ def knn_sign_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -211,6 +213,7 @@ def knn_hyperplane_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k with PROJECTION-based LSH buckets: candidates
     share the sign pattern across all hyperplanes in ``normals``, then
@@ -230,7 +233,7 @@ def knn_hyperplane_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -270,6 +273,7 @@ def knn_sign_lsh_multiprobe(
     num_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe variant of :func:`knn_sign_lsh`: each query searches its
     own bucket AND all hamming-1 neighbor buckets (num_bits + 1 probes),
@@ -299,7 +303,7 @@ def knn_sign_lsh_multiprobe(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -383,6 +387,7 @@ def embedding_near_duplicates(
     num_bits: int = 48,
     bands: int = 12,
     exact: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold (id_a < id_b).
 
@@ -414,7 +419,7 @@ def embedding_near_duplicates(
         return (
             a.join(b, F.col("id_a") < F.col("id_b"))
             .select(
-                "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+                "id_a", "id_b", cosine(F.col("va"), F.col("vb"), dim=dim).alias("cos")
             )
             .filter(F.col("cos") >= threshold)
         )
@@ -460,7 +465,7 @@ def embedding_near_duplicates(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            cosine(F.col("a.vec"), F.col("b.vec"), dim=dim).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .distinct()
@@ -474,6 +479,7 @@ def mmr_select(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein,
     SIGIR 1998, public): iteratively pick the candidate maximizing
@@ -494,7 +500,7 @@ def mmr_select(
     """
     qlit = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = candidates.select(
-        F.col(id_col), F.col(vec_col), cosine(F.col(vec_col), qlit).alias("rel")
+        F.col(id_col), F.col(vec_col), cosine(F.col(vec_col), qlit, dim=dim).alias("rel")
     )
     selected: list[tuple] = []  # (rank, id, rel, score, vector)
     for step in range(k):
@@ -507,6 +513,7 @@ def mmr_select(
                 cosine(
                     F.col(vec_col),
                     F.array(*[F.lit(float(v)) for v in s[4]]),
+                    dim=dim,
                 )
                 for s in selected
             ]

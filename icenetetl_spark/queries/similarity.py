@@ -27,13 +27,13 @@ _COS = """
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return S.knn_bruteforce(queries, emb, k=K)
+    return S.knn_bruteforce(queries, emb, k=K, dim=EMB_DIM)
 
 
 def knn_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return S.knn_sign_lsh(queries, emb, k=K, num_bits=LSH_BITS)
+    return S.knn_sign_lsh(queries, emb, k=K, num_bits=LSH_BITS, dim=EMB_DIM)
 
 
 def knn_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +42,9 @@ def knn_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall asserted monotone vs knn_sign_lsh in tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return S.knn_sign_lsh_multiprobe(queries, emb, k=K, num_bits=LSH_BITS)
+    return S.knn_sign_lsh_multiprobe(
+        queries, emb, k=K, num_bits=LSH_BITS, dim=EMB_DIM
+    )
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,7 +56,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact=False: this query IS the scale plan; the approximation is an
     # explicit call-site decision (operator default is the exact form).
     return S.embedding_near_duplicates(
-        emb, threshold=NEAR_DUP_T, num_bits=ND_BITS, bands=ND_BANDS, exact=False
+        emb, threshold=NEAR_DUP_T, num_bits=ND_BITS, bands=ND_BANDS,
+        exact=False, dim=EMB_DIM,
     )
 
 
@@ -88,7 +91,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return _knn_ivf(queries, emb, k=K, n_cells=16, n_probe=6)
+    return _knn_ivf(queries, emb, k=K, n_cells=16, n_probe=6, dim=EMB_DIM)
 
 
 # Fixed coarse-quantizer seeds: 16 corpus vectors by id, spread across the
@@ -110,7 +113,9 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return knn_ivf_fixed_centroids(queries, emb, cents, k=K, n_probe=IVF_N_PROBE)
+    return knn_ivf_fixed_centroids(
+        queries, emb, cents, k=K, n_probe=IVF_N_PROBE, dim=EMB_DIM
+    )
 
 
 # Fixed hyperplane normals for projection LSH: 6 corpus rows -> 64 buckets
@@ -132,7 +137,7 @@ def knn_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("nvec"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return _hp(queries, emb, normals, k=K)
+    return _hp(queries, emb, normals, k=K, dim=EMB_DIM)
 
 
 # Fixed PQ codebook: 16 corpus rows per subspace (slices of the same 16
@@ -154,7 +159,8 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return _knn_pq(
-        queries, emb, PQ_CODE_IDS, k=K, m=PQ_M, refine_factor=PQ_REFINE
+        queries, emb, PQ_CODE_IDS, k=K, m=PQ_M, refine_factor=PQ_REFINE,
+        dim=EMB_DIM,
     )
 
 
@@ -169,7 +175,8 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return _pq_trained(
-        queries, emb, k=K, m=PQ_M, k_codes=16, refine_factor=PQ_REFINE
+        queries, emb, k=K, m=PQ_M, k_codes=16, refine_factor=PQ_REFINE,
+        dim=EMB_DIM,
     )
 
 
@@ -196,6 +203,7 @@ def knn_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         n_probe=IVF_N_PROBE,
         refine_factor=PQ_REFINE,
+        dim=EMB_DIM,
     )
 
 
@@ -876,7 +884,8 @@ def doc_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     )
     return mmr_select(
-        emb.filter(F.col("vec_id") > 0), qvec, k=MMR_K, lam=MMR_LAM
+        emb.filter(F.col("vec_id") > 0), qvec, k=MMR_K, lam=MMR_LAM,
+        dim=EMB_DIM,
     )
 
 
