@@ -114,6 +114,86 @@ def knn_bruteforce(
     )
 
 
+def normalize_embeddings(
+    df: DataFrame,
+    id_alias: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_col: str = "nv",
+    extra: list[Column] | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Project ``v / ||v||`` once per row — the stored-normalized-column
+    plan for cosine search: after this, every pair computes ONE dot
+    instead of three (dot + two norms), cutting pair-stage work ~3x at
+    any scale where pairs >> rows.
+
+    ``materialize=True`` (a lazy localCheckpoint) is LOAD-BEARING, not an
+    optimization nicety: without it Catalyst collapses this projection
+    into the per-pair scoring projection downstream, recomputing the
+    whole normalization per PAIR — measured 3x slower than not
+    normalizing at all (SCALING.md "Cosine dispatch"). On a real
+    deployment the normalized column is written to the table once
+    (amortized across queries); the checkpoint is the per-query stand-in
+    with the same physical property (a concrete primitive array).
+
+    fp-order contract: norm = sqrt of the left-to-right sequential dot
+    (dot_unrolled ≡ the fold, bit-identical), each element divided by it
+    in double — mirrored in DuckDB as
+    ``list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv)))``.
+    """
+    v = F.col(vec_col)
+    staged = df.withColumn("__nrm", F.sqrt(dot_unrolled(v, v, dim)))
+    nv = F.array(
+        *[
+            F.element_at(v, i).cast("double") / F.col("__nrm")
+            for i in range(1, dim + 1)
+        ]
+    )
+    cols = [F.col(id_col).alias(id_alias), nv.alias(out_col)]
+    if extra:
+        cols.extend(extra)
+    out = staged.select(*cols)
+    return out.localCheckpoint(eager=False) if materialize else out
+
+
+def knn_bruteforce_prenorm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact cosine top-k with pre-normalized sides: same result contract
+    as :func:`knn_bruteforce` (query_id, neighbor_id, rank, cos) but cos
+    is computed as a single dot over ``v/||v||`` columns — 2.4x faster at
+    1M pairs (A/B in SCALING.md), the right plan whenever the query set
+    is large enough that pair work dominates the O(N·d) normalization.
+    Note the cos values differ from knn_bruteforce in the last ulp
+    (different fp grouping); the oracle mirrors this form exactly."""
+    q = normalize_embeddings(queries, "query_id", id_col, vec_col, dim, "qv")
+    c = normalize_embeddings(corpus, "neighbor_id", id_col, vec_col, dim, "cv")
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def sign_bucket(vec: Column, num_bits: int = 8) -> Column:
     """Deterministic LSH bucket id: sign bits of the first ``num_bits``
     coordinates ('0'/'1' string). A fixed axis-aligned instance of the

@@ -24,16 +24,44 @@ _COS = """
 """
 
 
+# The knn SCORING paths deliberately do NOT pass dim=EMB_DIM: the
+# codegen-unrolled cosine (3 unrolled dots per pair in one projection)
+# measured ~3x SLOWER than the interpreted fold on this path — A/B
+# medians-of-3, same session, sf0.1: bruteforce fold 0.51s vs unrolled
+# 1.50s; sign_lsh fold 0.31s vs unrolled 1.32s (the generated method
+# outgrows the JIT and runs as interpreted bytecode). The unrolled form
+# stays where it was measured to WIN: the SemDeDup / near-dup refine
+# stages (one dot per pair over banded candidates). See SCALING.md
+# "Cosine dispatch" for the full table including the pre-normalized
+# variants (knn_bruteforce_prenorm is the stored-normalized-column plan).
+
+
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return S.knn_bruteforce(queries, emb, k=K, dim=EMB_DIM)
+    return S.knn_bruteforce(queries, emb, k=K)
+
+
+def knn_bruteforce_prenorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over PRE-NORMALIZED embeddings — the stored-column scale
+    plan: project v/||v|| once per row, materialize it (here a lazy
+    localCheckpoint standing in for a stored table column), then score
+    each pair with ONE dot instead of three. A/B at sf0.1 (medians-of-3,
+    same session): at 1M pairs (|Q|=500) this plan is 2.4x faster than
+    3-dot fold scoring (5.9s vs 14.4s); at 20k pairs (|Q|=10) the O(N)
+    materialization overhead dominates (1.4s vs 0.5s) — so the default
+    bench queries keep the fold and this query gates the large-|Q| plan.
+    Hash-gated: normalize-then-dot is mirrored exactly in the oracle
+    (list_transform + list_dot_product, same fp order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.knn_bruteforce_prenorm(queries, emb, k=K, dim=EMB_DIM)
 
 
 def knn_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return S.knn_sign_lsh(queries, emb, k=K, num_bits=LSH_BITS, dim=EMB_DIM)
+    return S.knn_sign_lsh(queries, emb, k=K, num_bits=LSH_BITS)
 
 
 def knn_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,7 +71,7 @@ def knn_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.knn_sign_lsh_multiprobe(
-        queries, emb, k=K, num_bits=LSH_BITS, dim=EMB_DIM
+        queries, emb, k=K, num_bits=LSH_BITS
     )
 
 
@@ -137,7 +165,9 @@ def knn_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("nvec"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return _hp(queries, emb, normals, k=K, dim=EMB_DIM)
+    # dim deliberately omitted: fold beats unrolled on knn scoring
+    # (see the dispatch note above knn_bruteforce).
+    return _hp(queries, emb, normals, k=K)
 
 
 # Fixed PQ codebook: 16 corpus rows per subspace (slices of the same 16
@@ -301,6 +331,7 @@ def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
+    "knn_bruteforce_prenorm": knn_bruteforce_prenorm,
     "knn_sign_lsh": knn_sign_lsh,
     "knn_sign_lsh_multiprobe": knn_sign_lsh_multiprobe,
     "knn_ivf": knn_ivf,
@@ -368,6 +399,31 @@ ORACLES = {
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    {_COS} AS cos
             FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM ranked WHERE rank <= {K}
+    """,
+    # Mirrors knn_bruteforce_prenorm's fp grouping exactly: normalize each
+    # side once (x / sqrt(sequential-dot)), then ONE sequential dot per
+    # pair. list_dot_product == the left-to-right fold (verified
+    # bit-identical elsewhere in this module); the division is the same
+    # IEEE double op on both engines.
+    "knn_bruteforce_prenorm": f"""
+        WITH nemb AS (
+            SELECT vec_id,
+                   list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv)))
+                       AS nv
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+                  FROM embeddings)
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.nv, c.nv) AS cos
+            FROM nemb q JOIN nemb c ON q.vec_id != c.vec_id
             WHERE q.vec_id < {N_QUERIES}
         ), ranked AS (
             SELECT *, row_number() OVER (PARTITION BY query_id
