@@ -645,3 +645,62 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def fingerprint_dup_groups(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 32,
+    id_col: str = "doc_id",
+    fp_col: str = "dhash",
+) -> DataFrame:
+    """Duplicate GROUPS over an integer perceptual fingerprint (image
+    dHash, audio difference-hash, ...): (doc_id, component_id) with
+    component_id = min doc_id of the transitive near-dup closure,
+    singleton components omitted — the media twin of text
+    ``connected_components(jaccard_pairs(...))``, and the scale-correct
+    REPLACEMENT for pair materialization (``mm_image_dhash_pairs`` is
+    linear in an output that goes quadratic on dense corpora; groups are
+    linear in the DOC COUNT).
+
+    The load-bearing step is the EXACT-DUPLICATE QUOTIENT: docs are first
+    collapsed onto one representative per DISTINCT fingerprint (hamming 0
+    ⟹ same component, so this is a lossless graph quotient), and the
+    pigeonhole segment join + star-contraction components run over
+    distinct fingerprints only. On a degenerately self-similar corpus —
+    exactly the case where pair output explodes — the distinct count
+    grows far slower than the doc count, so every super-linear stage
+    sees the collapsed input. Labels then propagate back through the
+    (fingerprint -> representative) map with one broadcast-shaped join,
+    and min-label is preserved because each representative IS the min
+    doc_id of its fingerprint class.
+    """
+    fps = fingerprints.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("simhash")
+    )
+    reps = fps.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
+    rep_pairs = simhash_near_pairs(
+        reps.select(F.col("rep_id").alias("doc_id"), "simhash"),
+        max_hamming=max_hamming,
+        num_bits=num_bits,
+    )
+    rep_comp = connected_components(rep_pairs).select(
+        F.col("doc_id").alias("rep_id"), "component_id"
+    )
+    labeled = (
+        fps.join(reps, "simhash")
+        .join(rep_comp, "rep_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("rep_id")).alias("component_id"),
+        )
+    )
+    # mirror connected_components' contract: isolated docs (unique
+    # fingerprint, no near edge) are absent
+    sized = (
+        labeled.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("component_id")
+    )
+    return labeled.join(sized, "component_id").select("doc_id", "component_id")

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from icenetetl_spark.operators import dedup as D
 from icenetetl_spark.operators import multimodal as M
 from icenetetl_spark.sources.testdata import load_table
 
@@ -228,8 +229,57 @@ def mm_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup GROUPS — the gated scale default for media dedup
+    (mm_image_dhash_pairs stays registered as the pair diagnostic, but
+    its output is quadratic by construction on dense corpora: 723M pairs
+    at the 10x stress vs one label per doc here). Exact-duplicate
+    quotient first (operators/dedup.fingerprint_dup_groups): distinct
+    dHashes collapse to their min-doc representative before the
+    pigeonhole join + star-contraction components, so every
+    super-linear stage runs over distinct fingerprints, not docs —
+    the J4 insert-dedup idea (reference
+    azfunctions/InputBlobTrigger/processor.py:249-256) applied to media.
+    The oracle mirrors the same quotient + a recursive-CTE closure."""
+    fp = mm_image_dhash(spark, sf_dir)
+    return D.fingerprint_dup_groups(
+        fp, max_hamming=DHASH_HAMMING_T, num_bits=32, fp_col="dhash"
+    )
+
+
+def mm_image_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision for image groups: within each near-dup
+    component keep the HIGHEST-RESOLUTION member (n_pixels from the real
+    PNG/BMP decode; tiebreak lowest doc_id) — the media twin of
+    dedup_canonical's quality pick."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    groups = mm_image_dup_groups(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    meta = M.decode_images(M.attach_image_payload(docs)).select(
+        "doc_id", (F.col("width") * F.col("height")).alias("n_pixels")
+    )
+    scored = groups.join(meta, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_pixels").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .groupBy("component_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "canonical_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
 QUERIES["mm_image_dhash"] = mm_image_dhash
 QUERIES["mm_image_dhash_pairs"] = mm_image_dhash_pairs
+QUERIES["mm_image_dup_groups"] = mm_image_dup_groups
+QUERIES["mm_image_dup_canonical"] = mm_image_dup_canonical
 
 # dHash oracle: bit b (= r*4 + c) compares the NN-resized 5x8 raster's
 # (r, c) and (r, c+1) pixels; source pixel index = row-major over the
@@ -269,6 +319,59 @@ ORACLES["mm_image_dhash_pairs"] = f"""
            CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
+"""
+
+# Same quotient construction as the Spark plan: distinct dHashes collapse
+# to their min-doc representative, the near join + recursive closure run
+# over representatives, labels propagate back via the fingerprint map,
+# singleton components drop.
+_DUP_GROUP_CTES = f"""
+    {_DHASH_CTE},
+    reps AS (SELECT dhash, min(doc_id) AS rep_id FROM fp GROUP BY dhash),
+    jpairs AS (
+        SELECT a.rep_id AS doc_a, b.rep_id AS doc_b
+        FROM reps a JOIN reps b ON a.rep_id < b.rep_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs),
+    gnodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+        SELECT n, n FROM gnodes
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS rep_id, min(m) AS component_id FROM reach GROUP BY n),
+    labeled AS (
+        SELECT f.doc_id, COALESCE(c.component_id, r.rep_id) AS component_id
+        FROM fp f JOIN reps r USING (dhash) LEFT JOIN comp c USING (rep_id)
+    ),
+    sized AS (SELECT component_id FROM labeled
+              GROUP BY component_id HAVING count(*) >= 2),
+    members AS (
+        SELECT l.doc_id, l.component_id
+        FROM labeled l JOIN sized s USING (component_id)
+    )
+"""
+
+ORACLES["mm_image_dup_groups"] = f"""
+    WITH RECURSIVE {_DUP_GROUP_CTES}
+    SELECT doc_id, component_id FROM members
+"""
+
+ORACLES["mm_image_dup_canonical"] = f"""
+    WITH RECURSIVE {_DUP_GROUP_CTES},
+    scored AS (
+        SELECT m.doc_id, m.component_id,
+               row_number() OVER (
+                   PARTITION BY m.component_id
+                   ORDER BY CAST(d.w * d.h AS BIGINT) DESC, m.doc_id) AS rk
+        FROM members m JOIN dims d USING (doc_id)
+    )
+    SELECT component_id,
+           min(doc_id) FILTER (rk = 1) AS canonical_id,
+           count(*) AS n_members
+    FROM scored GROUP BY component_id
 """
 
 

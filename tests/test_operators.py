@@ -258,6 +258,52 @@ def test_connected_components_empty(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_fingerprint_dup_groups_equals_unquotiented_closure(spark):
+    """The exact-duplicate quotient is a lossless graph transformation:
+    groups over distinct-fingerprint representatives + label propagation
+    must equal components over the full per-doc pair set (with singleton
+    components absent from both). Fixture mixes exact-dup classes, a
+    near-dup bridge between classes, and isolated docs."""
+    from icenetetl_spark.operators.dedup import (
+        connected_components,
+        fingerprint_dup_groups,
+        simhash_near_pairs,
+    )
+
+    rows = [
+        # class A: three exact copies of fp 0b0000
+        (1, 0b0000), (5, 0b0000), (9, 0b0000),
+        # class B: fp 0b0001 (hamming 1 from A -> bridged)
+        (2, 0b0001), (7, 0b0001),
+        # class C: far fingerprint, two copies (own component)
+        (3, 0b11110000), (8, 0b11110000),
+        # isolated: unique fp, no near neighbor
+        (4, 0b01100110),
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, dhash long")
+
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in fingerprint_dup_groups(
+            fps, max_hamming=1, num_bits=8
+        ).collect()
+    }
+
+    # reference: components over the FULL per-doc near-pair set
+    full_pairs = simhash_near_pairs(
+        fps.withColumnRenamed("dhash", "simhash"), max_hamming=1, num_bits=8
+    )
+    expected = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(full_pairs).collect()
+    }
+    assert got == expected
+    assert got == {
+        (1, 1), (5, 1), (9, 1), (2, 1), (7, 1),  # A+B bridged, min=1
+        (3, 3), (8, 3),                          # C
+    }  # doc 4 isolated -> absent
+
+
 def test_lsh_bands_must_divide_num_hashes(spark):
     import pytest
 

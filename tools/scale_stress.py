@@ -86,6 +86,10 @@ STRESS_QUERIES = [
     "dedup_semantic",
     "mm_image_dhash_pairs",
     "ev_top_paths",
+    # round-7: the components/canonical replacement for quadratic-output
+    # media pair materialization (exact-duplicate quotient bounds every
+    # super-linear stage by the DISTINCT fingerprint count)
+    "mm_image_dup_groups",
 ]
 
 
