@@ -121,6 +121,16 @@ def surrogate_cell_id() -> F.Column:
     return F.xxhash64("hemisphere", "centroid_x", "centroid_y")
 
 
+def portable_cell_id() -> F.Column:
+    """Bit-packed natural cell key ((centroid_x << 32) | centroid_y) —
+    the SQL-reproducible surrogate used by the hash-gated queries (see
+    latest_view_plan's portable_ids note). Collision-free for two int32s,
+    pure codegen arithmetic."""
+    return F.shiftleft(F.col("centroid_x").cast("long"), 32).bitwiseOR(
+        F.col("centroid_y").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+
+
 class IceNetPipeline:
     """Runs against either catalog implementation (duck-typed seam):
 
@@ -366,12 +376,7 @@ def latest_view_plan(
     """
     forecasts = normalize_forecasts(raw, hemisphere)
     xs, ys = raw_axes(raw)
-    if portable_ids:
-        cell_id = F.shiftleft(F.col("centroid_x").cast("long"), 32).bitwiseOR(
-            F.col("centroid_y").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
-        )
-    else:
-        cell_id = surrogate_cell_id()
+    cell_id = portable_cell_id() if portable_ids else surrogate_cell_id()
     # The grid subtree is recomputed by each downstream job (latest-max
     # aggregate, range-partition sampling, prefix-sum pin). That is the
     # right trade here: the subtree is O(grid-side^2) rows of pure codegen

@@ -100,8 +100,11 @@ _CELL_ID_SQL = (
     " + (CAST(centroid_y AS BIGINT) & 4294967295)"
 )
 
-ORACLES = {
-    "icenet_pipeline_latest": f"""
+# The chain CTEs are shared by the latest-view oracle and the Zarr
+# export-roundtrip oracle (facts/latest deliberately carry xc_m/yc_m
+# through for the roundtrip's coordinate columns; the extra passthrough
+# columns do not affect the latest-view SELECT's values).
+_CHAIN_CTES = f"""
         WITH raw AS (SELECT * FROM read_parquet('{_FIXTURE_PATH}')),
         fc AS (
             SELECT 'north' AS hemisphere,
@@ -141,7 +144,8 @@ ORACLES = {
         facts AS (
             SELECT fc.hemisphere, fc.date_forecast_generated,
                    fc.date_forecast_for, c.cell_id, fc.sic_mean,
-                   fc.sic_stddev, c.geom_laea_wkt
+                   fc.sic_stddev, c.geom_laea_wkt,
+                   fc.xc_m, fc.yc_m
             FROM fc LEFT JOIN cells c
               ON fc.xc_m = c.centroid_x AND fc.yc_m = c.centroid_y
         ),
@@ -150,6 +154,10 @@ ORACLES = {
             WHERE date_forecast_generated =
                   (SELECT max(date_forecast_generated) FROM facts)
         )
+"""
+
+ORACLES = {
+    "icenet_pipeline_latest": _CHAIN_CTES + """
         SELECT row_number() OVER (ORDER BY date_forecast_for, cell_id)
                    AS forecast_id,
                hemisphere, date_forecast_generated, date_forecast_for,
@@ -271,3 +279,118 @@ def icenet_zarr_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["icenet_zarr_pipeline_latest"] = icenet_zarr_pipeline_latest
 ORACLES["icenet_zarr_pipeline_latest"] = ORACLES["icenet_pipeline_latest"]
+
+
+def _zarr_export_fingerprint() -> str:
+    """Content-address the EXPORTED store path by everything that shapes
+    its bytes: the fixture generator, the whole zarrstore module (writer,
+    export pivot, melt widths), and the pipeline module that produces the
+    latest view. Over-rotation is free (a re-export on a fresh path costs
+    seconds); a stale store surviving a code change is a silent gate
+    hazard."""
+    import hashlib
+    import inspect
+
+    from icenetetl_spark.plans import icenet as plans_icenet
+    from icenetetl_spark.sources import fixtures, zarrstore
+
+    key = (
+        inspect.getsource(fixtures.make_raw_pdf)
+        + inspect.getsource(zarrstore)
+        + inspect.getsource(plans_icenet.latest_view_plan)
+        + inspect.getsource(plans_icenet.normalize_forecasts)
+        + f"|{GEN_DATE}|{GRID_SIDE}"
+    ).encode()
+    return hashlib.md5(key).hexdigest()[:8]
+
+
+_ZARR_EXPORT_PATH = os.path.join(
+    os.path.dirname(_FIXTURE_PATH),
+    f"icenet_zarr_export_{GEN_DATE}_g{GRID_SIDE}_{_zarr_export_fingerprint()}",
+)
+
+
+def icenet_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE→READ closure for the Zarr export sink
+    (sources/zarrstore.export_forecasts_to_zarr): run the flagship latest
+    view, pivot it into a real Zarr v2 store on disk (one distributed
+    applyInPandas task per (hemisphere, date) group), melt that store
+    back through the same reader the ingest path uses, and return the
+    present (non-NaN-fill) values. The oracle is the parquet-fixture
+    chain SQL projected to the store's coordinate frame — so a pivot
+    transpose, axis-ordering, CF-date, fill-placement, or dtype-width bug
+    anywhere in writer OR reader changes values and fails the hash gate.
+    (store→melt was already gated by icenet_zarr_pipeline_latest; this
+    closes export→melt. NaN fill placement for absent grid cells is
+    pinned in tests/test_zarr.py::test_export_forecasts_roundtrip.)
+    sf_dir unused (fixture-driven, like the rest of this module).
+    Reference semantics: the inverse of the xarray ingest at
+    azfunctions/InputBlobTrigger/processor.py:117-124."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.functions.geo import build_cell_grid
+    from icenetetl_spark.plans.icenet import portable_cell_id, raw_axes
+    from icenetetl_spark.sources.fixtures import make_raw_file
+    from icenetetl_spark.sources.zarrstore import (
+        export_forecasts_to_zarr,
+        melt_zarr_stores,
+    )
+
+    _ensure_fixture()  # the oracle's parquet twin
+    raw, _ = make_raw_file(
+        spark, GEN_DATE, "north", grid_side=GRID_SIDE, seed=42
+    )
+    latest = latest_view_plan(raw, "north", portable_ids=True)
+    forecasts = latest.select(
+        "hemisphere",
+        "date_forecast_generated",
+        "date_forecast_for",
+        "cell_id",
+        F.col("sic_mean").alias("sea_ice_concentration_mean"),
+        F.col("sic_stddev").alias("sea_ice_concentration_stddev"),
+    )
+    xs, ys = raw_axes(raw)
+    cells = build_cell_grid(xs, ys).withColumn("cell_id", portable_cell_id())
+
+    store = os.path.join(_ZARR_EXPORT_PATH, f"north_{GEN_DATE}")
+    if os.path.isdir(_ZARR_EXPORT_PATH) and not os.path.isdir(store):
+        shutil.rmtree(_ZARR_EXPORT_PATH)  # half a dir without its store
+    if not os.path.isdir(_ZARR_EXPORT_PATH):
+        # atomic like make_zarr_store: export into a sibling tmp dir,
+        # os.replace into place; a concurrent winner's dir is kept
+        tmp = f"{_ZARR_EXPORT_PATH}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        export_forecasts_to_zarr(
+            forecasts, cells, tmp, compressor={"id": "zlib", "level": 1}
+        ).collect()
+        try:
+            os.replace(tmp, _ZARR_EXPORT_PATH)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(store):
+                raise
+    melted = melt_zarr_stores(spark, [store])
+    # fill cells arrive as NULL, not NaN: Arrow's from_pandas (under the
+    # melt's mapInPandas) treats NaN in a float column as the null
+    # sentinel — so "present values" = IS NOT NULL here
+    return melted.filter(F.col("sic_mean").isNotNull()).select(
+        "time", "leadtime", "yc", "xc", "sic_mean", "sic_stddev"
+    )
+
+
+QUERIES["icenet_zarr_roundtrip"] = icenet_zarr_roundtrip
+# The store's long form in the oracle's frame: time = the generated date
+# at midnight (CF "days since 1970-01-01" decode), leadtime = day delta,
+# yc/xc = the metre centroids as the store's float64 axes, sic_* = the
+# float32 values carried through pivot+melt untouched.
+ORACLES["icenet_zarr_roundtrip"] = _CHAIN_CTES + """
+    SELECT CAST(date_forecast_generated AS TIMESTAMP) AS time,
+           CAST(date_diff('day', date_forecast_generated, date_forecast_for)
+                AS INTEGER) AS leadtime,
+           CAST(yc_m AS DOUBLE) AS yc,
+           CAST(xc_m AS DOUBLE) AS xc,
+           sic_mean, sic_stddev
+    FROM latest
+"""
