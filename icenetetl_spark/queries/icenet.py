@@ -380,6 +380,85 @@ def icenet_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txn_wh_fingerprint() -> str:
+    """Content-address the txn warehouse by every source that shapes its
+    contents (fixture generator, pipeline, txn catalog, plain catalog
+    base) — same rationale as the zarr fixtures: a code edit rotates the
+    path so stale manifests are unreachable, and re-running against an
+    existing warehouse is the OPERATOR'S OWN idempotency contract
+    (append_missing dedup + matview recompute), not a harness guard."""
+    import hashlib
+    import inspect
+
+    from icenetetl_spark import catalog as catalog_mod
+    from icenetetl_spark import txn as txn_mod
+    from icenetetl_spark.plans import icenet as plans_icenet
+    from icenetetl_spark.sources import fixtures
+
+    key = (
+        inspect.getsource(fixtures.make_raw_pdf)
+        + inspect.getsource(txn_mod)
+        + inspect.getsource(catalog_mod)
+        + inspect.getsource(plans_icenet)
+        + f"|{GEN_DATE}|{GRID_SIDE}"
+    ).encode()
+    return hashlib.md5(key).hexdigest()[:8]
+
+
+_TXN_WH_PATH = os.path.join(
+    os.path.dirname(_FIXTURE_PATH),
+    f"icenet_txn_wh_{GEN_DATE}_g{GRID_SIDE}_{_txn_wh_fingerprint()}",
+)
+
+
+def icenet_txn_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog-backed pipeline chain THROUGH THE TXN CATALOG
+    (txn.TxnParquetCatalog via make_txn_catalog: manifest log, CAS
+    commits, manifest-stat read_pruned), under the driver's hash gate —
+    previously the manifest/CAS path was pytest-gated only. Every call
+    re-runs the full ingest (update_geometries -> update_forecasts ->
+    update_latest -> update_meta) against the content-addressed
+    warehouse: on a warm warehouse that exercises the anti-join
+    append_missing dedup (zero new rows), a fresh CAS commit, and the
+    matview recompute-and-swap; the gated read then flows from the
+    manifest's committed write sets. Output is the latest view keyed by
+    the metre centroids (the surrogate forecast_id/cell_id are xxhash64
+    — deterministic but not SQL-portable, so the gate compares the
+    natural key instead; id semantics are pinned in tests/test_txn.py).
+    Reference semantics: S5 ON CONFLICT DO NOTHING + S7 matview refresh
+    (processor.py:249-256, 416-448) executed transactionally."""
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.plans.icenet import IceNetPipeline, make_txn_catalog
+    from icenetetl_spark.sources.fixtures import make_raw_file
+
+    _ensure_fixture()  # the oracle's parquet twin
+    raw, attrs = make_raw_file(
+        spark, GEN_DATE, "north", grid_side=GRID_SIDE, seed=42
+    )
+    cat = make_txn_catalog(spark, _TXN_WH_PATH)
+    IceNetPipeline(cat).run(raw, attrs)
+    latest = cat.read("forecast_latest")
+    cells = cat.read("cells").select("cell_id", "centroid_x", "centroid_y")
+    return latest.join(F.broadcast(cells), "cell_id").select(
+        "hemisphere",
+        "date_forecast_generated",
+        "date_forecast_for",
+        "centroid_x",
+        "centroid_y",
+        F.col("sea_ice_concentration_mean").alias("sic_mean"),
+        F.col("sea_ice_concentration_stddev").alias("sic_stddev"),
+    )
+
+
+QUERIES["icenet_txn_pipeline_latest"] = icenet_txn_pipeline_latest
+ORACLES["icenet_txn_pipeline_latest"] = _CHAIN_CTES + """
+    SELECT hemisphere, date_forecast_generated, date_forecast_for,
+           xc_m AS centroid_x, yc_m AS centroid_y, sic_mean, sic_stddev
+    FROM latest
+"""
+
+
 QUERIES["icenet_zarr_roundtrip"] = icenet_zarr_roundtrip
 # The store's long form in the oracle's frame: time = the generated date
 # at midnight (CF "days since 1970-01-01" decode), leadtime = day delta,
