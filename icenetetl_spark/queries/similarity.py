@@ -178,6 +178,38 @@ PQ_M = 8
 PQ_REFINE = 4
 
 
+# "new batch" split for the incremental-index query (same convention as
+# dedup_minhash_incremental): every 5th vector arrives after the index
+# was built over the rest.
+IVF_INCR_MOD = 5
+
+
+def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-index maintenance: a NEW embedding batch is
+    assigned to the EXISTING fixed cells (one broadcast crossJoin over
+    the batch only — O(batch x k) work, the indexed corpus is never
+    rescanned) and its postings merged with the stored index. Cell
+    assignment is per-row against a fixed centroid table (no
+    corpus-dependent state), so the merged postings must equal a full
+    rebuild — the oracle computes the rebuild (nearest-1 cell per vector
+    over ALL vectors, the knn_ivf_fixed c_scored construction), and
+    tests/test_ivf.py pins incremental == rebuild frame-equal. The
+    trained-quantizer analog is the same merge with knn_ivf's KMeans
+    centroids frozen at index-build time (re-clustering is a rebuild by
+    definition)."""
+    from icenetetl_spark.operators.ivf import assign_cells_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    old = emb.filter(F.col("vec_id") % IVF_INCR_MOD != 0)
+    new = emb.filter(F.col("vec_id") % IVF_INCR_MOD == 0)
+    idx_old = assign_cells_fixed(old, cents, dim=EMB_DIM)  # the stored index
+    idx_new = assign_cells_fixed(new, cents, dim=EMB_DIM)  # O(batch) delta
+    return idx_old.unionByName(idx_new).select("vec_id", "cell", "csim")
+
+
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.knn_pq): the memory-bound
     scale path — M-byte codes replace raw vectors during candidate
@@ -336,6 +368,7 @@ QUERIES = {
     "knn_sign_lsh_multiprobe": knn_sign_lsh_multiprobe,
     "knn_ivf": knn_ivf,
     "knn_ivf_fixed": knn_ivf_fixed,
+    "knn_ivf_incremental": knn_ivf_incremental,
     "knn_pq": knn_pq,
     "knn_pq_trained": knn_pq_trained,
     "knn_ivfpq_fixed": knn_ivfpq_fixed,
@@ -553,6 +586,31 @@ ORACLES = {
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
         FROM ranked WHERE rank <= {K}
+    """,
+    # Rebuild-equality oracle for the incremental index: nearest-1 cell
+    # per vector over ALL vectors (ties -> smaller centroid_id) — the
+    # merged old+batch postings must equal this by the per-row-assignment
+    # argument in the query docstring.
+    "knn_ivf_incremental": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id IN ({", ".join(map(str, IVF_CENTROID_IDS))})
+        ),
+        scored AS (
+            SELECT e.vec_id, ct.centroid_id,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(ct.cvec AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
+                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
+            FROM embeddings e, cents ct
+        )
+        SELECT vec_id, centroid_id AS cell, sim AS csim FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY sim DESC, centroid_id) AS rk
+            FROM scored
+        ) WHERE rk = 1
     """,
     # Mirrors knn_hyperplane_lsh: normals = the same 6 corpus rows indexed
     # by vec_id order; bucket = sign string of list_dot_product against

@@ -95,3 +95,27 @@ def test_ivf_deterministic(spark):
     r1 = sorted(map(str, knn_ivf(queries, emb, k=3, seed=7).collect()))
     r2 = sorted(map(str, knn_ivf(queries, emb, k=3, seed=7).collect()))
     assert r1 == r2
+
+
+def test_ivf_incremental_equals_rebuild(spark):
+    """Merged old-index + new-batch postings must be frame-equal to a
+    full rebuild: cell assignment is per-row against a fixed centroid
+    table, so index maintenance is a pure union (the knn_ivf_incremental
+    registry query's contract)."""
+    from icenetetl_spark.operators.ivf import assign_cells_fixed
+
+    emb = _load(spark)
+    cents = emb.filter(F.col("vec_id").isin([7, 100, 250, 400])).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    merged = (
+        assign_cells_fixed(old, cents)
+        .unionByName(assign_cells_fixed(new, cents))
+        .select("vec_id", "cell", "csim")
+    )
+    rebuild = assign_cells_fixed(emb, cents).select("vec_id", "cell", "csim")
+    a = sorted(map(str, merged.collect()))
+    b = sorted(map(str, rebuild.collect()))
+    assert a == b
