@@ -399,8 +399,21 @@ def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(fp, max_hamming=AFP_HAMMING_T, num_bits=32)
 
 
+def mm_audio_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup GROUPS through the same exact-duplicate quotient as
+    mm_image_dup_groups (operators/dedup.fingerprint_dup_groups over the
+    WAV difference fingerprints) — components/canonical is the gated
+    scale default for every modality, pair materialization the
+    diagnostic."""
+    fp = mm_audio_fingerprint(spark, sf_dir)
+    return D.fingerprint_dup_groups(
+        fp, max_hamming=AFP_HAMMING_T, num_bits=32, fp_col="afp"
+    )
+
+
 QUERIES["mm_audio_fingerprint"] = mm_audio_fingerprint
 QUERIES["mm_audio_near_dup"] = mm_audio_near_dup
+QUERIES["mm_audio_dup_groups"] = mm_audio_dup_groups
 
 # channel-0 sample j of the WAV fixture = (id*31 + j*ch*7) % 65536 - 32768
 # (interleaved index j*ch); downsample index for point k = (k*n)//33
@@ -436,6 +449,34 @@ ORACLES["mm_audio_near_dup"] = f"""
            CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
     FROM afp a JOIN afp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_HAMMING_T}
+"""
+
+ORACLES["mm_audio_dup_groups"] = f"""
+    WITH RECURSIVE {_AFP_CTE},
+    areps AS (SELECT afp, min(doc_id) AS rep_id FROM afp GROUP BY afp),
+    ajpairs AS (
+        SELECT a.rep_id AS doc_a, b.rep_id AS doc_b
+        FROM areps a JOIN areps b ON a.rep_id < b.rep_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_HAMMING_T}
+    ),
+    aedges AS (SELECT doc_a AS a, doc_b AS b FROM ajpairs
+               UNION SELECT doc_b, doc_a FROM ajpairs),
+    agnodes AS (SELECT DISTINCT a AS n FROM aedges),
+    areach(n, m) AS (
+        SELECT n, n FROM agnodes
+        UNION
+        SELECT r.n, e.b FROM areach r JOIN aedges e ON r.m = e.a
+    ),
+    acomp AS (SELECT n AS rep_id, min(m) AS component_id
+              FROM areach GROUP BY n),
+    alabeled AS (
+        SELECT f.doc_id, COALESCE(c.component_id, r.rep_id) AS component_id
+        FROM afp f JOIN areps r USING (afp) LEFT JOIN acomp c USING (rep_id)
+    ),
+    asized AS (SELECT component_id FROM alabeled
+               GROUP BY component_id HAVING count(*) >= 2)
+    SELECT l.doc_id, l.component_id
+    FROM alabeled l JOIN asized s USING (component_id)
 """
 
 
