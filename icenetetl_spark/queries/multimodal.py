@@ -537,10 +537,22 @@ def mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["mm_video_near_dup"] = mm_video_near_dup
+def mm_video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup GROUPS: star-contraction components over the
+    frame-signature Jaccard pairs — completing the components/canonical
+    default across all three media modalities (image/audio use the
+    integer-fingerprint quotient; the video pair input is already an
+    inverted-index equi-join, so components run on its output like text
+    dedup_groups)."""
+    pairs = mm_video_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return D.connected_components(pairs)
 
-ORACLES["mm_video_near_dup"] = f"""
-    WITH vdims AS (
+
+QUERIES["mm_video_near_dup"] = mm_video_near_dup
+QUERIES["mm_video_dup_groups"] = mm_video_dup_groups
+
+_VIDEO_PAIR_CTES = f"""
+    vdims AS (
         SELECT doc_id,
                1 + doc_id % 12 AS n_frames,
                4 + (doc_id % 3) * 2 AS w,
@@ -567,14 +579,33 @@ ORACLES["mm_video_near_dup"] = f"""
         FROM sig a JOIN sig b
           ON a.w = b.w AND a.h = b.h AND a.luma_sum = b.luma_sum
          AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-    SELECT doc_a, doc_b, n_shared,
-           CAST(n_shared AS DOUBLE)
-               / CAST(sa.nsig + sb.nsig - n_shared AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_shared AS DOUBLE)
-               / CAST(sa.nsig + sb.nsig - n_shared AS DOUBLE)
-          >= {VIDEO_JACCARD_T}
+        GROUP BY 1, 2),
+    vjp AS (
+        SELECT doc_a, doc_b, n_shared,
+               CAST(n_shared AS DOUBLE)
+                   / CAST(sa.nsig + sb.nsig - n_shared AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_shared AS DOUBLE)
+                   / CAST(sa.nsig + sb.nsig - n_shared AS DOUBLE)
+              >= {VIDEO_JACCARD_T})
+"""
+
+ORACLES["mm_video_near_dup"] = f"""
+    WITH {_VIDEO_PAIR_CTES}
+    SELECT doc_a, doc_b, n_shared, jaccard FROM vjp
+"""
+
+ORACLES["mm_video_dup_groups"] = f"""
+    WITH RECURSIVE {_VIDEO_PAIR_CTES},
+    vedges AS (SELECT doc_a AS a, doc_b AS b FROM vjp
+               UNION SELECT doc_b, doc_a FROM vjp),
+    vgnodes AS (SELECT DISTINCT a AS n FROM vedges),
+    vreach(n, m) AS (
+        SELECT n, n FROM vgnodes
+        UNION
+        SELECT r.n, e.b FROM vreach r JOIN vedges e ON r.m = e.a
+    )
+    SELECT n AS doc_id, min(m) AS component_id FROM vreach GROUP BY n
 """
