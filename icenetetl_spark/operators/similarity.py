@@ -121,7 +121,6 @@ def normalize_embeddings(
     vec_col: str = "embedding",
     dim: int = 64,
     out_col: str = "nv",
-    extra: list[Column] | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Project ``v / ||v||`` once per row — the stored-normalized-column
@@ -151,10 +150,7 @@ def normalize_embeddings(
             for i in range(1, dim + 1)
         ]
     )
-    cols = [F.col(id_col).alias(id_alias), nv.alias(out_col)]
-    if extra:
-        cols.extend(extra)
-    out = staged.select(*cols)
+    out = staged.select(F.col(id_col).alias(id_alias), nv.alias(out_col))
     return out.localCheckpoint(eager=False) if materialize else out
 
 

@@ -351,17 +351,33 @@ _PAIRS_CTES = f"""
 """
 
 # transitive closure of the near-dup graph (recursive CTE)
-_COMPONENTS_CTES = """
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
-              UNION SELECT doc_b, doc_a FROM jpairs),
-    gnodes AS (SELECT DISTINCT a AS n FROM edges),
-    reach(n, m) AS (
-        SELECT n, n FROM gnodes
+def closure_ctes(
+    pairs: str, out: str = "comp", out_node: str = "doc_id",
+    prefix: str = "",
+) -> str:
+    """The ONE recursive connected-components closure every groups oracle
+    shares (text, image, audio, video): edges/gnodes/reach CTEs over a
+    pair CTE named ``pairs`` (columns doc_a/doc_b), plus a final ``out``
+    CTE labeling each node with min reachable node as component_id.
+    ``prefix`` namespaces the intermediate CTE names so several closures
+    (or a closure next to same-named CTEs) can share one statement. A
+    change to the closure shape lands here once, for all oracles."""
+    p = prefix
+    return f"""
+    {p}edges AS (SELECT doc_a AS a, doc_b AS b FROM {pairs}
+              UNION SELECT doc_b, doc_a FROM {pairs}),
+    {p}gnodes AS (SELECT DISTINCT a AS n FROM {p}edges),
+    {p}reach(n, m) AS (
+        SELECT n, n FROM {p}gnodes
         UNION
-        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+        SELECT r.n, e.b FROM {p}reach r JOIN {p}edges e ON r.m = e.a
     ),
-    comp AS (SELECT n AS doc_id, min(m) AS component_id FROM reach GROUP BY n)
+    {out} AS (SELECT n AS {out_node}, min(m) AS component_id
+              FROM {p}reach GROUP BY n)
 """
+
+
+_COMPONENTS_CTES = closure_ctes("jpairs", "comp", "doc_id")
 
 ORACLES = {
     "dedup_exact": f"""

@@ -291,6 +291,7 @@ def _zarr_export_fingerprint() -> str:
     import hashlib
     import inspect
 
+    from icenetetl_spark.functions import geo
     from icenetetl_spark.plans import icenet as plans_icenet
     from icenetetl_spark.sources import fixtures, zarrstore
 
@@ -299,6 +300,10 @@ def _zarr_export_fingerprint() -> str:
         + inspect.getsource(zarrstore)
         + inspect.getsource(plans_icenet.latest_view_plan)
         + inspect.getsource(plans_icenet.normalize_forecasts)
+        # the grid/coordinate derivation shapes the store's axes: a geo
+        # or raw_axes edit must rotate the path too (review finding r7)
+        + inspect.getsource(plans_icenet.raw_axes)
+        + inspect.getsource(geo)
         + f"|{GEN_DATE}|{GRID_SIDE}"
     ).encode()
     return hashlib.md5(key).hexdigest()[:8]
@@ -359,18 +364,38 @@ def icenet_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(_ZARR_EXPORT_PATH)  # half a dir without its store
     if not os.path.isdir(_ZARR_EXPORT_PATH):
         # atomic like make_zarr_store: export into a sibling tmp dir,
-        # os.replace into place; a concurrent winner's dir is kept
+        # os.replace into place; a concurrent winner's dir is kept.
+        # Stranded tmp dirs from crashed runs (any pid, any old
+        # fingerprint) are swept here — the only writer of *.tmp.* under
+        # this prefix is this function, and a live concurrent export is
+        # by construction seconds old, so age-gate the sweep.
+        import glob
+        import time as _time
+
+        for stale in glob.glob(
+            os.path.join(os.path.dirname(_ZARR_EXPORT_PATH),
+                         "icenet_zarr_export_*.tmp.*")
+        ):
+            try:
+                if _time.time() - os.path.getmtime(stale) > 3600:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
         tmp = f"{_ZARR_EXPORT_PATH}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        export_forecasts_to_zarr(
-            forecasts, cells, tmp, compressor={"id": "zlib", "level": 1}
-        ).collect()
         try:
+            export_forecasts_to_zarr(
+                forecasts, cells, tmp, compressor={"id": "zlib", "level": 1}
+            ).collect()
             os.replace(tmp, _ZARR_EXPORT_PATH)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.isdir(store):
                 raise
+        except BaseException:
+            # failed export (task error, interrupt): never strand the tmp
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     melted = melt_zarr_stores(spark, [store])
     # fill cells arrive as NULL, not NaN: Arrow's from_pandas (under the
     # melt's mapInPandas) treats NaN in a float column as the null
@@ -392,6 +417,7 @@ def _txn_wh_fingerprint() -> str:
 
     from icenetetl_spark import catalog as catalog_mod
     from icenetetl_spark import txn as txn_mod
+    from icenetetl_spark.functions import geo
     from icenetetl_spark.plans import icenet as plans_icenet
     from icenetetl_spark.sources import fixtures
 
@@ -400,6 +426,9 @@ def _txn_wh_fingerprint() -> str:
         + inspect.getsource(txn_mod)
         + inspect.getsource(catalog_mod)
         + inspect.getsource(plans_icenet)
+        # update_geometries persists geo-derived cells into the
+        # warehouse: a geo edit must rotate the path (review finding r7)
+        + inspect.getsource(geo)
         + f"|{GEN_DATE}|{GRID_SIDE}"
     ).encode()
     return hashlib.md5(key).hexdigest()[:8]
@@ -438,6 +467,13 @@ def icenet_txn_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat = make_txn_catalog(spark, _TXN_WH_PATH)
     IceNetPipeline(cat).run(raw, attrs)
+    # bound warehouse growth across gate/bench invocations (each call
+    # commits fresh manifests + matview files): past ~50 versions,
+    # vacuum down to a retained window; min_age_s protects any
+    # concurrent in-flight run's unreferenced-but-fresh write sets
+    for t in ("cells", "forecasts", "forecast_latest", "forecast_meta"):
+        if cat.current_version(t) > 50:
+            cat.vacuum(t, keep_versions=5, min_age_s=600.0)
     latest = cat.read("forecast_latest")
     cells = cat.read("cells").select("cell_id", "centroid_x", "centroid_y")
     return latest.join(F.broadcast(cells), "cell_id").select(

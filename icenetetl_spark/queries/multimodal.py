@@ -257,7 +257,11 @@ def mm_image_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     groups = mm_image_dup_groups(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    meta = M.decode_images(M.attach_image_payload(docs)).select(
+    # decode ONLY the group members for their dimensions (the corpus was
+    # already decoded once for fingerprints inside dup_groups; a second
+    # full-corpus decode would double the dominant Python-side cost)
+    members = docs.join(groups.select("doc_id"), "doc_id")
+    meta = M.decode_images(M.attach_image_payload(members)).select(
         "doc_id", (F.col("width") * F.col("height")).alias("n_pixels")
     )
     scored = groups.join(meta, "doc_id")
@@ -321,30 +325,28 @@ ORACLES["mm_image_dhash_pairs"] = f"""
     WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
 """
 
-# Same quotient construction as the Spark plan: distinct dHashes collapse
-# to their min-doc representative, the near join + recursive closure run
-# over representatives, labels propagate back via the fingerprint map,
-# singleton components drop.
-_DUP_GROUP_CTES = f"""
-    {_DHASH_CTE},
-    reps AS (SELECT dhash, min(doc_id) AS rep_id FROM fp GROUP BY dhash),
-    jpairs AS (
+# Same quotient construction as the Spark plan: distinct fingerprints
+# collapse to their min-doc representative, the near join + recursive
+# closure (shared helper: queries/dedup.closure_ctes) run over
+# representatives, labels propagate back via the fingerprint map,
+# singleton components drop. Parameterized over the fingerprint CTE/
+# column so image (dhash) and audio (afp) share it verbatim.
+def _quotient_group_ctes(fp_cte: str, fp_col: str, threshold: int) -> str:
+    from icenetetl_spark.queries.dedup import closure_ctes
+
+    return f"""
+    reps AS (SELECT {fp_col}, min(doc_id) AS rep_id
+             FROM {fp_cte} GROUP BY {fp_col}),
+    qpairs AS (
         SELECT a.rep_id AS doc_a, b.rep_id AS doc_b
         FROM reps a JOIN reps b ON a.rep_id < b.rep_id
-        WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
+        WHERE bit_count(xor(a.{fp_col}, b.{fp_col})) <= {threshold}
     ),
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
-              UNION SELECT doc_b, doc_a FROM jpairs),
-    gnodes AS (SELECT DISTINCT a AS n FROM edges),
-    reach(n, m) AS (
-        SELECT n, n FROM gnodes
-        UNION
-        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
-    ),
-    comp AS (SELECT n AS rep_id, min(m) AS component_id FROM reach GROUP BY n),
+    {closure_ctes("qpairs", "comp", "rep_id")},
     labeled AS (
         SELECT f.doc_id, COALESCE(c.component_id, r.rep_id) AS component_id
-        FROM fp f JOIN reps r USING (dhash) LEFT JOIN comp c USING (rep_id)
+        FROM {fp_cte} f JOIN reps r USING ({fp_col})
+        LEFT JOIN comp c USING (rep_id)
     ),
     sized AS (SELECT component_id FROM labeled
               GROUP BY component_id HAVING count(*) >= 2),
@@ -352,6 +354,12 @@ _DUP_GROUP_CTES = f"""
         SELECT l.doc_id, l.component_id
         FROM labeled l JOIN sized s USING (component_id)
     )
+"""
+
+
+_DUP_GROUP_CTES = f"""
+    {_DHASH_CTE},
+    {_quotient_group_ctes("fp", "dhash", DHASH_HAMMING_T)}
 """
 
 ORACLES["mm_image_dup_groups"] = f"""
@@ -453,30 +461,8 @@ ORACLES["mm_audio_near_dup"] = f"""
 
 ORACLES["mm_audio_dup_groups"] = f"""
     WITH RECURSIVE {_AFP_CTE},
-    areps AS (SELECT afp, min(doc_id) AS rep_id FROM afp GROUP BY afp),
-    ajpairs AS (
-        SELECT a.rep_id AS doc_a, b.rep_id AS doc_b
-        FROM areps a JOIN areps b ON a.rep_id < b.rep_id
-        WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_HAMMING_T}
-    ),
-    aedges AS (SELECT doc_a AS a, doc_b AS b FROM ajpairs
-               UNION SELECT doc_b, doc_a FROM ajpairs),
-    agnodes AS (SELECT DISTINCT a AS n FROM aedges),
-    areach(n, m) AS (
-        SELECT n, n FROM agnodes
-        UNION
-        SELECT r.n, e.b FROM areach r JOIN aedges e ON r.m = e.a
-    ),
-    acomp AS (SELECT n AS rep_id, min(m) AS component_id
-              FROM areach GROUP BY n),
-    alabeled AS (
-        SELECT f.doc_id, COALESCE(c.component_id, r.rep_id) AS component_id
-        FROM afp f JOIN areps r USING (afp) LEFT JOIN acomp c USING (rep_id)
-    ),
-    asized AS (SELECT component_id FROM alabeled
-               GROUP BY component_id HAVING count(*) >= 2)
-    SELECT l.doc_id, l.component_id
-    FROM alabeled l JOIN asized s USING (component_id)
+    {_quotient_group_ctes("afp", "afp", AFP_HAMMING_T)}
+    SELECT doc_id, component_id FROM members
 """
 
 
@@ -597,15 +583,14 @@ ORACLES["mm_video_near_dup"] = f"""
     SELECT doc_a, doc_b, n_shared, jaccard FROM vjp
 """
 
+def _vclosure() -> str:
+    from icenetetl_spark.queries.dedup import closure_ctes
+
+    return closure_ctes("vjp", "vcomp", "doc_id", prefix="v")
+
+
 ORACLES["mm_video_dup_groups"] = f"""
     WITH RECURSIVE {_VIDEO_PAIR_CTES},
-    vedges AS (SELECT doc_a AS a, doc_b AS b FROM vjp
-               UNION SELECT doc_b, doc_a FROM vjp),
-    vgnodes AS (SELECT DISTINCT a AS n FROM vedges),
-    vreach(n, m) AS (
-        SELECT n, n FROM vgnodes
-        UNION
-        SELECT r.n, e.b FROM vreach r JOIN vedges e ON r.m = e.a
-    )
-    SELECT n AS doc_id, min(m) AS component_id FROM vreach GROUP BY n
+    {_vclosure()}
+    SELECT doc_id, component_id FROM vcomp
 """

@@ -153,20 +153,34 @@ def build(spark: SparkSession, factor: int) -> None:
                 ).otherwise(F.col("user_id")),
             )
         elif t == "lineitem":
-            df = df.withColumn(
-                "l_orderkey",
-                F.when(
-                    F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(5))
-                    == 0,
-                    F.lit(hot_order),
-                ).otherwise(F.col("l_orderkey")),
-            ).withColumn(
-                "l_suppkey",
-                F.when(
-                    F.pmod(F.col("l_orderkey") + F.col("l_partkey"), F.lit(5))
-                    == 1,
-                    F.lit(hot_supp),
-                ).otherwise(F.col("l_suppkey")),
+            # both hot-key predicates come from the PRE-remap columns so
+            # the two ~20% selections stay independent (remapping
+            # l_orderkey first and then selecting on it would collapse
+            # hot-supp membership of the remapped rows onto one key)
+            df = (
+                df.withColumn(
+                    "__hot_ord",
+                    F.pmod(F.col("l_orderkey") + F.col("l_linenumber"),
+                           F.lit(5)) == 0,
+                )
+                .withColumn(
+                    "__hot_sup",
+                    F.pmod(F.col("l_orderkey") + F.col("l_partkey"),
+                           F.lit(5)) == 1,
+                )
+                .withColumn(
+                    "l_orderkey",
+                    F.when(F.col("__hot_ord"), F.lit(hot_order)).otherwise(
+                        F.col("l_orderkey")
+                    ),
+                )
+                .withColumn(
+                    "l_suppkey",
+                    F.when(F.col("__hot_sup"), F.lit(hot_supp)).otherwise(
+                        F.col("l_suppkey")
+                    ),
+                )
+                .drop("__hot_ord", "__hot_sup")
             )
         elif t == "documents":
             boiler = (
@@ -183,20 +197,35 @@ def build(spark: SparkSession, factor: int) -> None:
         df.repartition(32).write.parquet(f"{SKEWED_DIR}/{t}.parquet")
 
 
-def measure(spark: SparkSession, sf_dir: str, runs: int) -> dict:
+def measure(spark: SparkSession, runs: int) -> tuple[dict, dict]:
+    """INTERLEAVED A/B in one session: per query, alternate
+    uniform/skewed reps and drop the first (cold) pair — measuring one
+    whole corpus after the other let the second benefit from a warmer
+    JVM and produced physically implausible sub-1.0 'skew ratios' (the
+    same lesson as the round-7 cosine A/B: alternate variants within a
+    session, never sequence them)."""
     queries = all_queries()
-    for t in TABLES:
-        load_table(spark, sf_dir, t).count()
-    out = {}
+    for sf_dir in (UNIFORM_DIR, SKEWED_DIR):
+        for t in TABLES:
+            load_table(spark, sf_dir, t).count()
+    uni, hot = {}, {}
     for name in SKEW_QUERIES:
         fn = queries[name]
-        samples = []
-        for _ in range(runs):
+        u_samples, s_samples = [], []
+        for _ in range(runs + 1):  # +1 cold pair, dropped below
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        out[name] = round(statistics.median(samples), 3)
-    return out
+            fn(spark, UNIFORM_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            u_samples.append(time.time() - t0)
+            t0 = time.time()
+            fn(spark, SKEWED_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            s_samples.append(time.time() - t0)
+        uni[name] = round(statistics.median(u_samples[1:]), 3)
+        hot[name] = round(statistics.median(s_samples[1:]), 3)
+    return uni, hot
 
 
 def main() -> int:
@@ -210,8 +239,7 @@ def main() -> int:
 
     spark = get_spark("icenetetl-skew-stress")
     build(spark, args.factor)
-    uni = measure(spark, UNIFORM_DIR, args.runs)
-    hot = measure(spark, SKEWED_DIR, args.runs)
+    uni, hot = measure(spark, args.runs)
 
     lines = [
         "## Skewed-key stress (tools/skew_stress.py)",
@@ -221,7 +249,8 @@ def main() -> int:
         "(~30% of events on one user, ~20% of lineitem on one "
         "orderkey/suppkey, a boilerplate sentence on every 3rd document "
         "— see the tool docstring). Ratio = skewed / uniform wall, "
-        f"median of {args.runs}; the mitigation column names the lever "
+        f"INTERLEAVED A/B reps in one session, median of {args.runs} "
+        "after dropping the cold pair; the mitigation column names the lever "
         "that bounds the outlier (AQE skew-join split and adaptive "
         "coalescing are ON in session.py for every run).",
         "",
