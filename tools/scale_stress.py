@@ -88,8 +88,10 @@ STRESS_QUERIES = [
     "ev_top_paths",
     # round-7: the components/canonical replacement for quadratic-output
     # media pair materialization (exact-duplicate quotient bounds every
-    # super-linear stage by the DISTINCT fingerprint count)
+    # super-linear stage by the DISTINCT fingerprint count), and the
+    # stored-normalized-column knn plan (materialized prenorm sides)
     "mm_image_dup_groups",
+    "knn_bruteforce_prenorm",
 ]
 
 
