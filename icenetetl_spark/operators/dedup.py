@@ -431,7 +431,10 @@ def lsh_probe_pairs(index: DataFrame, new_index: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the K-column signature into ``bands`` groups of K/bands rows;
     documents agreeing on ALL rows of any band become a candidate pair.
@@ -439,8 +442,27 @@ def lsh_candidate_pairs(
     Returns distinct (doc_a, doc_b), doc_a < doc_b. The band self-join is an
     equi-join on (band_idx, band_signature) — hash-partitioned, distributed.
     (The num_hashes/bands divisibility guard lives in lsh_band_index.)
-    """
+
+    ``max_bucket`` is the hot-band-bucket skew lever (the df-cap idea
+    applied to band keys): a (band_idx, band_sig) bucket of n docs emits
+    n(n-1)/2 candidates, so boilerplate-heavy corpora concentrate
+    quadratic work in a few buckets (measured 1.21x wall under the
+    SCALING.md skew stress at sf1=10x with a third of docs sharing one
+    sentence). Buckets larger than the cap are DROPPED before the join —
+    an explicit recall trade: members of an over-cap bucket are near-dups
+    of so many docs they almost always share another (smaller) band
+    bucket, and the docs a cap could orphan are exactly the mega-cluster
+    boilerplate a pipeline should route to dedup_exact/components
+    instead. Default None keeps the exact semantics the oracle gates."""
     banded = lsh_band_index(signatures, num_hashes, bands)
+    if max_bucket is not None:
+        sizes = (
+            banded.groupBy("band_idx", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band_idx", "band_sig")
+        )
+        banded = banded.join(sizes, ["band_idx", "band_sig"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (

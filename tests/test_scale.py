@@ -299,3 +299,40 @@ def test_zorder_key_empty_table_is_noop(spark):
     df2 = spark.createDataFrame([(None, 1.0), (None, 2.0)], "a double, b double")
     out = df2.select(zorder_key(df2, ["a", "b"]).alias("z")).collect()
     assert [r["z"] for r in out] == [0, 0]
+
+
+def test_lsh_band_bucket_cap_drops_only_hot_buckets(spark):
+    """max_bucket (the hot-band-bucket skew lever): capped candidates are
+    a subset of the uncapped ones; pairs whose every shared band bucket
+    is over the cap disappear, pairs sharing any small bucket survive."""
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    # 6 boilerplate clones (one mega band bucket) + 2 distinct near-dups
+    rows = [(i, "common boiler plate text repeated verbatim") for i in range(6)]
+    rows += [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(word_shingles(docs, n=3), num_hashes=16)
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, 16, 4).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, 16, 4, max_bucket=4).collect()
+    }
+    assert capped <= full
+    # the 6-clone mega bucket (15 pairs) is gone...
+    assert not any(a < 6 and b < 6 for a, b in capped)
+    assert any(a < 6 and b < 6 for a, b in full)
+    # ...while pairs from small buckets survive untouched
+    assert ((10, 11) in capped) == ((10, 11) in full)
