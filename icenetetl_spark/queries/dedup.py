@@ -63,6 +63,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
 
 
+# Hot-band-bucket cap for the gated lever query: non-vacuous at the
+# sf0.01 gate scale (max observed bucket = 3 docs, so cap=2 actually
+# drops a bucket); production sets this orders of magnitude higher —
+# the point of the gate is the SEMANTICS of dropping over-cap buckets.
+LSH_MAX_BUCKET = 2
+
+
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-band-bucket skew lever UNDER THE HASH GATE (the
+    dedup_substring_sampled pattern: the approximation itself is
+    value-gated): band buckets larger than LSH_MAX_BUCKET are dropped
+    before the candidate self-join, bounding the quadratic per-bucket
+    pair work boilerplate-heavy corpora concentrate into a few buckets
+    (1.21x wall at the 10x skew stress — SCALING.md). The oracle mirrors
+    the cap as a HAVING count(*) filter on the same band keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(D.word_shingles(docs, n=NGRAM_N), NUM_HASHES)
+    return D.lsh_candidate_pairs(
+        sigs, NUM_HASHES, BANDS, max_bucket=LSH_MAX_BUCKET
+    )
+
+
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates with MinHash-estimated Jaccard (signature-agreement
     fraction) — the estimate step that prunes candidates without re-touching
@@ -256,6 +278,7 @@ QUERIES = {
     "dedup_substring_sampled": dedup_substring_sampled,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_simhash": dedup_simhash,
@@ -525,6 +548,22 @@ ORACLES = {
           ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
         WHERE a.doc_id % {INCR_MOD} = 0 OR b.doc_id % {INCR_MOD} = 0
+    """,
+    "dedup_minhash_lsh_capped": f"""
+        WITH {_SHINGLES_CTE},
+        {_minhash_sig_sql()},
+        banded AS ({_banded_sql()}),
+        keepb AS (
+            SELECT band_idx, band_sig FROM banded
+            GROUP BY band_idx, band_sig
+            HAVING count(*) <= {LSH_MAX_BUCKET}
+        ),
+        cb AS (SELECT banded.* FROM banded JOIN keepb
+               USING (band_idx, band_sig))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cb a JOIN cb b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
     """,
     "dedup_minhash_estimate": f"""
         WITH {_SHINGLES_CTE},
