@@ -229,3 +229,96 @@ def asof_join(
     return u.filter(F.col("__side") == 1).drop(
         "__side", *[f"__v_{c}" for c in value_cols]
     )
+
+
+def sessionize_two_phase(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_s: int = 1800,
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Gap-based sessionization WITHOUT a per-user event window — the
+    hot-key lever the skew stress table (SCALING.md) names for
+    ``ev_sessionize``, where one user with 30% of all events serializes a
+    single window task.
+
+    Two phases, both gaps-and-islands:
+
+    1. **Local**: partition by ``(user, floor(epoch/bucket_s))`` — a hot
+       user's history is spread over ~#buckets tasks — and sessionize
+       within each bucket, then collapse each local session to one
+       summary row (n, min_ts, max_ts).
+    2. **Stitch**: re-run the identical gaps-and-islands over the summary
+       rows per user, ordered by start time. Within a bucket, adjacent
+       local sessions are separated by > ``gap_s`` BY CONSTRUCTION, so
+       the stitch merges exactly the cross-bucket boundary pairs whose
+       true inter-event gap is <= ``gap_s`` — the result is provably
+       identical to the single-window plan for ANY ``bucket_s`` (the
+       bucket width tunes parallelism, never correctness; equality is
+       pinned in tests/test_temporal.py and the gated query reuses
+       ev_sessionize's oracle verbatim).
+
+    The phase-2 window is per-user over LOCAL SESSIONS, not events: for
+    the skewed case that matters (a hot user with dense activity) the
+    session count is orders of magnitude below the event count, so the
+    straggler task shrinks proportionally. Degenerate worst case (every
+    event its own session, e.g. a user who fires one event per hour for
+    years) leaves phase 2 with one row per session — still far cheaper
+    per row than phase 1, and bounded by ``bucket_s``-width slices in
+    phase 1 regardless.
+
+    Returns (user_id, session_idx, n_events, duration_s) — the
+    ev_sessionize contract: session_idx is the 1-based rank of the
+    session in the user's timeline, duration the epoch-second span.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    ev = df.select(
+        F.col(user_col).alias("user_id"),
+        epoch.alias("__ep"),
+        F.col(tiebreak_col).alias("__tb"),
+        (epoch / F.lit(bucket_s)).cast("long").alias("__bk"),
+    )
+    w1 = Window.partitionBy("user_id", "__bk").orderBy("__ep", "__tb")
+    prev = F.lag("__ep").over(w1)
+    new_local = F.when(
+        prev.isNull() | ((F.col("__ep") - prev) > gap_s), 1
+    ).otherwise(0)
+    loc = (
+        ev.withColumn(
+            "__lidx",
+            F.sum(new_local).over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "__bk", "__lidx")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__ep").alias("__mn"),
+            F.max("__ep").alias("__mx"),
+        )
+    )
+    # Stitch: local sessions are disjoint, time-ordered intervals; merge
+    # consecutive ones whose boundary gap is <= gap_s. min/max start at
+    # distinct epochs per user (the bucket is a function of the epoch), so
+    # the (mn, mx) order is total and deterministic.
+    w2 = Window.partitionBy("user_id").orderBy("__mn", "__mx")
+    prev_mx = F.lag("__mx").over(w2)
+    new_global = F.when(
+        prev_mx.isNull() | ((F.col("__mn") - prev_mx) > gap_s), 1
+    ).otherwise(0)
+    return (
+        loc.withColumn(
+            "session_idx",
+            F.sum(new_global)
+            .over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.sum("__n").alias("n_events"),
+            (F.max("__mx") - F.min("__mn")).cast("long").alias("duration_s"),
+        )
+        .withColumn("n_events", F.col("n_events").cast("long"))
+    )

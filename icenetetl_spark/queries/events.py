@@ -890,3 +890,25 @@ ORACLES["ev_rate_spike"] = f"""
                > s.mean_n + CAST({RATE_Z} AS DOUBLE) * s.sigma AS spike
     FROM counts c JOIN s2 s USING (event_type)
 """
+
+
+def ev_sessionize_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-user lever for sessionization, under the hash gate: the
+    skew stress table (SCALING.md) measured ev_sessionize at 1.39x with
+    30% of events on one user because the per-user window serializes that
+    user's whole history into one task. sessionize_two_phase splits phase
+    1 by (user, day-bucket) and stitches local sessions per user — the
+    straggler shrinks from the user's event count to its session count.
+    Output is provably identical for any bucket width (equality vs the
+    window plan is pinned in tests/test_temporal.py), so this row reuses
+    ev_sessionize's oracle SQL verbatim."""
+    from icenetetl_spark.operators.temporal import sessionize_two_phase
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_two_phase(
+        ev, "user_id", "ts", "event_id", gap_s=1800, bucket_s=86400
+    )
+
+
+QUERIES["ev_sessionize_two_phase"] = ev_sessionize_two_phase
+ORACLES["ev_sessionize_two_phase"] = ORACLES["ev_sessionize"]

@@ -143,3 +143,79 @@ def test_gapfill_interpolate_linear_values(spark):
         20: (3.0, True),
         30: (4.0, False),
     }
+
+
+def test_sessionize_two_phase_equals_window_plan(spark):
+    """Frame equality vs the single-window gaps-and-islands, including a
+    session that spans bucket boundaries (and with a bucket width SMALLER
+    than the gap, the adversarial setting: correctness must not depend on
+    bucket_s >= gap_s)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from icenetetl_spark.operators.temporal import sessionize_two_phase
+
+    rows = []
+    eid = 0
+    # user 1: a long session straddling many 60s buckets (gaps of 40s),
+    # then a >gap silence, then a burst inside one bucket
+    t = 1_000_000
+    for _ in range(20):
+        rows.append((1, eid, t)); eid += 1; t += 40
+    t += 5_000
+    for _ in range(5):
+        rows.append((1, eid, t)); eid += 1; t += 1
+    # user 2: every event its own session (gap 10_000 > 1800)
+    t = 2_000_000
+    for _ in range(4):
+        rows.append((2, eid, t)); eid += 1; t += 10_000
+    # user 3: boundary pair — last event of one bucket and first of the
+    # next exactly gap_s apart (merge is > gap, so these DO merge)
+    rows.append((3, eid, 3_000_000)); eid += 1
+    rows.append((3, eid, 3_000_000 + 1800)); eid += 1
+    rows.append((3, eid, 3_000_000 + 1800 + 1801)); eid += 1  # new session
+
+    df = spark.createDataFrame(
+        [(u, e, float(ts)) for u, e, ts in rows],
+        "user_id long, event_id long, ep double",
+    ).select(
+        "user_id", "event_id", F.col("ep").cast("timestamp").alias("ts")
+    )
+
+    def window_plan(ev, gap_s):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+        prev = F.lag(ep).over(w)
+        new_s = F.when(prev.isNull() | ((ep - prev) > gap_s), 1).otherwise(0)
+        sid = F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            ev.select("user_id", sid.alias("session_idx"), ep.alias("ep"))
+            .groupBy("user_id", "session_idx")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.max("ep") - F.min("ep")).cast("long").alias("duration_s"),
+            )
+            .withColumn("session_idx", F.col("session_idx").cast("long"))
+            .withColumn("n_events", F.col("n_events").cast("long"))
+        )
+
+    expected = sorted(
+        tuple(r) for r in window_plan(df, 1800).collect()
+    )
+    for bucket_s in (60, 1800, 86400):  # narrower, equal, wider than gap
+        got = sorted(
+            tuple(r)
+            for r in sessionize_two_phase(
+                df, gap_s=1800, bucket_s=bucket_s
+            ).collect()
+        )
+        assert got == expected, f"bucket_s={bucket_s}"
+    # sanity on the constructed shape
+    by_user = {}
+    for u, sid, n, d in expected:
+        by_user.setdefault(u, []).append((sid, n, d))
+    assert sorted(by_user[1]) == [(1, 20, 760), (2, 5, 4)]
+    assert len(by_user[2]) == 4
+    assert sorted(by_user[3]) == [(1, 2, 1800), (2, 1, 0)]

@@ -58,19 +58,22 @@ SKEWED_DIR = "/tmp/icenetetl-skew-hot"
 SKEW_QUERIES = [
     "ev_top_users",       # hot groupBy key
     "ev_sessionize",      # hot window partition
+    "ev_sessionize_two_phase",  # ...and its gated lever, measured side-by-side
     "q18_large_orders",   # hot agg-then-join key
     "j_salted_join",      # hot equi-join key, salting lever gated on
     "dedup_groups",       # hot shingles, df-cap lever
     "dedup_minhash_lsh",  # hot shingles through the banded self-join
+    "dedup_minhash_lsh_capped",  # ...and the gated band-bucket-cap lever
 ]
 
 # one-line mitigation per query for any outlier ratio (printed into the
 # table so the reader sees the lever next to the number)
 MITIGATION = {
     "ev_top_users": "partial agg combines the hot key map-side; no lever needed",
-    "ev_sessionize": "hot user serializes one window task; lever: sessionize in"
-    " applyInPandasWithState (streaming/stateful.py) or split sessions by"
-    " (user, day) composite partition key",
+    "ev_sessionize": "hot user serializes one window task; lever: the"
+    " two-phase row below (or applyInPandasWithState in streaming)",
+    "ev_sessionize_two_phase": "the lever, gated: phase 1 windows on"
+    " (user, day-bucket), stitch over session summaries — identical output",
     "q18_large_orders": "AQE skew-join split (on in session.py) rebalances the"
     " post-agg join; the groupBy side combines map-side",
     "j_salted_join": "this IS the lever: deterministic salting spreads the hot"
@@ -78,7 +81,9 @@ MITIGATION = {
     "dedup_groups": "df-cap (cap_document_frequency) drops shingles shared by"
     " >cap docs before the pair join — boilerplate never joins",
     "dedup_minhash_lsh": "band buckets of boilerplate-heavy docs grow; lever:"
-    " cap band-bucket size (same df-cap idea on band keys)",
+    " the capped row below (df-cap idea on band keys)",
+    "dedup_minhash_lsh_capped": "the lever, gated: over-cap band buckets"
+    " dropped before the candidate self-join (dedup_minhash_lsh_capped)",
 }
 
 
