@@ -128,3 +128,60 @@ def test_gapfill_locf_laws(spark, obs):
             else:
                 model[(k, b)] = (last, True)
     assert got == model
+
+
+# --- two-phase sessionization vs a pure-Python model ---------------------
+
+ev_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=500_000),    # epoch seconds
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _model_sessions(rows, gap_s):
+    """Independent reference: per user, chain time-sorted events whose
+    gap <= gap_s; emit (user, 1-based session rank, n, duration)."""
+    out = []
+    by_user = {}
+    for eid, (u, ep) in enumerate(rows):
+        by_user.setdefault(u, []).append((ep, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, n, start, prev = 0, 0, None, None
+        for ep, _ in evs:
+            if prev is None or ep - prev > gap_s:
+                if sid:
+                    out.append((u, sid, n, prev - start))
+                sid, n, start = sid + 1, 0, ep
+            n += 1
+            prev = ep
+        if sid:
+            out.append((u, sid, n, prev - start))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=ev_rows, bucket_s=st.sampled_from([7, 1800, 86400]))
+def test_sessionize_two_phase_matches_model(spark, rows, bucket_s):
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.temporal import sessionize_two_phase
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(u, eid, float(ep)) for eid, (u, ep) in enumerate(rows)],
+        "user_id long, event_id long, ep double",
+    ).select(
+        "user_id", "event_id", F.col("ep").cast("timestamp").alias("ts")
+    )
+    got = sorted(
+        (r["user_id"], r["session_idx"], r["n_events"], r["duration_s"])
+        for r in sessionize_two_phase(df, gap_s=1800, bucket_s=bucket_s)
+        .collect()
+    )
+    assert got == _model_sessions(rows, 1800)
