@@ -1362,3 +1362,40 @@ ORACLES["corpus_quality_topfrac"] = f"""
     SELECT k.source, t.n_docs, k.n_kept, k.quality_floor
     FROM kept k JOIN totals t USING (source)
 """
+
+
+SHUFFLE_SALT = "epoch7:"
+
+
+def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-salted global shuffle — the training-order
+    permutation step of a data pipeline (each epoch re-salts and the whole
+    corpus re-permutes reproducibly; any worker can recompute any
+    position). position = rank of md5(salt || doc_id), assigned WITHOUT a
+    single-partition ``row_number() OVER (ORDER BY ...)`` window:
+    ``sequential_id``'s distributed prefix sum range-partitions on the
+    hash key and adds k-row per-partition offsets, so the permutation of
+    a 100 TB corpus never funnels through one task. Hash-gated: the
+    oracle ranks the identical md5 keys."""
+    from icenetetl_spark.operators.sampling import sequential_id
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))),
+    )
+    return sequential_id(
+        keyed, ["shuffle_key", "doc_id"], id_col="position"
+    ).select("doc_id", "shuffle_key", "position")
+
+
+QUERIES["doc_global_shuffle"] = doc_global_shuffle
+
+ORACLES["doc_global_shuffle"] = f"""
+    SELECT doc_id,
+           md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS BIGINT) AS position
+    FROM documents
+"""
