@@ -30,6 +30,13 @@ FLOAT_SENSITIVE = [
     "text_bigram_logprob",
     "text_tfidf_keywords",
     "knn_recall_report",
+    # round-7 ordering-sensitive paths: the distributed-prefix-sum global
+    # shuffle (range partitioner samples boundaries — positions must not
+    # depend on how many partitions it lands on), the two-phase sessionize
+    # stitch, and the count-based band-bucket cap
+    "doc_global_shuffle",
+    "ev_sessionize_two_phase",
+    "dedup_minhash_lsh_capped",
 ]
 
 

@@ -92,6 +92,11 @@ STRESS_QUERIES = [
     # stored-normalized-column knn plan (materialized prenorm sides)
     "mm_image_dup_groups",
     "knn_bruteforce_prenorm",
+    # round-7 late additions: the hot-user sessionize lever and the
+    # distributed-prefix-sum global shuffle (range exchange + k-row
+    # offset broadcast — the stage count must not grow with volume)
+    "ev_sessionize_two_phase",
+    "doc_global_shuffle",
 ]
 
 
