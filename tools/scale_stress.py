@@ -197,24 +197,41 @@ def _warmup(spark: SparkSession, sf_dir: str) -> None:
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
 
 
-def measure(spark: SparkSession, sf_dir: str, runs: int) -> dict:
+def _run_once(fn, spark: SparkSession, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def measure_interleaved(
+    spark: SparkSession, base_dir: str, big_dir: str, runs: int
+) -> tuple[dict, dict]:
+    """Per query: one untimed warmup at each size (codegen compile + page
+    cache for THIS plan — the first execution is routinely 2-5x the steady
+    state and is not what a long-running job pays), then ``runs`` timed
+    reps ALTERNATING 1x/10x. Interleaving makes the ratio compare
+    temporally-adjacent samples, so minutes-scale ambient noise on this
+    shared host (see SCALING.md "Same-code bench variance") inflates both
+    sides instead of silently multiplying one of them — a block design
+    measured dedup_paragraphs at 9x twice while the isolated warm ratio
+    is 1.6x."""
     queries = all_queries()
-    _warmup(spark, sf_dir)
-    out = {}
+    _warmup(spark, base_dir)
+    _warmup(spark, big_dir)
+    base_out, big_out = {}, {}
     for name in STRESS_QUERIES:
         fn = queries[name]
-        shuffles, broadcasts = _exchanges(fn(spark, sf_dir))
-        samples = []
+        for sf_dir, out in ((base_dir, base_out), (big_dir, big_out)):
+            shuffles, broadcasts = _exchanges(fn(spark, sf_dir))
+            out[name] = {"shuffles": shuffles, "broadcasts": broadcasts}
+            _run_once(fn, spark, sf_dir)  # warmup, dropped
+        base_samples, big_samples = [], []
         for _ in range(runs):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        out[name] = {
-            "sec": round(statistics.median(samples), 3),
-            "shuffles": shuffles,
-            "broadcasts": broadcasts,
-        }
-    return out
+            base_samples.append(_run_once(fn, spark, base_dir))
+            big_samples.append(_run_once(fn, spark, big_dir))
+        base_out[name]["sec"] = round(statistics.median(base_samples), 3)
+        big_out[name]["sec"] = round(statistics.median(big_samples), 3)
+    return base_out, big_out
 
 
 def main() -> int:
@@ -227,8 +244,7 @@ def main() -> int:
 
     spark = get_spark("icenetetl-scale-stress")
     scaled = build_scaled(spark, args.factor)
-    base = measure(spark, BASE_SF, args.runs)
-    big = measure(spark, scaled, args.runs)
+    base, big = measure_interleaved(spark, BASE_SF, scaled, args.runs)
 
     lines = [
         "# SCALING — measured 10x stress (tools/scale_stress.py)",
@@ -236,7 +252,10 @@ def main() -> int:
         f"Base = sf0.1 ({BASE_SF}); scaled = {args.factor}x perturbed copies "
         f"(see the tool docstring for the perturbation that keeps dedup/ANN "
         f"candidate structure realistic). local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], "
-        f"median of {args.runs} runs, noop sink. Exchange counts from the "
+        f"median of {args.runs} timed runs per size after one dropped "
+        f"warmup execution per (query, size), 1x/10x reps INTERLEAVED so "
+        f"ambient host noise hits both sides of each ratio, noop sink. "
+        "Exchange counts from the "
         "physical plan: identical counts at both sizes = the plan shape is "
         "data-size-independent (no operator silently switches strategy or "
         "adds a shuffle when the data grows).",
