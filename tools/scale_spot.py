@@ -4,7 +4,8 @@ decade further, for a subset of queries whose tables stay buildable at
 tables at 100x would be a multi-GB write that measures the disk, not the
 plans).
 
-Same perturbation, same measurement (median wall over --runs, noop sink,
+Same perturbation, same measurement (interleaved 1x/100x reps with one
+dropped warmup per (query, size), median wall over --runs, noop sink,
 exchange counts from the physical plan). Results are APPENDED to
 SCALING.md as a hand-maintained section (scale_stress.py preserves
 everything from the first "## " heading on).
@@ -29,7 +30,7 @@ from tools.scale_stress import (  # noqa: E402
     BASE_SF,
     _copies,
     _perturb_text,
-    measure,
+    measure_interleaved,
 )
 import tools.scale_stress as stress  # noqa: E402
 
@@ -42,6 +43,12 @@ SPOT_QUERIES = [
     "knn_bruteforce",
     "ev_window_rollup",
     "ev_sessionize",
+    # round-7: the hot-user sessionize lever (bounded per-task state must
+    # show up as a ratio <= the window plan's as volume grows) and the
+    # distributed-prefix-sum global shuffle (range exchange + k-row offset
+    # broadcast; a single-partition window would serialize at 100x)
+    "ev_sessionize_two_phase",
+    "doc_global_shuffle",
 ]
 
 
@@ -107,11 +114,10 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
-    stress.STRESS_QUERIES = SPOT_QUERIES  # measure() iterates this list
+    stress.STRESS_QUERIES = SPOT_QUERIES  # measure_interleaved iterates this
     spark = get_spark("icenetetl-scale-spot")
     scaled = build_scaled_subset(spark, args.factor)
-    base = measure(spark, BASE_SF, args.runs)
-    big = measure(spark, scaled, args.runs)
+    base, big = measure_interleaved(spark, BASE_SF, scaled, args.runs)
     spark.stop()
 
     # Derive the headline claim FROM the measurements (the round-6 review
@@ -139,8 +145,9 @@ def main() -> int:
         f"## {args.factor}x spot check (tools/scale_spot.py)",
         "",
         f"The same perturbed-copy construction one decade further "
-        f"({args.factor}x documents/embeddings/events; median of "
-        f"{args.runs}, noop sink). " + ratio_claim + " One plan adapts "
+        f"({args.factor}x documents/embeddings/events; interleaved "
+        f"1x/{args.factor}x reps, one dropped warmup per (query, size), "
+        f"median of {args.runs}, noop sink). " + ratio_claim + " One plan adapts "
         "by design: dedup_minhash_lsh's band "
         "self-join is broadcast by the planner while the signature table "
         "is tiny (1x) and becomes the designed hash-partitioned "
