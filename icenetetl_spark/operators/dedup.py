@@ -446,23 +446,34 @@ def lsh_candidate_pairs(
     ``max_bucket`` is the hot-band-bucket skew lever (the df-cap idea
     applied to band keys): a (band_idx, band_sig) bucket of n docs emits
     n(n-1)/2 candidates, so boilerplate-heavy corpora concentrate
-    quadratic work in a few buckets (measured 1.21x wall under the
-    SCALING.md skew stress at sf1=10x with a third of docs sharing one
-    sentence). Buckets larger than the cap are DROPPED before the join —
-    an explicit recall trade: members of an over-cap bucket are near-dups
-    of so many docs they almost always share another (smaller) band
-    bucket, and the docs a cap could orphan are exactly the mega-cluster
-    boilerplate a pipeline should route to dedup_exact/components
-    instead. Default None keeps the exact semantics the oracle gates."""
+    quadratic work in a few buckets (SCALING.md's skew stress measures the
+    uncapped plan at 1.07x wall at 10x volume with a third of docs sharing
+    one sentence — mild there because the synthetic boilerplate lands in a
+    handful of bands, but per-bucket work is quadratic in bucket size by
+    construction, so the cap is the bound that keeps a real mega-cluster
+    from emitting corpus-squared candidates). Buckets larger than the cap
+    are DROPPED before the join — an explicit recall trade: members of an
+    over-cap bucket are near-dups of so many docs they almost always share
+    another (smaller) band bucket, and the docs a cap could orphan are
+    exactly the mega-cluster boilerplate a pipeline should route to
+    dedup_exact/components instead. Default None keeps the exact semantics
+    the oracle gates.
+
+    The cap is a count WINDOW over the band key, not a groupBy+join
+    (same rationale as scale.cap_document_frequency): one hash shuffle
+    instead of two, and the filtered output stays hash-partitioned on
+    (band_idx, band_sig) so the band self-join that follows reuses the
+    exchange instead of reshuffling both sides."""
+    from pyspark.sql.window import Window
+
     banded = lsh_band_index(signatures, num_hashes, bands)
     if max_bucket is not None:
-        sizes = (
-            banded.groupBy("band_idx", "band_sig")
-            .agg(F.count(F.lit(1)).alias("__n"))
+        w = Window.partitionBy("band_idx", "band_sig")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(w))
             .filter(F.col("__n") <= max_bucket)
-            .select("band_idx", "band_sig")
+            .drop("__n")
         )
-        banded = banded.join(sizes, ["band_idx", "band_sig"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (

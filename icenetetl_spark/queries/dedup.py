@@ -76,7 +76,9 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-gated): band buckets larger than LSH_MAX_BUCKET are dropped
     before the candidate self-join, bounding the quadratic per-bucket
     pair work boilerplate-heavy corpora concentrate into a few buckets
-    (1.21x wall at the 10x skew stress — SCALING.md). The oracle mirrors
+    (the SCALING.md skew table measures the uncapped plan at 1.07x on the
+    synthetic boilerplate corpus; the cap is the by-construction bound
+    for real mega-cluster skew). The oracle mirrors
     the cap as a HAVING count(*) filter on the same band keys."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(D.word_shingles(docs, n=NGRAM_N), NUM_HASHES)
