@@ -49,8 +49,11 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lag() over (user, time) -> boundary flag -> running SUM = session index;
     per-user window shuffle is keyed by user_id, so at scale this distributes
-    across executors (no global window). Streaming twin: session windows /
-    applyInPandasWithState.
+    across executors (no global window). Hot-user lever with identical
+    output: operators/temporal.sessionize_two_phase (gated as
+    ev_sessionize_two_phase). Streaming twin:
+    streaming/stateful.sessionize_stream (constant-size per-user state,
+    pinned equal to this plan in tests/test_stateful.py).
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

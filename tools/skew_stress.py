@@ -71,7 +71,7 @@ SKEW_QUERIES = [
 MITIGATION = {
     "ev_top_users": "partial agg combines the hot key map-side; no lever needed",
     "ev_sessionize": "hot user serializes one window task; lever: the"
-    " two-phase row below (or applyInPandasWithState in streaming)",
+    " two-phase row below (or streaming/stateful.sessionize_stream)",
     "ev_sessionize_two_phase": "the lever, gated: phase 1 windows on"
     " (user, day-bucket), stitch over session summaries — identical output",
     "q18_large_orders": "AQE skew-join split (on in session.py) rebalances the"
