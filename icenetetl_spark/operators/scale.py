@@ -55,6 +55,92 @@ def salted_join(
     return out.drop("__salt")
 
 
+def bloom_bitmap(
+    build: DataFrame,
+    key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> list[int]:
+    """Build a Bloom-filter bitmap (as int64 words) over ``build[key]``.
+
+    The distributed part is one distinct over at most ``m_bits`` bit
+    positions — the collect is bounded by the BITMAP size, never by the
+    build table's cardinality, so driver state stays metadata-sized
+    (m_bits=2^16 -> at most 64k ints -> 1024 words) whether the build side
+    has a thousand keys or a billion. This is the same shape Spark's own
+    runtime row-group filtering uses (SPARK-32268: aggregate a bloom on
+    the executors, ship the bitmap, filter the probe scan); here it is an
+    explicit operator so a pipeline can build the bitmap ONCE and prefilter
+    many probe tables against it.
+
+    k hash positions per key come from xxhash64 seeded by term index —
+    JVM-side, zero Python in the hot path. NULL keys never equi-join, so
+    callers pair this with an exact join that drops them (false positives
+    are expected and harmless by contract; false negatives are impossible:
+    every non-null build key sets all k of its bits).
+    """
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    pos = [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+    rows = (
+        build.select(F.explode(F.array(*pos)).alias("p")).distinct().collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    # int64 two's complement: bit 63 set would overflow F.lit's LongType
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    words: list[int],
+    key: str,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Keep only ``probe`` rows whose ``key`` MIGHT be in the bloom bitmap
+    (superset-of-matches guarantee: false positives pass, true matches
+    always pass). Pure column arithmetic — the bit tests are getbit over an
+    array<long> literal, so the filter runs inside the scan stage BEFORE
+    any exchange: at 100 TB this is the lever that keeps a selective
+    big-big join from shuffling the entire probe table."""
+    m_bits = len(words) * 64
+    lit_words = F.lit(words)
+    cond = None
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        word = F.element_at(lit_words, (p / F.lit(64)).cast("int") + F.lit(1))
+        hit = F.getbit(word, F.pmod(p, F.lit(64)).cast("int")) == 1
+        cond = hit if cond is None else cond & hit
+    return probe.filter(cond)
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join ``probe`` to ``build`` on ``key`` with a Bloom prefilter:
+    result rows are EXACTLY the plain left-semi join's (the exact join
+    removes bloom false positives and NULL-key passthroughs), but the rows
+    entering the join exchange are only the bitmap survivors. Use when the
+    build side is too large to broadcast as a hash relation yet its BITMAP
+    fits anywhere (it always does: m_bits is fixed), and the probe side is
+    the 100-TB table. Bitmap internals never affect the result, so the
+    fast JVM xxhash64 is used without any oracle-reproducibility cost."""
+    words = bloom_bitmap(build, key, m_bits=m_bits, k_hashes=k_hashes)
+    pre = bloom_prefilter(probe, words, key, k_hashes=k_hashes)
+    return pre.join(build.select(key), key, "left_semi")
+
+
 def cap_document_frequency(
     postings: DataFrame,
     max_df: int,

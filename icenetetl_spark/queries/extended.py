@@ -177,8 +177,30 @@ def j_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
 
 
+def j_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/scale.bloom_semi_join):
+    lineitem rows whose order cleared a selective price bar. The bitmap of
+    qualifying orderkeys is built distributed and collected bounded by the
+    BITMAP size (2^16 bits), then probe rows are bit-tested inside the scan
+    stage before any exchange — Bloom (CACM 1970) as Spark's runtime-filter
+    idea (SPARK-32268) made an explicit, reusable operator. The DuckDB
+    oracle is the plain EXISTS semi join, so the gate proves the bloom path
+    (false positives + exact-join cleanup) is result-transparent."""
+    from icenetetl_spark.operators.scale import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return bloom_semi_join(li, build, "l_orderkey")
+
+
 QUERIES = {
     "j_salted_join": j_salted_join,
+    "j_bloom_semi_join": j_bloom_semi_join,
     "q4_semi_join": q4_semi_join,
     "q13_cust_distribution": q13_cust_distribution,
     "q16_distinct_suppliers": q16_distinct_suppliers,
@@ -192,6 +214,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "j_bloom_semi_join": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey = l_orderkey
+                        AND o_totalprice > 400000)
+    """,
     "j_salted_join": """
         SELECT l_orderkey, l_linenumber, l_suppkey, s_name
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 
 from icenetetl_spark.operators.dedup import jaccard_pairs, word_shingles
 from icenetetl_spark.operators.scale import (
+    bloom_bitmap,
+    bloom_prefilter,
+    bloom_semi_join,
     cap_document_frequency,
     salted_join,
     write_bucketed,
@@ -105,6 +108,90 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert "Exchange hashpartitioning" in plan_raw
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_semi_join_matches_plain_semi_join(spark):
+    probe = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    build = spark.range(5000).filter(F.col("id") % 97 == 0).select(F.col("id").alias("k"))
+    plain = sorted(map(tuple, probe.join(build, "k", "left_semi").collect()))
+    bloom = sorted(map(tuple, bloom_semi_join(probe, build, "k").collect()))
+    assert bloom == plain and len(bloom) > 0
+
+
+def test_bloom_prefilter_is_superset_and_selective(spark):
+    """No false negatives ever (every true match survives the prefilter);
+    and on a selective build side the bitmap must actually drop most probe
+    rows — otherwise the operator saves no shuffle."""
+    probe = spark.range(20000).select(F.col("id").alias("k"))
+    build = spark.range(20000).filter(F.col("id") % 500 == 0).select(
+        F.col("id").alias("k")
+    )
+    words = bloom_bitmap(build, "k")
+    pre = {r["k"] for r in bloom_prefilter(probe, words, "k").collect()}
+    true_keys = {r["k"] for r in build.collect()}
+    assert true_keys <= pre
+    # 40 true keys, 3 hashes into 2^16 bits: fp rate ~(120/65536)^3 — the
+    # prefilter should pass barely more than the true matches
+    assert len(pre) < 20000 * 0.01
+
+
+def test_bloom_bitmap_driver_state_is_bounded(spark):
+    """The collect is bounded by the bitmap, not the build cardinality:
+    a build side far bigger than m_bits still yields exactly m_bits/64
+    int64-range words (two's complement for bit 63)."""
+    big_build = spark.range(300000).select(F.col("id").alias("k"))
+    words = bloom_bitmap(big_build, "k", m_bits=1 << 10)
+    assert len(words) == (1 << 10) // 64
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
+    # 300k keys into 1024 bits saturates the filter: every bit set
+    assert all(w == -1 for w in words)
+
+
+def test_bloom_prefilter_runs_below_the_join_exchange(spark):
+    """The point of the operator: the bit-test filter must sit in the scan
+    stage (no exchange between scan and filter), and the bloom path must
+    add NO exchanges over the plain semi join."""
+    probe = spark.range(10000).select(F.col("id").alias("k"))
+    build = spark.range(10000).filter(F.col("id") % 100 == 0).select(
+        F.col("id").alias("k")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = probe.join(build, "k", "left_semi")
+        bloom = bloom_semi_join(probe, build, "k")
+        plan_plain = plain._jdf.queryExecution().executedPlan().toString()
+        plan_bloom = bloom._jdf.queryExecution().executedPlan().toString()
+        assert "getbit" in plan_bloom
+        assert plan_bloom.count("Exchange") == plan_plain.count("Exchange")
+        # the prefilter by itself is exchange-free: the bit test is pure
+        # column arithmetic fused into the scan stage, so in the join plan
+        # it necessarily runs before the probe side's shuffle
+        words = bloom_bitmap(build, "k")
+        pre_plan = (
+            bloom_prefilter(probe, words, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "getbit" in pre_plan
+        assert "Exchange" not in pre_plan, pre_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_empty_build_side_yields_empty_result(spark):
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    build = spark.range(0).select(F.col("id").alias("k"))
+    assert bloom_semi_join(probe, build, "k").count() == 0
+
+
+def test_bloom_bitmap_rejects_bad_params(spark):
+    import pytest
+
+    build = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        bloom_bitmap(build, "k", m_bits=1000)  # not a power of two
+    with pytest.raises(ValueError):
+        bloom_bitmap(build, "k", k_hashes=0)
 
 
 def test_catalog_compact(spark, tmp_path):

@@ -49,6 +49,12 @@ SPOT_QUERIES = [
     # broadcast; a single-partition window would serialize at 100x)
     "ev_sessionize_two_phase",
     "doc_global_shuffle",
+    # round-7: components-first dedup at the second decade — the claim
+    # that the exact-duplicate quotient / df-capped pair stage bounds
+    # super-linear work is only evidence if it holds where pair output
+    # would otherwise be ~10,000x the base (mm_image_dhash_pairs' fate)
+    "dedup_groups",
+    "mm_image_dup_groups",
 ]
 
 
