@@ -1391,6 +1391,49 @@ def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["doc_global_shuffle"] = doc_global_shuffle
 
+# training-shard fan-out shared with sources/shards.py's sink
+N_SHARDS = 8
+
+
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the training-shard sink
+    (sources/shards.assign_shards): round-robin over the epoch-salted
+    global-shuffle positions balances shards to within ONE row by
+    construction — the gate's n_docs column is the proof, and min/max
+    position + char volume give the trainer-visible contract. The same
+    assignment drives write_training_shards' partitioned write; the oracle
+    replays position and shard from the identical md5 ranking."""
+    from icenetetl_spark.sources.shards import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sh = assign_shards(docs, N_SHARDS, SHUFFLE_SALT)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("position").alias("min_pos"),
+        F.max("position").alias("max_pos"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+QUERIES["doc_shard_manifest"] = doc_shard_manifest
+
+ORACLES["doc_shard_manifest"] = f"""
+    WITH pos AS (
+        SELECT doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS BIGINT) AS position
+        FROM documents
+    )
+    SELECT CAST((position - 1) % {N_SHARDS} AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(position) AS min_pos,
+           MAX(position) AS max_pos,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM pos
+    GROUP BY 1
+"""
+
 ORACLES["doc_global_shuffle"] = f"""
     SELECT doc_id,
            md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
