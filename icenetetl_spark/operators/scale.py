@@ -106,7 +106,10 @@ def bloom_prefilter(
 ) -> DataFrame:
     """Keep only ``probe`` rows whose ``key`` MIGHT be in the bloom bitmap
     (superset-of-matches guarantee: false positives pass, true matches
-    always pass). Pure column arithmetic — the bit tests are getbit over an
+    always pass — PROVIDED ``k_hashes`` equals the value the bitmap was
+    built with; probing bits the build never set would re-admit false
+    negatives, so pass both through one call site like bloom_semi_join
+    does). Pure column arithmetic — the bit tests are getbit over an
     array<long> literal, so the filter runs inside the scan stage BEFORE
     any exchange: at 100 TB this is the lever that keeps a selective
     big-big join from shuffling the entire probe table."""
