@@ -163,7 +163,12 @@ def main() -> int:
         "bounded side is pinned with an explicit hint (see the "
         "knn_bruteforce note in operators/similarity.py; before the pin, "
         "this spot check caught the non-equi join degrading to "
-        "CartesianProduct at 100x).",
+        "CartesianProduct at 100x). The components-first dedup rows "
+        "(dedup_groups, mm_image_dup_groups) extend the 10x quotient "
+        "argument a second decade: pair OUTPUT on these corpora grows "
+        "~10,000x, yet the group plans ride their linear stages because "
+        "the df-cap / exact-duplicate quotient bounds every pair stage "
+        "by construction.",
         "",
         f"| query | 1x sec | {args.factor}x sec | ratio "
         f"| shuffles 1x/{args.factor}x | broadcasts 1x/{args.factor}x |",
