@@ -1109,3 +1109,117 @@ ORACLES["knn_filtered"] = f"""
     )
     WHERE rank <= {K}
 """
+
+
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 text arm and a
+# single-query vector arm (Cormack, Clarke & Buettcher SIGIR'09: RRF
+# outperforms per-system score normalization and needs only RANKS, which
+# makes the fusion arithmetic engine-exact). Constants shared with the
+# oracle below.
+RRF_K = 60  # the paper's smoothing constant
+HYBRID_QUERY_VEC = 7  # the vector arm's query embedding
+HYBRID_VEC_TOPK = 20  # vector arm truncation (same depth as BM25_TOPK)
+HYBRID_TOPK = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search over the corpus id space: the gated BM25 plan ranks
+    the text arm, one broadcast query vector ranks the cosine arm (top-k
+    truncated like the text arm), and RRF fuses them on id with a
+    full-outer join of two k-row lists — a doc missing from one arm simply
+    contributes nothing there, so the fusion never forces either arm to
+    cover the whole corpus. Everything after the two arms is k-row-sized:
+    at 100 TB the cost IS the arms (each already scale-shaped and
+    individually gated); fusion is metadata work. Ranks are ints, so the
+    RRF sum is two IEEE-exact divisions added in a fixed order — the
+    DuckDB oracle reproduces it bit-for-bit."""
+    from icenetetl_spark.queries.text import text_bm25_topk
+
+    text_arm = text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("text_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            S.cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    # distributed top-k (TakeOrderedAndProject), then rank over k rows
+    vec_topk = scored.orderBy(F.col("cos").desc(), F.col("doc_id")).limit(
+        HYBRID_VEC_TOPK
+    )
+    wv = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    vec_arm = vec_topk.select(
+        "doc_id", F.row_number().over(wv).cast("int").alias("vec_rank")
+    )
+
+    fused = text_arm.join(vec_arm, "doc_id", "full_outer")
+    text_term = F.when(
+        F.col("text_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("text_rank")),
+    ).otherwise(F.lit(0.0))
+    vec_term = F.when(
+        F.col("vec_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")),
+    ).otherwise(F.lit(0.0))
+    ranked = fused.withColumn("rrf_score", text_term + vec_term)
+    top = ranked.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    ).limit(HYBRID_TOPK)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("hybrid_rank"),
+        "rrf_score",
+        "text_rank",
+        "vec_rank",
+    )
+
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+
+
+def _hybrid_oracle() -> str:
+    from icenetetl_spark.queries.text import ORACLES as _TEXT_ORACLES
+
+    return f"""
+    WITH text_arm AS (
+        SELECT doc_id, rank AS text_rank
+        FROM ({_TEXT_ORACLES["text_bm25_topk"]})
+    ), vec_scored AS (
+        SELECT c.vec_id AS doc_id, {_COS} AS cos
+        FROM embeddings c JOIN embeddings q
+          ON q.vec_id = {HYBRID_QUERY_VEC} AND c.vec_id <> q.vec_id
+    ), vec_arm AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                    AS INTEGER) AS vec_rank
+        FROM (SELECT * FROM vec_scored
+              ORDER BY cos DESC, doc_id LIMIT {HYBRID_VEC_TOPK})
+    ), fused AS (
+        SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+               t.text_rank, v.vec_rank,
+               (CASE WHEN t.text_rank IS NULL THEN CAST(0 AS DOUBLE)
+                     ELSE CAST(1 AS DOUBLE) / ({RRF_K} + t.text_rank) END
+                + CASE WHEN v.vec_rank IS NULL THEN CAST(0 AS DOUBLE)
+                       ELSE CAST(1 AS DOUBLE) / ({RRF_K} + v.vec_rank) END)
+                   AS rrf_score
+        FROM text_arm t FULL OUTER JOIN vec_arm v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS INTEGER) AS hybrid_rank,
+           rrf_score, text_rank, vec_rank
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPK}
+    """
+
+
+ORACLES["hybrid_search_rrf"] = _hybrid_oracle()

@@ -239,3 +239,30 @@ def test_mmr_pool_smaller_than_k_returns_all(spark):
     sel = mmr_select(cand, qvec, k=10, lam=0.7).collect()
     assert [r["rank"] for r in sel] == [1, 2, 3]
     assert {r["vec_id"] for r in sel} == {1, 2, 3}
+
+
+def test_hybrid_rrf_fuses_both_arms(spark):
+    """RRF sanity at sf0.001: ranks are 1..k contiguous; the fused score
+    is exactly the sum of the two reciprocal terms recomputed in Python
+    from the emitted ranks; and a doc present in only one arm still
+    surfaces with the other rank NULL (full-outer semantics)."""
+    from icenetetl_spark.queries.similarity import (
+        HYBRID_TOPK,
+        RRF_K,
+        hybrid_search_rrf,
+    )
+
+    rows = hybrid_search_rrf(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= HYBRID_TOPK
+    assert [r["hybrid_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        expect = 0.0
+        if r["text_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["text_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["vec_rank"])
+        assert r["rrf_score"] == expect
+        assert r["text_rank"] is not None or r["vec_rank"] is not None
+    # fused order is non-increasing in score with doc_id tiebreak
+    scores = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores)
