@@ -63,15 +63,20 @@ def bloom_bitmap(
 ) -> list[int]:
     """Build a Bloom-filter bitmap (as int64 words) over ``build[key]``.
 
-    The distributed part is one distinct over at most ``m_bits`` bit
-    positions — the collect is bounded by the BITMAP size, never by the
-    build table's cardinality, so driver state stays metadata-sized
-    (m_bits=2^16 -> at most 64k ints -> 1024 words) whether the build side
-    has a thousand keys or a billion. This is the same shape Spark's own
-    runtime row-group filtering uses (SPARK-32268: aggregate a bloom on
-    the executors, ship the bitmap, filter the probe scan); here it is an
-    explicit operator so a pipeline can build the bitmap ONCE and prefilter
-    many probe tables against it.
+    The words are OR-aggregated on the executors (position -> one-bit
+    long, ``bit_or`` groupBy over word indexes), so the collect is bounded
+    by the BITMAP size — at most m_bits/64 (word, bits) rows — never by
+    the build table's cardinality: driver state stays metadata-sized
+    whether the build side has a thousand keys or a billion. (An earlier
+    revision collected distinct bit POSITIONS, which is only
+    bitmap-bounded once the filter saturates — on a well-sized bitmap it
+    is key-bounded, i.e. a corpus-sized collect. Measured: 30k keys on a
+    2^19 bitmap collected ~78k rows and cost more than the join it was
+    saving.) This is the same shape Spark's own runtime row-group
+    filtering uses (SPARK-32268: aggregate a bloom on the executors, ship
+    the bitmap, filter the probe scan); here it is an explicit operator so
+    a pipeline can build the bitmap ONCE and prefilter many probe tables
+    against it.
 
     k hash positions per key come from xxhash64 seeded by term index —
     JVM-side, zero Python in the hot path. NULL keys never equi-join, so
@@ -88,19 +93,101 @@ def bloom_bitmap(
         for i in range(k_hashes)
     ]
     rows = (
-        build.select(F.explode(F.array(*pos)).alias("p")).distinct().collect()
+        build.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / F.lit(64)).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
     )
     words = [0] * (m_bits // 64)
     for r in rows:
-        p = int(r["p"])
-        words[p >> 6] |= 1 << (p & 63)
-    # int64 two's complement: bit 63 set would overflow F.lit's LongType
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        # bit_or returns int64 two's complement already — store verbatim
+        words[int(r["w"])] = int(r["bits"])
+    return words
+
+
+def bloom_bitmap_df(
+    build: DataFrame,
+    key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """The fully-distributed twin of :func:`bloom_bitmap`: a ONE-ROW
+    DataFrame holding the whole word array in a ``bm`` column. The bitmap
+    never touches the driver and — crucially — never becomes an expression
+    literal: a 131k-word bitmap as a parsed array literal put ~400k nodes
+    into the expression tree (three element_at copies) and cost ~7s of
+    analysis per action at 10x, while as DATA it is one attribute
+    reference riding a single-row broadcast. This is the path
+    bloom_semi_join uses; the list form remains for bitmaps small enough
+    to pin in application code."""
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    pos = [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+    words = (
+        build.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / F.lit(64)).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    # zero-fill absent buckets so element_at indexing is total, then pack
+    # the words in bucket order into the single array row
+    slots = build.sparkSession.range(m_bits // 64).withColumnRenamed(
+        "id", "w"
+    )
+    # words is bounded by m_bits/64 rows BY CONSTRUCTION — pin the
+    # broadcast (the standing rule: bounded sides never rely on planner
+    # size estimates), leaving the explode->groupBy as the bitmap's only
+    # data-sized shuffle
+    return (
+        slots.join(F.broadcast(words), "w", "left")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("w"),
+                        F.coalesce("word", F.lit(0).cast("long")).alias(
+                            "word"
+                        ),
+                    )
+                )
+            ).alias("s")
+        )
+        .select(F.transform(F.col("s"), lambda x: x["word"]).alias("bm"))
+    )
+
+
+def _bloom_bit_tests(key: str, bm: F.Column, k_hashes: int) -> F.Column:
+    """AND of the k getbit probes against an array<long> column ``bm``
+    (self-describing: m_bits = 64 * size(bm))."""
+    m_bits = F.size(bm).cast("long") * F.lit(64)
+    cond = None
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), m_bits)
+        word = F.element_at(bm, (p / F.lit(64)).cast("int") + F.lit(1))
+        hit = F.getbit(word, F.pmod(p, F.lit(64)).cast("int")) == 1
+        cond = hit if cond is None else cond & hit
+    return cond
 
 
 def bloom_prefilter(
     probe: DataFrame,
-    words: list[int],
+    words: list[int] | DataFrame,
     key: str,
     k_hashes: int = 3,
 ) -> DataFrame:
@@ -112,35 +199,66 @@ def bloom_prefilter(
     does). Pure column arithmetic — the bit tests are getbit over an
     array<long> literal, so the filter runs inside the scan stage BEFORE
     any exchange: at 100 TB this is the lever that keeps a selective
-    big-big join from shuffling the entire probe table."""
-    m_bits = len(words) * 64
-    lit_words = F.lit(words)
-    cond = None
-    for i in range(k_hashes):
-        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
-        word = F.element_at(lit_words, (p / F.lit(64)).cast("int") + F.lit(1))
-        hit = F.getbit(word, F.pmod(p, F.lit(64)).cast("int")) == 1
-        cond = hit if cond is None else cond & hit
-    return probe.filter(cond)
+    big-big join from shuffling the entire probe table.
+
+    ``words`` is either the 1-row DataFrame from :func:`bloom_bitmap_df`
+    (preferred — the bitmap stays data, joined in as a single-row
+    broadcast) or the Python list from :func:`bloom_bitmap` (small pinned
+    bitmaps only: the words become a parsed expression literal, whose
+    tree size taxes analysis ~linearly in the word count)."""
+    if isinstance(words, DataFrame):
+        joined = probe.crossJoin(F.broadcast(words))
+        return joined.filter(
+            _bloom_bit_tests(key, F.col("bm"), k_hashes)
+        ).drop("bm")
+    # Literal transport matters twice here. (1) As SQL TEXT, not F.lit:
+    # py4j converts a Python list element-wise — measured 5.4s for 8192
+    # words and 39.6s for 65536 at query-BUILD time, dwarfing the join
+    # being optimized — while parsing "array(...)" is ~10ms and constant-
+    # folds to the identical single literal. (2) With an explicit L
+    # suffix per word: a saturated (all -1) or empty (all 0) bitmap fits
+    # int32, inference would type the array int, and getbit's legal
+    # position range would silently shrink to [0, 32) — a runtime error
+    # on exactly the degenerate bitmaps.
+    lit_words = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    return probe.filter(_bloom_bit_tests(key, lit_words, k_hashes))
 
 
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
     key: str,
-    m_bits: int = 1 << 16,
+    m_bits: int | None = None,
     k_hashes: int = 3,
+    bits_per_key: int = 16,
+    max_bits: int = 1 << 26,
 ) -> DataFrame:
     """Semi-join ``probe`` to ``build`` on ``key`` with a Bloom prefilter:
     result rows are EXACTLY the plain left-semi join's (the exact join
     removes bloom false positives and NULL-key passthroughs), but the rows
     entering the join exchange are only the bitmap survivors. Use when the
     build side is too large to broadcast as a hash relation yet its BITMAP
-    fits anywhere (it always does: m_bits is fixed), and the probe side is
-    the 100-TB table. Bitmap internals never affect the result, so the
-    fast JVM xxhash64 is used without any oracle-reproducibility cost."""
-    words = bloom_bitmap(build, key, m_bits=m_bits, k_hashes=k_hashes)
-    pre = bloom_prefilter(probe, words, key, k_hashes=k_hashes)
+    fits anywhere, and the probe side is the 100-TB table. Bitmap
+    internals never affect the result, so the fast JVM xxhash64 is used
+    without any oracle-reproducibility cost.
+
+    ``m_bits=None`` (the default) sizes the bitmap from the build side —
+    ``bits_per_key`` bits per approx-distinct key, rounded up to a power
+    of two and capped at ``max_bits`` (2^26 = 8 MiB of words) — because a
+    FIXED bitmap is a trap: a build side much larger than m_bits/10
+    saturates the filter, which then costs per-row hashing on the entire
+    probe and prunes nothing (measured: a 301k-key build over 2^16 bits
+    passed 100% of probes). 16 bits/key at k=3 gives ~0.5% false
+    positives; past the cap the filter degrades gracefully toward
+    saturation and the exact join still guarantees the result."""
+    if m_bits is None:
+        n = build.agg(F.approx_count_distinct(key).alias("n")).collect()[0][
+            "n"
+        ]
+        target = max(64, bits_per_key * max(int(n), 1))
+        m_bits = min(1 << (target - 1).bit_length(), max_bits)
+    bitmap = bloom_bitmap_df(build, key, m_bits=m_bits, k_hashes=k_hashes)
+    pre = bloom_prefilter(probe, bitmap, key, k_hashes=k_hashes)
     return pre.join(build.select(key), key, "left_semi")
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from icenetetl_spark.operators.dedup import jaccard_pairs, word_shingles
 from icenetetl_spark.operators.scale import (
     bloom_bitmap,
+    bloom_bitmap_df,
     bloom_prefilter,
     bloom_semi_join,
     cap_document_frequency,
@@ -148,9 +149,11 @@ def test_bloom_bitmap_driver_state_is_bounded(spark):
 
 
 def test_bloom_prefilter_runs_below_the_join_exchange(spark):
-    """The point of the operator: the bit-test filter must sit in the scan
-    stage (no exchange between scan and filter), and the bloom path must
-    add NO exchanges over the plain semi join."""
+    """The point of the operator: the bit-test filter must sit on the
+    probe's scan side of the join exchange — the bloom path adds NO
+    shuffle exchanges over the plain semi join (only the single-row
+    bitmap broadcast), and the list-form prefilter alone is entirely
+    exchange-free."""
     probe = spark.range(10000).select(F.col("id").alias("k"))
     build = spark.range(10000).filter(F.col("id") % 100 == 0).select(
         F.col("id").alias("k")
@@ -163,10 +166,28 @@ def test_bloom_prefilter_runs_below_the_join_exchange(spark):
         plan_plain = plain._jdf.queryExecution().executedPlan().toString()
         plan_bloom = bloom._jdf.queryExecution().executedPlan().toString()
         assert "getbit" in plan_bloom
-        assert plan_bloom.count("Exchange") == plan_plain.count("Exchange")
-        # the prefilter by itself is exchange-free: the bit test is pure
-        # column arithmetic fused into the scan stage, so in the join plan
-        # it necessarily runs before the probe side's shuffle
+        shuffles = lambda s: s.count("Exchange hashpartitioning")  # noqa: E731
+        # the probe path adds NO shuffle: every extra exchange in the
+        # bloom plan belongs to the bitmap construction subtree (the
+        # explode->groupBy over the build side), whose rows are bounded
+        # by m_bits/64
+        bitmap = bloom_bitmap_df(build, "k")
+        plan_bitmap = bitmap._jdf.queryExecution().executedPlan().toString()
+        pre_plan_df = (
+            bloom_prefilter(probe, bitmap, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert shuffles(pre_plan_df) == shuffles(plan_bitmap)
+        assert shuffles(plan_bloom) == shuffles(plan_plain) + shuffles(
+            plan_bitmap
+        )
+        # the bitmap rides broadcasts, never a probe-side shuffle, and
+        # survives disabled planner broadcasts because both broadcast
+        # sides are explicitly pinned
+        assert "BroadcastExchange" in plan_bloom
+        assert "CartesianProduct" not in plan_bloom
+        # the prefilter by itself (list form) is exchange-free: the bit
+        # test is pure column arithmetic fused into the scan stage
         words = bloom_bitmap(build, "k")
         pre_plan = (
             bloom_prefilter(probe, words, "k")
@@ -176,6 +197,39 @@ def test_bloom_prefilter_runs_below_the_join_exchange(spark):
         assert "Exchange" not in pre_plan, pre_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_saturated_bitmap_still_exact(spark):
+    """Regression: a build side far larger than the bitmap saturates every
+    word to -1 — all-int32-fitting words made F.lit infer array<int> and
+    getbit rejected positions >= 32 at runtime. The degenerate bitmap must
+    evaluate cleanly and the exact join must still produce the plain
+    result (the filter just prunes nothing)."""
+    probe = spark.range(2000).select(F.col("id").alias("k"))
+    build = spark.range(100000).select(F.col("id").alias("k"))
+    out = bloom_semi_join(probe, build, "k", m_bits=1 << 10)
+    assert out.count() == 2000
+    # same degenerate shape, empty side: all-zero words, every probe row
+    # must be bit-tested without error and dropped
+    words = bloom_bitmap(spark.range(0).select(F.col("id").alias("k")), "k")
+    assert bloom_prefilter(probe, words, "k").count() == 0
+
+
+def test_bloom_auto_sizes_bitmap_from_build_side(spark):
+    """m_bits=None must pick a bitmap the build side cannot saturate:
+    selectivity survives a build side that would saturate the old fixed
+    2^16 default."""
+    probe = spark.range(200000).select(F.col("id").alias("k"))
+    build = spark.range(200000).filter(F.col("id") % 3 == 0).select(
+        F.col("id").alias("k")
+    )  # ~66k keys: saturates 2^16, auto -> 2^21
+    words = bloom_bitmap(build, "k", m_bits=1 << 21)
+    pre = bloom_prefilter(probe, words, "k")
+    n_pre = pre.count()
+    assert 200000 / 3 <= n_pre < 200000 * 0.40
+    assert sorted(
+        r["k"] for r in bloom_semi_join(probe, build, "k").collect()
+    ) == sorted(r["k"] for r in build.collect())
 
 
 def test_bloom_empty_build_side_yields_empty_result(spark):
