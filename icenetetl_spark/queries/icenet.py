@@ -495,6 +495,43 @@ ORACLES["icenet_txn_pipeline_latest"] = _CHAIN_CTES + """
 """
 
 
+def icenet_txn_compacted_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE under the driver gate: after the full txn ingest, compact
+    the latest view into write sets CLUSTERED on cell_id (txn.compact —
+    Delta's OPTIMIZE idea: the CAS rewrite replaces the snapshot's write
+    sets with range-partitioned, min/max-tight ones, carrying the
+    statistics columns so manifest data skipping keeps working), then
+    read the compacted snapshot back through the manifest. The oracle is
+    the same chain SQL as icenet_txn_pipeline_latest, so the gate proves
+    the compaction rewrite is value-transparent — the operational path a
+    100-TB table runs nightly, previously pytest-gated only
+    (tests/test_scale.py::test_catalog_compact, tests/test_txn.py).
+    Reference semantics: S7's matview storage maintenance, executed as an
+    auditable commit."""
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.plans.icenet import make_txn_catalog
+
+    icenet_txn_pipeline_latest(spark, sf_dir)  # ingest + vacuum policy
+    cat = make_txn_catalog(spark, _TXN_WH_PATH)
+    cat.compact("forecast_latest", cluster_by=("cell_id",))
+    latest = cat.read("forecast_latest")
+    cells = cat.read("cells").select("cell_id", "centroid_x", "centroid_y")
+    return latest.join(F.broadcast(cells), "cell_id").select(
+        "hemisphere",
+        "date_forecast_generated",
+        "date_forecast_for",
+        "centroid_x",
+        "centroid_y",
+        F.col("sea_ice_concentration_mean").alias("sic_mean"),
+        F.col("sea_ice_concentration_stddev").alias("sic_stddev"),
+    )
+
+
+QUERIES["icenet_txn_compacted_latest"] = icenet_txn_compacted_latest
+ORACLES["icenet_txn_compacted_latest"] = ORACLES["icenet_txn_pipeline_latest"]
+
+
 QUERIES["icenet_zarr_roundtrip"] = icenet_zarr_roundtrip
 # The store's long form in the oracle's frame: time = the generated date
 # at midnight (CF "days since 1970-01-01" decode), leadtime = day delta,
