@@ -97,6 +97,12 @@ STRESS_QUERIES = [
     # offset broadcast — the stage count must not grow with volume)
     "ev_sessionize_two_phase",
     "doc_global_shuffle",
+    # round-7 session 2: the time-series join family (as-of carry-forward
+    # window; bin-quantized range join — both one key shuffle by design)
+    # and hybrid RRF retrieval (two scale-shaped arms + k-row fusion)
+    "ev_asof_join",
+    "ev_range_join",
+    "hybrid_search_rrf",
 ]
 
 
