@@ -55,6 +55,49 @@ def salted_join(
     return out.drop("__salt")
 
 
+def _bloom_validate(m_bits: int, k_hashes: int) -> None:
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+
+
+def _bloom_positions(key: str, m_bits, k_hashes: int) -> list:
+    """The k bit positions for a key (``m_bits`` may be an int or a
+    Column). The key is canonicalized to STRING before hashing: xxhash64
+    is input-TYPE-sensitive (an INT 5 and a BIGINT 5 hash to different
+    values), so a bitmap built from one width probed with another would
+    produce silent FALSE NEGATIVES — the one failure mode this operator
+    must never have. The string form is stable across integral widths and
+    char/varchar paddings; for genuinely cross-type joins (decimal vs
+    int, float vs int) cast both sides to a common type first, exactly as
+    the equi-join itself requires."""
+    m = m_bits if isinstance(m_bits, F.Column) else F.lit(m_bits)
+    k = F.col(key).cast("string")
+    return [F.pmod(F.xxhash64(k, F.lit(i)), m) for i in range(k_hashes)]
+
+
+def _bloom_word_rows(
+    build: DataFrame, key: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """(w, word) rows: OR-aggregated bitmap words over the build keys —
+    the single source of the hashing scheme shared by the list- and
+    DataFrame-form bitmaps (divergence here would make bitmaps from one
+    form silently miss probes hashed by the other)."""
+    pos = _bloom_positions(key, m_bits, k_hashes)
+    return (
+        build.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / F.lit(64)).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+
+
 def bloom_bitmap(
     build: DataFrame,
     key: str,
@@ -84,30 +127,12 @@ def bloom_bitmap(
     are expected and harmless by contract; false negatives are impossible:
     every non-null build key sets all k of its bits).
     """
-    if m_bits < 64 or m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
-    if k_hashes < 1:
-        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
-    pos = [
-        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
-        for i in range(k_hashes)
-    ]
-    rows = (
-        build.select(F.explode(F.array(*pos)).alias("p"))
-        .select(
-            (F.col("p") / F.lit(64)).cast("int").alias("w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
-            ).alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"))
-        .collect()
-    )
+    _bloom_validate(m_bits, k_hashes)
+    rows = _bloom_word_rows(build, key, m_bits, k_hashes).collect()
     words = [0] * (m_bits // 64)
     for r in rows:
         # bit_or returns int64 two's complement already — store verbatim
-        words[int(r["w"])] = int(r["bits"])
+        words[int(r["w"])] = int(r["word"])
     return words
 
 
@@ -126,25 +151,8 @@ def bloom_bitmap_df(
     reference riding a single-row broadcast. This is the path
     bloom_semi_join uses; the list form remains for bitmaps small enough
     to pin in application code."""
-    if m_bits < 64 or m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
-    if k_hashes < 1:
-        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
-    pos = [
-        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
-        for i in range(k_hashes)
-    ]
-    words = (
-        build.select(F.explode(F.array(*pos)).alias("p"))
-        .select(
-            (F.col("p") / F.lit(64)).cast("long").alias("w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
-            ).alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("word"))
-    )
+    _bloom_validate(m_bits, k_hashes)
+    words = _bloom_word_rows(build, key, m_bits, k_hashes)
     # zero-fill absent buckets so element_at indexing is total, then pack
     # the words in bucket order into the single array row
     slots = build.sparkSession.range(m_bits // 64).withColumnRenamed(
@@ -168,7 +176,11 @@ def bloom_bitmap_df(
                 )
             ).alias("s")
         )
-        .select(F.transform(F.col("s"), lambda x: x["word"]).alias("bm"))
+        .select(
+            # collision-proof internal name: the probe side may well have
+            # its own "bm" column
+            F.transform(F.col("s"), lambda x: x["word"]).alias("__bloom_bm")
+        )
     )
 
 
@@ -177,8 +189,7 @@ def _bloom_bit_tests(key: str, bm: F.Column, k_hashes: int) -> F.Column:
     (self-describing: m_bits = 64 * size(bm))."""
     m_bits = F.size(bm).cast("long") * F.lit(64)
     cond = None
-    for i in range(k_hashes):
-        p = F.pmod(F.xxhash64(F.col(key), F.lit(i)), m_bits)
+    for p in _bloom_positions(key, m_bits, k_hashes):
         word = F.element_at(bm, (p / F.lit(64)).cast("int") + F.lit(1))
         hit = F.getbit(word, F.pmod(p, F.lit(64)).cast("int")) == 1
         cond = hit if cond is None else cond & hit
@@ -209,8 +220,8 @@ def bloom_prefilter(
     if isinstance(words, DataFrame):
         joined = probe.crossJoin(F.broadcast(words))
         return joined.filter(
-            _bloom_bit_tests(key, F.col("bm"), k_hashes)
-        ).drop("bm")
+            _bloom_bit_tests(key, F.col("__bloom_bm"), k_hashes)
+        ).drop("__bloom_bm")
     # Literal transport matters twice here. (1) As SQL TEXT, not F.lit:
     # py4j converts a Python list element-wise — measured 5.4s for 8192
     # words and 39.6s for 65536 at query-BUILD time, dwarfing the join
@@ -250,7 +261,14 @@ def bloom_semi_join(
     probe and prunes nothing (measured: a 301k-key build over 2^16 bits
     passed 100% of probes). 16 bits/key at k=3 gives ~0.5% false
     positives; past the cap the filter degrades gracefully toward
-    saturation and the exact join still guarantees the result."""
+    saturation and the exact join still guarantees the result.
+
+    Cost note: one call scans the build side three times (cardinality
+    estimate, bitmap aggregation, exact join). When the build cardinality
+    is known, pass ``m_bits`` explicitly to skip the first scan; when the
+    build side is expensive to recompute, persist it (or its key
+    projection) before calling — the operator deliberately does not
+    persist caller data behind the caller's back."""
     if m_bits is None:
         n = build.agg(F.approx_count_distinct(key).alias("n")).collect()[0][
             "n"

@@ -456,8 +456,6 @@ def icenet_txn_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural key instead; id semantics are pinned in tests/test_txn.py).
     Reference semantics: S5 ON CONFLICT DO NOTHING + S7 matview refresh
     (processor.py:249-256, 416-448) executed transactionally."""
-    from pyspark.sql import functions as F
-
     from icenetetl_spark.plans.icenet import IceNetPipeline, make_txn_catalog
     from icenetetl_spark.sources.fixtures import make_raw_file
 
@@ -474,6 +472,15 @@ def icenet_txn_pipeline_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("cells", "forecasts", "forecast_latest", "forecast_meta"):
         if cat.current_version(t) > 50:
             cat.vacuum(t, keep_versions=5, min_age_s=600.0)
+    return _txn_latest_frame(cat)
+
+
+def _txn_latest_frame(cat) -> DataFrame:
+    """The gated natural-key projection of the txn latest view — shared by
+    the uncompacted and compacted queries (they alias ONE oracle, so their
+    Spark-side select lists must be the same code, not copies)."""
+    from pyspark.sql import functions as F
+
     latest = cat.read("forecast_latest")
     cells = cat.read("cells").select("cell_id", "centroid_x", "centroid_y")
     return latest.join(F.broadcast(cells), "cell_id").select(
@@ -508,24 +515,12 @@ def icenet_txn_compacted_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_scale.py::test_catalog_compact, tests/test_txn.py).
     Reference semantics: S7's matview storage maintenance, executed as an
     auditable commit."""
-    from pyspark.sql import functions as F
-
     from icenetetl_spark.plans.icenet import make_txn_catalog
 
     icenet_txn_pipeline_latest(spark, sf_dir)  # ingest + vacuum policy
     cat = make_txn_catalog(spark, _TXN_WH_PATH)
     cat.compact("forecast_latest", cluster_by=("cell_id",))
-    latest = cat.read("forecast_latest")
-    cells = cat.read("cells").select("cell_id", "centroid_x", "centroid_y")
-    return latest.join(F.broadcast(cells), "cell_id").select(
-        "hemisphere",
-        "date_forecast_generated",
-        "date_forecast_for",
-        "centroid_x",
-        "centroid_y",
-        F.col("sea_ice_concentration_mean").alias("sic_mean"),
-        F.col("sea_ice_concentration_stddev").alias("sic_stddev"),
-    )
+    return _txn_latest_frame(cat)
 
 
 QUERIES["icenet_txn_compacted_latest"] = icenet_txn_compacted_latest

@@ -64,8 +64,12 @@ def write_training_shards(
     """Write ``df`` as ``path/shard=k/`` parquet directories, balanced to
     within one row and internally sorted by shuffled position."""
     out = assign_shards(df, n_shards, salt, id_col=id_col)
+    # repartitionByRange, not hash repartition: hashing n_shards distinct
+    # values into n_shards partitions is balls-in-bins (~37% of tasks
+    # would sit idle while others serialize 2-3 whole shards); range
+    # partitioning on the shard id keeps one whole shard per task
     (
-        out.repartition(n_shards, "shard")
+        out.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "position")
         .write.mode("overwrite")
         .partitionBy("shard")

@@ -232,6 +232,35 @@ def test_bloom_auto_sizes_bitmap_from_build_side(spark):
     ) == sorted(r["k"] for r in build.collect())
 
 
+def test_bloom_cross_width_keys_never_false_negative(spark):
+    """Regression: xxhash64 is input-TYPE-sensitive, so an INT build side
+    probed by a BIGINT probe side hashed raw would set and test DIFFERENT
+    bit positions — silent false negatives, the one failure mode the
+    operator promises away. Keys are canonicalized to string before
+    hashing, so cross-width equi-joins stay exact."""
+    probe = spark.range(1000).select(F.col("id").alias("k"))  # bigint
+    build = spark.range(1000).filter(F.col("id") % 7 == 0).select(
+        F.col("id").cast("int").alias("k")  # int
+    )
+    got = sorted(r["k"] for r in bloom_semi_join(probe, build, "k").collect())
+    assert got == list(range(0, 1000, 7))
+
+
+def test_bloom_probe_with_bm_column_survives(spark):
+    """The bitmap travels under a collision-proof internal name — a probe
+    that already has a 'bm' column must neither break analysis nor lose
+    its column."""
+    probe = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("bm")
+    )
+    build = spark.range(100).filter(F.col("id") % 10 == 0).select(
+        F.col("id").alias("k")
+    )
+    rows = bloom_semi_join(probe, build, "k").collect()
+    assert sorted(r["k"] for r in rows) == list(range(0, 100, 10))
+    assert all(r["bm"] == 2 * r["k"] for r in rows)
+
+
 def test_bloom_empty_build_side_yields_empty_result(spark):
     probe = spark.range(100).select(F.col("id").alias("k"))
     build = spark.range(0).select(F.col("id").alias("k"))
