@@ -185,3 +185,36 @@ def test_sessionize_two_phase_matches_model(spark, rows, bucket_s):
         .collect()
     )
     assert got == _model_sessions(rows, 1800)
+
+
+_bloom_keys = st.lists(
+    st.one_of(st.integers(min_value=-(2**62), max_value=2**62), st.none()),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(probe_keys=_bloom_keys, build_keys=_bloom_keys)
+def test_bloom_semi_join_law(spark, probe_keys, build_keys):
+    """bloom_semi_join == plain left-semi join, for ARBITRARY key sets
+    including negatives and NULLs (NULL never equi-joins; bloom false
+    positives must be removed by the exact join; false negatives must
+    never exist). Exercises the smallest legal bitmap so word boundaries
+    and saturation are both hit."""
+    from icenetetl_spark.operators.scale import bloom_semi_join
+
+    probe = spark.createDataFrame(
+        [(k,) for k in probe_keys] or [(None,)], "k long"
+    ).limit(len(probe_keys))
+    build = spark.createDataFrame(
+        [(k,) for k in build_keys] or [(None,)], "k long"
+    ).limit(len(build_keys))
+    expect = sorted(
+        r["k"] for r in probe.join(build, "k", "left_semi").collect()
+    )
+    got = sorted(
+        r["k"]
+        for r in bloom_semi_join(probe, build, "k", m_bits=64).collect()
+    )
+    assert got == expect
