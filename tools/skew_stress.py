@@ -64,6 +64,8 @@ SKEW_QUERIES = [
     "dedup_groups",       # hot shingles, df-cap lever
     "dedup_minhash_lsh",  # hot shingles through the banded self-join
     "dedup_minhash_lsh_capped",  # ...and the gated band-bucket-cap lever
+    "text_bm25_topk",     # hot tokens through the tf groupBy + df broadcast
+    "hybrid_search_rrf",  # both retrieval arms under the skewed corpus
 ]
 
 # one-line mitigation per query for any outlier ratio (printed into the
@@ -84,6 +86,10 @@ MITIGATION = {
     " the capped row below (df-cap idea on band keys)",
     "dedup_minhash_lsh_capped": "the lever, gated: over-cap band buckets"
     " dropped before the candidate self-join (dedup_minhash_lsh_capped)",
+    "text_bm25_topk": "per-term df is a k-row broadcast and the tf groupBy"
+    " combines the hot tokens map-side; no lever needed by design",
+    "hybrid_search_rrf": "inherits the arms' shapes; fusion is k-row work"
+    " regardless of corpus skew",
 }
 
 
