@@ -299,6 +299,17 @@ SEM_T = 0.3
 # semdedup_trained (KMeans k tuned to the corpus, same downstream plan).
 EMB_DIM = 64  # embeddings table width — enables the codegen-unrolled cosine
 
+# Per-cell block cap for the SemDeDup pair stage (VERDICT r7 #2). The sqrt
+# law balances the MEAN occupancy, but pair work is quadratic in the
+# occupancy of the WORST cell, and real (and perturbed-stress) corpora are
+# skew-dense: at 10x data one hot cell materialized 8.1M above-threshold
+# pairs — 44s of a 59s run. The cap re-splits every cell into deterministic
+# blocks of <= SEM_CAP members (ranked by csim DESC, so near-prototypical
+# members stay co-blocked), bounding candidate pairs to N*SEM_CAP/2 —
+# linear in N under ANY skew. 32 bites already at sf0.01 (occupancy ~45),
+# so the driver's hash gate exercises the blocking path itself.
+SEM_CAP = 32
+
 
 def _sem_cell_mod(n: int) -> int:
     import math
@@ -314,9 +325,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assignment argmax, pair threshold, recursive closure, keep argmin).
     Centroids are the density-scaled subset vec_id % ceil(2*sqrt(N)) == 0
     (sqrt-balanced assignment/pair work, sqrt(N)-bounded broadcast — see
-    _sem_cell_mod note) and every cosine is the codegen-unrolled twin
-    (bit-identical values, no interpreted fold). The N lookup is one
-    1-row count — table metadata, not data, on the driver."""
+    _sem_cell_mod note), oversized cells are re-split into <= SEM_CAP
+    blocks (linear-in-N pair work under any cell skew — see SEM_CAP note),
+    and every cosine is the codegen-unrolled twin (bit-identical values,
+    no interpreted fold). The N lookup is one 1-row count — table
+    metadata, not data, on the driver."""
     from icenetetl_spark.operators.semdedup import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -324,7 +337,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    return semdedup(emb, cents, threshold=SEM_T, dim=EMB_DIM)
+    return semdedup(emb, cents, threshold=SEM_T, dim=EMB_DIM, cell_cap=SEM_CAP)
 
 
 def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,17 +872,26 @@ ORACLES = {
                                               CAST(ct.cvec AS DOUBLE[])))) AS sim
             FROM embeddings e, cents ct
         ),
-        cells AS (
+        cells0 AS (
             SELECT vec_id, embedding, centroid_id AS cell, sim AS csim FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
                           ORDER BY sim DESC, centroid_id) AS rk
                 FROM scored
             ) WHERE rk = 1
         ),
+        -- oversized-cell re-split: rank within the cell by (csim DESC,
+        -- vec_id), chunk into blocks of <= {SEM_CAP}; the pair join keys
+        -- on (cell, blk) so candidate pairs are bounded by N*{SEM_CAP}/2
+        cells AS (
+            SELECT *, CAST(FLOOR((row_number() OVER (PARTITION BY cell
+                          ORDER BY csim DESC, vec_id) - 1) / {SEM_CAP}.0)
+                      AS BIGINT) AS blk
+            FROM cells0
+        ),
         jpairs AS (
             SELECT q.vec_id AS doc_a, c.vec_id AS doc_b
             FROM cells q JOIN cells c
-              ON q.cell = c.cell AND q.vec_id < c.vec_id
+              ON q.cell = c.cell AND q.blk = c.blk AND q.vec_id < c.vec_id
             WHERE {_COS} >= {SEM_T}
         ),
         edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
