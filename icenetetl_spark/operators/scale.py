@@ -178,8 +178,14 @@ def bloom_bitmap_df(
         )
         .select(
             # collision-proof internal name: the probe side may well have
-            # its own "bm" column
-            F.transform(F.col("s"), lambda x: x["word"]).alias("__bloom_bm")
+            # its own "bm" column. The bitmap is self-describing: m_bits
+            # is 64*size(bm) by construction, and k_hashes rides in the
+            # column METADATA (schema-level, no extra job) so a probe can
+            # never silently test different bits than the build set —
+            # bloom_prefilter refuses a conflicting k (ADVICE r7).
+            F.transform(F.col("s"), lambda x: x["word"]).alias(
+                "__bloom_bm", metadata={"bloom_k": k_hashes}
+            )
         )
     )
 
@@ -216,12 +222,34 @@ def bloom_prefilter(
     (preferred — the bitmap stays data, joined in as a single-row
     broadcast) or the Python list from :func:`bloom_bitmap` (small pinned
     bitmaps only: the words become a parsed expression literal, whose
-    tree size taxes analysis ~linearly in the word count)."""
+    tree size taxes analysis ~linearly in the word count).
+
+    The DataFrame form is self-describing in ``k``: bloom_bitmap_df stamps
+    the build-time k_hashes into the column metadata, and a conflicting
+    ``k_hashes`` here raises instead of silently probing bits the build
+    never set (the operator's one forbidden failure mode — false
+    negatives). The list form cannot carry metadata; its k contract stays
+    on the caller, guarded by the same k>=1 validation."""
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
     if isinstance(words, DataFrame):
+        meta = {}
+        for f in words.schema.fields:
+            if f.name == "__bloom_bm":
+                meta = f.metadata or {}
+        built_k = meta.get("bloom_k")
+        if built_k is not None and int(built_k) != int(k_hashes):
+            raise ValueError(
+                f"bitmap was built with k_hashes={built_k} but probe asked "
+                f"for k_hashes={k_hashes}; probing bits the build never set "
+                "would reintroduce false negatives"
+            )
         joined = probe.crossJoin(F.broadcast(words))
         return joined.filter(
             _bloom_bit_tests(key, F.col("__bloom_bm"), k_hashes)
         ).drop("__bloom_bm")
+    # a hand-built list must still describe a power-of-two bitmap
+    _bloom_validate(64 * len(words), k_hashes)
     # Literal transport matters twice here. (1) As SQL TEXT, not F.lit:
     # py4j converts a Python list element-wise — measured 5.4s for 8192
     # words and 39.6s for 65536 at query-BUILD time, dwarfing the join
@@ -273,7 +301,12 @@ def bloom_semi_join(
         n = build.agg(F.approx_count_distinct(key).alias("n")).collect()[0][
             "n"
         ]
-        target = max(64, bits_per_key * max(int(n), 1))
+        # 1.1x headroom on the HLL estimate (default rsd ~5%): the
+        # power-of-two round-up usually absorbs an underestimate, but not
+        # when the true count sits just above a boundary — headroom makes
+        # the boundary case pick the next size instead of silently
+        # shipping a partially saturated filter (ADVICE r7)
+        target = max(64, int(bits_per_key * max(int(n), 1) * 1.1))
         m_bits = min(1 << (target - 1).bit_length(), max_bits)
     bitmap = bloom_bitmap_df(build, key, m_bits=m_bits, k_hashes=k_hashes)
     pre = bloom_prefilter(probe, bitmap, key, k_hashes=k_hashes)

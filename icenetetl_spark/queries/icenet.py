@@ -209,6 +209,15 @@ def _assert_melt_matches_twin(melted: DataFrame, spark: SparkSession) -> None:
     import numpy as np
 
     cols = ["time", "leadtime", "xc", "yc", "sic_mean", "sic_stddev"]
+    # hard bound BEFORE localizing (VERDICT r7 #7): this probe sits inside
+    # a gated query path, and a future fixture swap must not silently turn
+    # it into a driver-side transfer of a scaled table
+    n = melted.count()
+    if n > 10_000:
+        raise AssertionError(
+            f"zarr melt probe refused: {n} rows > 10k bound — the "
+            "localizing twin-compare is for the ~1k-row fixture only"
+        )
     a = melted.select(cols).toPandas()
     b = spark.read.parquet(_FIXTURE_PATH).select(cols).toPandas()
     key = ["time", "leadtime", "yc", "xc"]

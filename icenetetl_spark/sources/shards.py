@@ -41,9 +41,19 @@ def assign_shards(
 ) -> DataFrame:
     """Add ``position`` (1-based global shuffled order) and ``shard``
     (round-robin over positions) columns. Deterministic in (salt, ids):
-    any worker can recompute any row's placement independently."""
+    any worker can recompute any row's placement independently.
+
+    Refuses an input that already carries one of the output (or internal)
+    column names — silently overwriting caller data is worse than an
+    error (ADVICE r7)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    taken = {"position", "shard", "__shuffle_key"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"assign_shards would overwrite existing column(s) "
+            f"{sorted(taken)}; rename or drop them first"
+        )
     keyed = df.withColumn(
         "__shuffle_key",
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
@@ -67,7 +77,11 @@ def write_training_shards(
     # repartitionByRange, not hash repartition: hashing n_shards distinct
     # values into n_shards partitions is balls-in-bins (~37% of tasks
     # would sit idle while others serialize 2-3 whole shards); range
-    # partitioning on the shard id keeps one whole shard per task
+    # partitioning keeps shards MOSTLY one-per-task. Not a guarantee:
+    # the range bounds come from sampling, so two adjacent shard ids can
+    # occasionally co-locate (ADVICE r7) — correctness of the partitioned
+    # write is unaffected (partitionBy splits the files either way), it
+    # only costs that task double serialization work.
     (
         out.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "position")

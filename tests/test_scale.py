@@ -506,3 +506,33 @@ def test_lsh_band_bucket_cap_drops_only_hot_buckets(spark):
     assert any(a < 6 and b < 6 for a, b in full)
     # ...while pairs from small buckets survive untouched
     assert ((10, 11) in capped) == ((10, 11) in full)
+
+
+def test_bloom_prefilter_refuses_mismatched_k(spark):
+    """The DataFrame bitmap is self-describing in k (column metadata):
+    probing with a different k than the build would reintroduce false
+    negatives, so it must raise, not silently filter."""
+    import pytest as _pytest
+
+    build = spark.range(100).selectExpr("id AS k")
+    probe = spark.range(200).selectExpr("id AS k")
+    bitmap = bloom_bitmap_df(build, "k", m_bits=1 << 12, k_hashes=3)
+    with _pytest.raises(ValueError, match="k_hashes=3"):
+        bloom_prefilter(probe, bitmap, "k", k_hashes=2)
+    with _pytest.raises(ValueError, match=">= 1"):
+        bloom_prefilter(probe, bitmap, "k", k_hashes=0)
+    # matching k still works
+    assert bloom_prefilter(probe, bitmap, "k", k_hashes=3).count() >= 100
+
+
+def test_bloom_prefilter_validates_list_bitmap(spark):
+    """A hand-built word list must describe a power-of-two bitmap and a
+    positive k — e.g. an empty list (m_bits=0) fails loudly instead of
+    producing a pmod-by-zero filter."""
+    import pytest as _pytest
+
+    probe = spark.range(10).selectExpr("id AS k")
+    with _pytest.raises(ValueError):
+        bloom_prefilter(probe, [], "k")
+    with _pytest.raises(ValueError):
+        bloom_prefilter(probe, [0, 0, 0], "k")  # 192 bits: not a power of 2

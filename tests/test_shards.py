@@ -78,3 +78,19 @@ def test_assign_shards_rejects_bad_count(spark):
 
     with pytest.raises(ValueError):
         assign_shards(_docs(spark, 4), 0, "s")
+
+
+def test_assign_shards_refuses_column_collisions(spark):
+    """Pre-existing position/shard columns would be silently overwritten
+    (corrupting caller data) — refuse instead."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.sources.shards import assign_shards
+
+    base = spark.range(10).selectExpr("id AS doc_id")
+    for bad in ("position", "shard", "__shuffle_key"):
+        df = base.withColumn(bad, F.lit(1))
+        with _pytest.raises(ValueError, match=bad):
+            assign_shards(df, 4, "s1")

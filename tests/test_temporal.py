@@ -80,11 +80,19 @@ def test_range_join_bins_match_theta(spark):
         ],
         "iv_id long, s timestamp, e timestamp",
     )
-    binned = range_join_points_to_intervals(pts, ivs, "ts", "s", "e", bin_seconds=250)
     theta = pts.join(ivs, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")))
-    got = sorted((r["event_id"], r["iv_id"]) for r in binned.collect())
     want = sorted((r["event_id"], r["iv_id"]) for r in theta.collect())
-    assert got == want and len(got) > 0
+    assert len(want) > 0
+    # every strategy — fixed bins, measured (auto) bins, broadcast — is
+    # exactly the theta join
+    for kw in (
+        {"bin_seconds": 250},
+        {"bin_seconds": "auto"},
+        {"strategy": "broadcast"},
+    ):
+        out = range_join_points_to_intervals(pts, ivs, "ts", "s", "e", **kw)
+        got = sorted((r["event_id"], r["iv_id"]) for r in out.collect())
+        assert got == want, kw
 
 
 def test_gapfill_locf_fills_and_flags(spark):

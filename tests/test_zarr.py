@@ -348,3 +348,19 @@ def test_make_zarr_store_is_atomic(tmp_path):
     make_zarr_store(p, "2024-03-01", grid_side=4, leadtimes=2)
     assert [d for d in os.listdir(tmp_path) if "tmp" in d] == []
     np.testing.assert_array_equal(read_zarr(p).variables["sic_mean"].data, first)
+
+
+def test_melt_twin_probe_refuses_scaled_input(spark):
+    """The localizing twin-compare inside icenet_zarr_roundtrip localizes
+    rows to the driver; it must hard-refuse anything bigger than the
+    fixture so a future fixture swap can't silently turn it into a
+    driver-side transfer of a scaled table."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.queries.icenet import _assert_melt_matches_twin
+
+    big = spark.range(10_001).select(F.col("id"))
+    with _pytest.raises(AssertionError, match="10k bound"):
+        _assert_melt_matches_twin(big, spark)
