@@ -49,10 +49,12 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table after _NUM_MERGES steps — deterministic
-    (count-desc, lexicographic tiebreak), so reruns are identical.
-    Rows-only by design: the merge loop is iterative argmax + rewrite,
-    not SQL-expressible — exact values are pinned against an independent
-    pure-Python reference (no oracle) in tests/test_bpe.py."""
+    (count-desc, lexicographic tiebreak; integer counts, no floats), so
+    reruns are identical. Hash-gated at the gate SF: the oracle is the
+    pinned sf0.01 fit (FIXED_MERGES) as a VALUES literal — valid because
+    training is deterministic and the pin is itself asserted by
+    tests/test_bpe.py::test_trained_merges_match_pinned_sf001 plus an
+    independent pure-Python Sennrich reference."""
     docs = load_table(spark, sf_dir, "documents")
     merges = fit_bpe(docs, _NUM_MERGES)
     return spark.createDataFrame(
@@ -69,9 +71,11 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretoken is encoded once (the merge folds run on the vocab table); the
     exploded corpus joins the per-word subword counts on the word key, so
     corpus rows carry only (doc_id, word) through the join.
-    Rows-only by design (no SQL oracle for the iterative merge loop);
-    exact token counts are pinned vs the pure-Python reference in
-    tests/test_bpe.py."""
+    Hash-gated at the gate SF: training is deterministic and the sf0.01
+    fit is pinned as FIXED_MERGES (asserted in tests/test_bpe.py), so the
+    oracle is the SAME chained-rewrite SQL as bpe_encode_fixed — trained
+    and fixed encodes provably coincide where the driver compares them;
+    trainer drift turns the gate red instead of passing silently."""
     docs = load_table(spark, sf_dir, "documents")
     merges = fit_bpe(docs, _NUM_MERGES)
     words = docs.select(
@@ -99,22 +103,31 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Pinned merge table: fit_bpe(documents@sf0.01, 12) frozen as a constant —
 # the knn_ivf_fixed pattern applied to the tokenizer. Freezing the MODEL
-# splits the gate: bpe_train_merges stays rows-only (iterative argmax loop),
-# while encoding under a KNOWN model becomes pure deterministic dataflow
-# that DuckDB can replay, so the encode path earns a value-hash gate.
+# splits the gate: encoding under a KNOWN model becomes pure deterministic
+# dataflow that DuckDB can replay, so the encode path earns a value-hash
+# gate. And because BPE training itself is DETERMINISTIC (integer counts,
+# count-desc + lexicographic argmax — no floats, no RNG, no
+# order-sensitivity), the TRAINED entries are hash-gated too at the gate
+# SF: at sf0.01 the trainer provably reproduces exactly this table
+# (tests/test_bpe.py::test_trained_merges_match_pinned_sf001), so
+# bpe_train_merges' oracle is this table as a VALUES literal and
+# bpe_encode_tokens' oracle is the fixed-encode rewrite chain. Any drift
+# in the training loop turns the driver gate red — fail-loud, the exact
+# property a gate is for. ``pair_count`` is the argmax statistic at each
+# step, pinned alongside the pair.
 FIXED_MERGES: list[dict] = [
-    {"left": "e", "right": "r", "merged": "er"},
-    {"left": "e", "right": "</w>", "merged": "e</w>"},
-    {"left": "n", "right": "</w>", "merged": "n</w>"},
-    {"left": "er", "right": "</w>", "merged": "er</w>"},
-    {"left": "o", "right": "w", "merged": "ow"},
-    {"left": "ow", "right": "</w>", "merged": "ow</w>"},
-    {"left": "o", "right": "r", "merged": "or"},
-    {"left": "s", "right": "t", "merged": "st"},
-    {"left": "h", "right": "</w>", "merged": "h</w>"},
-    {"left": "a", "right": "t", "merged": "at"},
-    {"left": "l", "right": "u", "merged": "lu"},
-    {"left": "i", "right": "n", "merged": "in"},
+    {"left": "e", "right": "r", "merged": "er", "pair_count": 4568},
+    {"left": "e", "right": "</w>", "merged": "e</w>", "pair_count": 4473},
+    {"left": "n", "right": "</w>", "merged": "n</w>", "pair_count": 2834},
+    {"left": "er", "right": "</w>", "merged": "er</w>", "pair_count": 2779},
+    {"left": "o", "right": "w", "merged": "ow", "pair_count": 2747},
+    {"left": "ow", "right": "</w>", "merged": "ow</w>", "pair_count": 2747},
+    {"left": "o", "right": "r", "merged": "or", "pair_count": 2696},
+    {"left": "s", "right": "t", "merged": "st", "pair_count": 2676},
+    {"left": "h", "right": "</w>", "merged": "h</w>", "pair_count": 1884},
+    {"left": "a", "right": "t", "merged": "at", "pair_count": 1845},
+    {"left": "l", "right": "u", "merged": "lu", "pair_count": 1831},
+    {"left": "i", "right": "n", "merged": "in", "pair_count": 1796},
 ]
 
 
@@ -208,7 +221,25 @@ def _encode_fixed_oracle() -> str:
         GROUP BY w.doc_id
     """
 
+def _train_merges_oracle() -> str:
+    """The pinned sf0.01 merge table as a VALUES literal (see FIXED_MERGES
+    note: BPE training is deterministic, the pin is pytest-asserted, so
+    the constant IS the correct answer at the gate SF and any trainer
+    drift reads as a hash red)."""
+    rows = ",\n            ".join(
+        f"(CAST({i} AS INT), '{m['left']}', '{m['right']}', "
+        f"'{m['merged']}', CAST({m['pair_count']} AS BIGINT))"
+        for i, m in enumerate(FIXED_MERGES)
+    )
+    return f"""
+        SELECT * FROM (VALUES
+            {rows}
+        ) AS t(step, "left", "right", merged, pair_count)
+    """
+
+
 ORACLES = {
+    "bpe_train_merges": _train_merges_oracle(),
     "bpe_pair_counts": f"""
         WITH words AS (
             SELECT unnest(regexp_extract_all(
@@ -230,4 +261,7 @@ ORACLES = {
         LIMIT {_TOP_PAIRS}
     """,
     "bpe_encode_fixed": _encode_fixed_oracle(),
+    # trained == fixed at the gate SF (deterministic trainer + pinned
+    # sf0.01 fit) — same rewrite chain, see bpe_encode_tokens docstring
+    "bpe_encode_tokens": _encode_fixed_oracle(),
 }

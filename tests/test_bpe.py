@@ -249,3 +249,29 @@ def test_fixed_encode_sql_rewrite_parity():
     for w in words:
         expect = len(_merge_word(list(w) + ["</w>"], merges))
         assert got[w] == expect, (w, got[w], expect)
+
+
+def test_trained_merges_match_pinned_sf001(spark):
+    """The FIXED_MERGES constant IS fit_bpe(documents@sf0.01, 12) — the
+    pin that justifies giving the TRAINED bpe entries hash-gate oracles
+    (a VALUES literal for bpe_train_merges, the fixed rewrite chain for
+    bpe_encode_tokens). If the trainer or the pin drifts, this fails
+    before the driver gate ever goes red."""
+    from icenetetl_spark.queries.tokenizer import FIXED_MERGES, _NUM_MERGES
+
+    fitted = fit_bpe(
+        load_table(spark, "/root/testdata/sf0.01", "documents"), _NUM_MERGES
+    )
+    assert len(fitted) == len(FIXED_MERGES) == _NUM_MERGES
+    for i, (got, want) in enumerate(zip(fitted, FIXED_MERGES)):
+        assert (
+            got["left"],
+            got["right"],
+            got["merged"],
+            got["pair_count"],
+        ) == (
+            want["left"],
+            want["right"],
+            want["merged"],
+            want["pair_count"],
+        ), f"merge step {i}: {got} != pinned {want}"
