@@ -680,6 +680,154 @@ def simhash_near_pairs(
     )
 
 
+def simhash_topn_pairs(
+    sim: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 16,
+    per_doc: int = 5,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Per-doc BOUNDED near-dup shortlist: for each ``doc_a``, its
+    ``per_doc`` nearest ``doc_b > doc_a`` by (hamming, doc_b), among pairs
+    within ``max_hamming`` bits — `(doc_a, doc_b, hamming, rank)`.
+
+    This is the scale-safe form of :func:`simhash_near_pairs`'s output
+    (VERDICT r7 #4): the unrestricted pair set is quadratic by
+    construction on dense corpora (723M rows at the 10x media stress),
+    while a per-item top-N is what a dedup/canonicalization pass actually
+    consumes, and is LINEAR in the corpus.
+
+    The cap is pushed INSIDE the segment join: within each pigeonhole
+    bucket (seg_idx, seg_val), a row_number window per doc_a keeps only
+    that doc's ``per_doc`` best candidates, so the post-join dedup and
+    final ranking shuffle at most (max_hamming+1) * per_doc rows per doc
+    instead of the full pair set. The pre-cap is provably LOSSLESS for
+    the final top-N: a globally top-N pair of doc_a agrees with doc_a on
+    at least one segment (pigeonhole), and within that bucket the pairs
+    ranked above it are exactly pairs also ranked above it globally (same
+    (hamming, doc_b) order), of which there are fewer than N — so it
+    survives every bucket cap it appears in. The oracle can therefore
+    mirror the SIMPLE definition (all-pairs filter + one window), not the
+    pre-cap plumbing.
+
+    Per-bucket COMPUTE remains quadratic in the bucket's occupancy — on
+    skewed fingerprint distributions compose with the exact-duplicate
+    quotient (:func:`fingerprint_topn_pairs`) or a hot-bucket cap, as the
+    groups queries do.
+
+    ``symmetric=True`` switches the candidate condition from
+    ``doc_a < doc_b`` to ``doc_a != doc_b`` — each doc then sees its N
+    nearest neighbors in BOTH directions (the shortlist semantic); the
+    default keeps the pair-set orientation of :func:`simhash_near_pairs`.
+    """
+    from pyspark.sql.window import Window
+
+    if num_bits < max_hamming + 1:
+        raise ValueError(
+            f"num_bits ({num_bits}) must be >= max_hamming + 1"
+        )
+    nseg = max_hamming + 1
+    base, rem = divmod(num_bits, nseg)
+    seg_structs, off = [], 0
+    for i in range(nseg):
+        width = base + (1 if i < rem else 0)
+        seg_structs.append(
+            F.struct(
+                F.lit(i).alias("seg_idx"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("seg_val"),
+            )
+        )
+        off += width
+    segs = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*seg_structs)).alias("s")
+    ).select("doc_id", "simhash", "s.seg_idx", "s.seg_val")
+    a, b = segs.alias("a"), segs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    id_cond = (
+        (F.col("a.doc_id") != F.col("b.doc_id"))
+        if symmetric
+        else (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & id_cond,
+        )
+        .select(
+            F.col("a.seg_idx").alias("seg_idx"),
+            F.col("a.seg_val").alias("seg_val"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    wb = Window.partitionBy("seg_idx", "seg_val", "doc_a").orderBy(
+        "hamming", "doc_b"
+    )
+    pre = (
+        cand.withColumn("__rk", F.row_number().over(wb))
+        .filter(F.col("__rk") <= per_doc)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a").orderBy("hamming", "doc_b")
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_doc)
+    )
+
+
+def fingerprint_topn_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 32,
+    per_fp: int = 5,
+    fp_col: str = "dhash",
+) -> DataFrame:
+    """Per-FINGERPRINT bounded near-dup shortlist over the exact-duplicate
+    quotient: distinct fingerprints collapse to their min-doc
+    representative (plus member count), then each representative gets its
+    ``per_fp`` nearest OTHER representatives by (hamming, rep_b) within
+    ``max_hamming`` bits — `(rep_a, n_members_a, rep_b, hamming, rank)`.
+
+    This is the shortlist twin of :func:`fingerprint_dup_groups`, and the
+    form that survives media-grade density: doc-level pair output is
+    quadratic in per-fingerprint multiplicity (the 10x image stress
+    materializes 723M doc pairs; even a capped doc-level window must first
+    COMPUTE them), while the quotient bounds every stage by the DISTINCT
+    fingerprint universe. Doc-level expansion, when a consumer wants it,
+    is one join back through the fingerprint map — exactly how the groups
+    queries propagate labels.
+    """
+    reps = fingerprints.groupBy(fp_col).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    sim = reps.select("doc_id", F.col(fp_col).alias("simhash"))
+    topn = simhash_topn_pairs(
+        sim,
+        max_hamming=max_hamming,
+        num_bits=num_bits,
+        per_doc=per_fp,
+        symmetric=True,
+    )
+    members = reps.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_members").alias("n_members_a")
+    )
+    return topn.join(members, "doc_a").select(
+        F.col("doc_a").alias("rep_a"),
+        "n_members_a",
+        F.col("doc_b").alias("rep_b"),
+        "hamming",
+        "rank",
+    )
+
+
 def fingerprint_dup_groups(
     fingerprints: DataFrame,
     max_hamming: int = 3,

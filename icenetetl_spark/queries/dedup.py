@@ -131,6 +131,30 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(sim, max_hamming=HAMMING_T)
 
 
+PAIR_TOPN = 5
+
+
+def dedup_simhash_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded near-dup shortlist over the exact-duplicate QUOTIENT (the
+    scale default over the quadratic-output pair diagnostic): each
+    distinct simhash's min-doc representative gets its PAIR_TOPN nearest
+    other representatives within HAMMING_T bits, member counts carried.
+    A doc-level cap is not enough at SIM_BITS=16: the pigeonhole join has
+    only (HAMMING_T+1) * 2^4 buckets, so doc-level candidates grow
+    quadratically with the corpus no matter what survives the window —
+    while the quotient bounds every stage by the distinct-fingerprint
+    universe (<= 2^16 forever). Doc expansion is one join through the
+    simhash map (operators/dedup.fingerprint_topn_pairs)."""
+    sim = D.simhash(load_table(spark, sf_dir, "documents"), num_bits=SIM_BITS)
+    return D.fingerprint_topn_pairs(
+        sim,
+        max_hamming=HAMMING_T,
+        num_bits=SIM_BITS,
+        per_fp=PAIR_TOPN,
+        fp_col="simhash",
+    )
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> transitive GROUPS (connected components); each doc
     labeled with the min doc_id of its component. The oracle is a recursive
@@ -285,6 +309,7 @@ QUERIES = {
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash_topn": dedup_simhash_topn,
     "dedup_groups": dedup_groups,
     "dedup_canonical": dedup_canonical,
     "dedup_paragraphs": dedup_paragraphs,
@@ -591,6 +616,31 @@ ORACLES = {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+    """,
+    # the segment-join pre-cap is lossless for the top-N (see
+    # simhash_topn_pairs), so the oracle is the simple definition over
+    # the quotient: distinct fingerprints -> all-pairs -> one window
+    "dedup_simhash_topn": f"""
+        WITH sim AS ({_simhash_sql()}),
+        reps AS (
+            SELECT simhash, min(doc_id) AS rep_id,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM sim GROUP BY simhash
+        ),
+        pairs AS (
+            SELECT a.rep_id AS rep_a, a.n_members AS n_members_a,
+                   b.rep_id AS rep_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming
+            FROM reps a JOIN reps b ON a.rep_id <> b.rep_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+        )
+        SELECT rep_a, n_members_a, rep_b, hamming,
+               CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY rep_a
+                      ORDER BY hamming, rep_b) AS rank
+            FROM pairs
+        ) WHERE rank <= {PAIR_TOPN}
     """,
 }
 

@@ -229,6 +229,29 @@ def mm_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_dhash_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded near-dup shortlist over the exact-duplicate QUOTIENT: each
+    distinct dHash's representative gets its PAIR_TOPN nearest other
+    representatives (hamming <= DHASH_HAMMING_T, both directions), with
+    the representative's member count carried. The linear-output,
+    linear-compute replacement for the quadratic pair diagnostic on
+    media-grade density — a doc-level cap is not enough here because the
+    723M doc pairs of the 10x stress would still be COMPUTED before any
+    window cut them; the quotient bounds every stage by the distinct-
+    fingerprint universe (operators/dedup.fingerprint_topn_pairs)."""
+    from icenetetl_spark.operators.dedup import fingerprint_topn_pairs
+    from icenetetl_spark.queries.dedup import PAIR_TOPN
+
+    fp = mm_image_dhash(spark, sf_dir)
+    return fingerprint_topn_pairs(
+        fp,
+        max_hamming=DHASH_HAMMING_T,
+        num_bits=32,
+        per_fp=PAIR_TOPN,
+        fp_col="dhash",
+    )
+
+
 def mm_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup GROUPS — the gated scale default for media dedup
     (mm_image_dhash_pairs stays registered as the pair diagnostic, but
@@ -282,6 +305,7 @@ def mm_image_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mm_image_dhash"] = mm_image_dhash
 QUERIES["mm_image_dhash_pairs"] = mm_image_dhash_pairs
+QUERIES["mm_image_dhash_topn"] = mm_image_dhash_topn
 QUERIES["mm_image_dup_groups"] = mm_image_dup_groups
 QUERIES["mm_image_dup_canonical"] = mm_image_dup_canonical
 
@@ -324,6 +348,35 @@ ORACLES["mm_image_dhash_pairs"] = f"""
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
 """
+
+
+def _dhash_topn_oracle() -> str:
+    from icenetetl_spark.queries.dedup import PAIR_TOPN
+
+    return f"""
+    WITH {_DHASH_CTE},
+    reps AS (
+        SELECT dhash, min(doc_id) AS rep_id,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM fp GROUP BY dhash
+    ),
+    pairs AS (
+        SELECT a.rep_id AS rep_a, a.n_members AS n_members_a,
+               b.rep_id AS rep_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        FROM reps a JOIN reps b ON a.rep_id <> b.rep_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
+    )
+    SELECT rep_a, n_members_a, rep_b, hamming,
+           CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY rep_a
+                  ORDER BY hamming, rep_b) AS rank
+        FROM pairs
+    ) WHERE rank <= {PAIR_TOPN}
+    """
+
+
+ORACLES["mm_image_dhash_topn"] = _dhash_topn_oracle()
 
 # Same quotient construction as the Spark plan: distinct fingerprints
 # collapse to their min-doc representative, the near join + recursive

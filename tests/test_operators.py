@@ -554,3 +554,34 @@ def test_compression_signals_match_stdlib_exactly(spark):
     # must vary across documents
     ratios = sorted(v[2] for v in got.values())
     assert ratios[len(ratios) // 2] > 1.5 and len(set(ratios)) > 10
+
+
+def test_simhash_topn_precap_is_lossless(spark):
+    """The per-bucket pre-cap inside simhash_topn_pairs must be invisible:
+    the result equals ranking the FULL near-pair set per doc_a and keeping
+    the top N — on an adversarial fingerprint set with heavy exact-dup
+    mass (where per-bucket candidate lists far exceed N)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from icenetetl_spark.operators.dedup import simhash_topn_pairs
+
+    # 40 docs over only 6 distinct 16-bit fingerprints, several within
+    # 1-3 bits of each other -> dense buckets, rank ties everywhere
+    fps = [0b0, 0b1, 0b11, 0b10011, 0b1111111100000000, 0b1111111100000011]
+    rows = [(i, fps[i % len(fps)]) for i in range(40)]
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    got = simhash_topn_pairs(sim, max_hamming=3, num_bits=16, per_doc=4)
+
+    full = simhash_near_pairs(sim, max_hamming=3, num_bits=16)
+    w = Window.partitionBy("doc_a").orderBy("hamming", "doc_b")
+    want = (
+        full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"], r["hamming"], r["rank"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # and the shortlist really is bounded
+    per = got.groupBy("doc_a").count().agg(F.max("count")).first()[0]
+    assert per <= 4

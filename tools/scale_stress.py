@@ -103,6 +103,11 @@ STRESS_QUERIES = [
     "ev_asof_join",
     "ev_range_join",
     "hybrid_search_rrf",
+    # round-8: the bounded near-dup shortlists (quotient + lossless
+    # segment-join pre-cap) replacing quadratic pair materialization,
+    # and the capped+prenorm SemDeDup re-measured after its fix
+    "dedup_simhash_topn",
+    "mm_image_dhash_topn",
 ]
 
 
