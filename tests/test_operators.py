@@ -585,3 +585,42 @@ def test_simhash_topn_precap_is_lossless(spark):
     # and the shortlist really is bounded
     per = got.groupBy("doc_a").count().agg(F.max("count")).first()[0]
     assert per <= 4
+
+
+def test_fingerprint_topn_quotient_semantics(spark):
+    """fingerprint_topn_pairs == (distinct fp -> min-doc rep + count) ->
+    symmetric per-rep top-N by (hamming, rep_b) — checked against a naive
+    driver-side model on a dense multi-dup fingerprint set."""
+    from itertools import combinations
+
+    from icenetetl_spark.operators.dedup import fingerprint_topn_pairs
+
+    fps = [0b0, 0b1, 0b11, 0b10011, 0b1111111100000000, 0b1111111100000011]
+    rows = [(i, fps[i % len(fps)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = sorted(
+        (r["rep_a"], r["n_members_a"], r["rep_b"], r["hamming"], r["rank"])
+        for r in fingerprint_topn_pairs(
+            df, max_hamming=3, num_bits=16, per_fp=2, fp_col="fp"
+        ).collect()
+    )
+
+    # driver-side model
+    reps = {}
+    for i, f in rows:
+        if f not in reps or i < reps[f][0]:
+            reps[f] = (min(i, reps.get(f, (i,))[0]),)
+    rep_of = {f: min(i for i, g in rows if g == f) for f in set(fps)}
+    n_of = {f: sum(1 for _, g in rows if g == f) for f in set(fps)}
+    cand = {}
+    for fa, fb in combinations(set(fps), 2):
+        h = bin(fa ^ fb).count("1")
+        if h <= 3:
+            cand.setdefault(rep_of[fa], []).append((h, rep_of[fb]))
+            cand.setdefault(rep_of[fb], []).append((h, rep_of[fa]))
+    want = []
+    for ra, lst in cand.items():
+        fa = next(f for f, r in rep_of.items() if r == ra)
+        for rank, (h, rb) in enumerate(sorted(lst)[:2], start=1):
+            want.append((ra, n_of[fa], rb, h, rank))
+    assert got == sorted(want)

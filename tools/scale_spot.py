@@ -55,6 +55,16 @@ SPOT_QUERIES = [
     # would otherwise be ~10,000x the base (mm_image_dhash_pairs' fate)
     "dedup_groups",
     "mm_image_dup_groups",
+    # round-8 (VERDICT r7 #6): the retrieval family at the second decade —
+    # text_bm25_topk (above) was skew-tested but not volume-tested, and
+    # hybrid fuses it with the vector arm, so both belong here; plus the
+    # bounded near-dup shortlists whose whole point is surviving the
+    # decade where pair output would be ~10,000x base, and the broadcast
+    # range join (5-interval side must stay a zero-shuffle nested loop)
+    "hybrid_search_rrf",
+    "dedup_simhash_topn",
+    "mm_image_dhash_topn",
+    "ev_range_join",
 ]
 
 
