@@ -191,3 +191,107 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def source_mixture(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Weighted data-mixture materialization (the Pile / LLaMA-recipe
+    source reweighting): source s with N_s rows contributes
+    ``round(w_s * N_s)`` examples — upsampled sources (w > 1) repeat whole
+    epochs plus a deterministic fractional subset, downsampled sources
+    (w < 1) keep a deterministic subset, w == 0 drops the source. Adds an
+    ``epoch`` column (0-based copy index) so a downstream shuffle/pack can
+    interleave repeats instead of streaming them back-to-back.
+
+    Determinism: rows within a source are ranked by
+    ``(portable_hash64(key), key)`` — re-runs and the SQL oracle reproduce
+    the same subset; changing nothing but ``weights`` preserves prefix
+    containment per source (a rank-k row stays selected when the target
+    only grows), which keeps incremental re-mixes append-only.
+
+    Plan: one rank window per source (hash-shuffle on the source key —
+    the stratified_sample pattern) and an explode over
+    ``sequence(0, copies-1)``; no driver state, no collect. The epoch
+    fan-out multiplies rows by at most ``ceil(max(w))`` — the output is
+    the mixture's actual size, there is nothing smaller to materialize.
+    """
+    from icenetetl_spark.functions.portable import portable_hash64
+
+    wmap = F.create_map(
+        *[
+            x
+            for k, v in sorted(weights.items())
+            for x in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    w = F.coalesce(wmap[F.col(source_col)], F.lit(float(default_weight)))
+    rk_w = Window.partitionBy(source_col).orderBy(
+        portable_hash64(F.col(key_col).cast("string"), bits=32), F.col(key_col)
+    )
+    cnt_w = Window.partitionBy(source_col)
+    full = F.floor(w).cast("long")
+    n_s = F.count(F.lit(1)).over(cnt_w)
+    # fractional target: round-half-up of frac * N_s, deterministic
+    n_frac = F.floor((w - full) * n_s + F.lit(0.5)).cast("long")
+    ranked = df.withColumn("__rk", F.row_number().over(rk_w)).withColumn(
+        "__copies",
+        full + F.when(F.col("__rk") <= n_frac, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        ranked.filter(F.col("__copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), (F.col("__copies") - 1).cast("int"))),
+        )
+        .drop("__rk", "__copies")
+    )
+
+
+def token_budget_head(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    key_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The first rows of the hash-shuffled corpus whose cumulative
+    ``size_col`` stays within ``budget`` — "give me a deterministic ~N-token
+    slice of the corpus" (ablation runs, curriculum stages, debug
+    subsets). A row is kept iff the EXCLUSIVE running sum before it is
+    < budget, so the head always includes the boundary row and is
+    non-empty for any positive budget; rows are returned with their
+    ``cum_end`` (inclusive running total) for downstream bookkeeping.
+
+    Order is ``(portable_hash64(key), key)`` — the same epoch-salt-free
+    shuffled order doc_global_shuffle uses, so the slice is an unbiased
+    sample, stable across re-runs, and PREFIX-MONOTONE in the budget: a
+    bigger budget strictly extends the same sequence (token-count
+    curricula compose). Plan: the pack_contiguous distributed prefix sum
+    (range partition on the hash key + k-row offsets) — never a
+    single-partition global window.
+    """
+    from icenetetl_spark.functions.portable import portable_hash64
+
+    hashed = df.withColumn(
+        "__h", portable_hash64(F.col(key_col).cast("string"), bits=32)
+    )
+    packed = pack_contiguous(
+        hashed,
+        size_col=size_col,
+        window=budget,
+        order_by=["__h", key_col],
+        num_partitions=num_partitions,
+    )
+    return (
+        packed.filter(F.col("pack_offset") < budget)
+        .withColumn(
+            "cum_end",
+            (F.col("pack_offset") + F.col(size_col).cast("long")),
+        )
+        .drop("__h", "pack_id", "pack_offset")
+    )

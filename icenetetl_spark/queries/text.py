@@ -1442,3 +1442,94 @@ ORACLES["doc_global_shuffle"] = f"""
                         doc_id) AS BIGINT) AS position
     FROM documents
 """
+
+
+# --- weighted source mixture + token-budget head (round 8) -----------------
+
+MIX_WEIGHTS = {
+    "src0": 2.5,   # upsample: 2 full epochs + deterministic half
+    "src1": 2.0,   # exact integer upsampling
+    "src2": 1.5,
+    "src3": 0.5,   # downsample
+    "src4": 0.25,
+    "src5": 0.0,   # drop the source entirely
+    # every other source: default weight 1.0 (passthrough)
+}
+TOKEN_BUDGET = 30_000  # chars — ~20% of the sf0.01 corpus
+
+
+def doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training-data recipe (the Pile / LLaMA-style source
+    reweighting): per-source epoch repetition + deterministic fractional
+    subsets via hash ranking (operators/sampling.source_mixture). Output
+    is one row per (doc, epoch copy)."""
+    from icenetetl_spark.operators.sampling import source_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_mixture(docs, "source", MIX_WEIGHTS, "doc_id")
+
+
+def doc_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~30k-char slice of the hash-shuffled corpus: rows kept
+    while the exclusive running char count is under budget (boundary row
+    included), with the inclusive running total returned. Distributed
+    prefix sum — never a single-partition global window
+    (operators/sampling.token_budget_head)."""
+    from icenetetl_spark.operators.sampling import token_budget_head
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return token_budget_head(docs, "n_chars", TOKEN_BUDGET, "doc_id")
+
+
+QUERIES["doc_source_mixture"] = doc_source_mixture
+QUERIES["doc_token_budget_head"] = doc_token_budget_head
+
+
+def _mix_weight_case() -> str:
+    from icenetetl_spark.queries.text import MIX_WEIGHTS  # self, for clarity
+
+    arms = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE source {arms} ELSE 1.0 END"
+
+
+ORACLES["doc_source_mixture"] = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               {_mix_weight_case()} AS w,
+               row_number() OVER (PARTITION BY source ORDER BY
+                   {_ph_sql("CAST(doc_id AS VARCHAR)", 32)},
+                   doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n_s
+        FROM documents
+    ),
+    sel AS (
+        SELECT doc_id, source,
+               CAST(FLOOR(w) AS BIGINT)
+                   + CASE WHEN rk <= FLOOR((w - FLOOR(w)) * n_s + 0.5)
+                          THEN 1 ELSE 0 END AS copies
+        FROM ranked
+    )
+    SELECT doc_id, source, CAST(e AS INT) AS epoch
+    FROM sel, unnest(generate_series(0, CAST(copies AS INT) - 1)) AS t(e)
+    WHERE copies > 0
+"""
+
+ORACLES["doc_token_budget_head"] = f"""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               {_ph_sql("CAST(doc_id AS VARCHAR)", 32)} AS hh
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_chars,
+               SUM(CAST(n_chars AS BIGINT)) OVER (
+                   ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_end
+        FROM h
+    )
+    SELECT doc_id, n_chars, CAST(cum_end AS BIGINT) AS cum_end
+    FROM c WHERE cum_end - n_chars < {TOKEN_BUDGET}
+"""

@@ -134,3 +134,57 @@ def test_leakage_safe_split_never_straddles_near_dups(spark):
         )
     # all three splits are actually populated
     assert set(split.values()) == {"train", "val", "test"}
+
+
+def test_source_mixture_counts_and_prefix_containment(spark):
+    """Per-source output size == floor(w)*N + round(frac*N); raising a
+    weight only ADDS rows for that source (prefix containment of the
+    hash-ranked subset — incremental re-mixes stay append-only)."""
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.sampling import source_mixture
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w1 = {"s0": 2.5, "s1": 0.3, "s2": 0.0}  # s3 -> default 1.0
+    out = source_mixture(df, "source", w1, "doc_id")
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # 100 docs per source
+    assert got == {"s0": 250, "s1": 30, "s3": 100}
+    # epochs: s0 docs appear 2 or 3 times, epoch values contiguous from 0
+    epochs = (
+        out.filter("source = 's0'")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"), F.max("epoch").alias("m"))
+        .collect()
+    )
+    assert all(r["c"] in (2, 3) and r["m"] == r["c"] - 1 for r in epochs)
+    # prefix containment: raising s1's weight keeps every selected doc
+    s1_small = {
+        r["doc_id"] for r in out.filter("source = 's1'").collect()
+    }
+    out2 = source_mixture(df, "source", {**w1, "s1": 0.7}, "doc_id")
+    s1_big = {r["doc_id"] for r in out2.filter("source = 's1'").collect()}
+    assert s1_small < s1_big and len(s1_big) == 70
+
+
+def test_token_budget_head_boundary_and_monotone(spark):
+    """Exclusive-cumsum semantics: the boundary row is included, nothing
+    after it; a larger budget strictly extends the same prefix."""
+    from icenetetl_spark.operators.sampling import token_budget_head
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n LONG"
+    )
+    small = token_budget_head(df, "n", 95, "doc_id")
+    rows = sorted(r["cum_end"] for r in small.collect())
+    # 10 rows fit: exclusive cumsum of row 10 is 90 < 95 (boundary
+    # included), row 11's is 100 -> excluded
+    assert rows == [10 * k for k in range(1, 11)]
+    big = token_budget_head(df, "n", 200, "doc_id")
+    small_ids = {r["doc_id"] for r in small.collect()}
+    big_ids = {r["doc_id"] for r in big.collect()}
+    assert small_ids < big_ids
