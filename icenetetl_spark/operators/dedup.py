@@ -773,12 +773,23 @@ def simhash_topn_pairs(
         cand.withColumn("__rk", F.row_number().over(wb))
         .filter(F.col("__rk") <= per_doc)
         .select("doc_a", "doc_b", "hamming")
-        .distinct()
     )
+    # ONE exchange serves both the cross-segment dedup and the final
+    # ranking: hash-partitioning on doc_a satisfies the clustering
+    # requirement of the (doc_a, doc_b) dedup window AND the (doc_a) rank
+    # window, so Catalyst inserts two sorts but no further shuffle — vs a
+    # distinct() (exchange on all three columns) followed by a rank window
+    # (second exchange on doc_a). Safe against skew: the per-bucket
+    # pre-cap bounds each doc_a's rows by (max_hamming+1) * per_doc.
+    pre = pre.repartition("doc_a")
+    w_dedup = Window.partitionBy("doc_a", "doc_b").orderBy("hamming")
     w = Window.partitionBy("doc_a").orderBy("hamming", "doc_b")
     return (
-        pre.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("__dup", F.row_number().over(w_dedup))
+        .filter(F.col("__dup") == 1)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= per_doc)
+        .drop("__dup")
     )
 
 
