@@ -66,9 +66,12 @@ def start_corpus_stream(
     schema,
     watermark: str = "10 minutes",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for document parquet drops; maintain the deduped,
-    quality-filtered ``corpus`` table."""
+    quality-filtered ``corpus`` table. ``max_files_per_trigger`` bounds each
+    micro-batch (the ingest_stream serial-queue knob; None = all available
+    files per trigger)."""
     catalog = ParquetCatalog(spark, warehouse)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -77,7 +80,10 @@ def start_corpus_stream(
         # exactness layer: fingerprint-keyed ON CONFLICT DO NOTHING
         catalog.append_missing("corpus", batch_df, ["fingerprint"])
 
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     prepared = dedup_stream(
         prepare_documents(stream),
         key_cols=("fingerprint",),

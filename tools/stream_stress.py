@@ -100,20 +100,102 @@ def measure(spark, events_dir: str, batches: int, tag: str) -> dict:
     }
 
 
+def measure_corpus(spark, docs_dir: str, batches: int, tag: str) -> dict:
+    """The two-layer dedup stream (streaming/corpus_stream.py) over the
+    documents table: layer 1 = dropDuplicatesWithinWatermark on the
+    fingerprint (state-store bounded by the watermark), layer 2 = the
+    catalog's fingerprint-keyed anti-join append. ts is synthesized
+    deterministically (base + doc_id seconds) so the watermark semantics
+    are exercised; the perturbed 10x copies have distinct fingerprints,
+    so corpus and state grow with the DISTINCT-doc universe, as in real
+    ingest."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from icenetetl_spark.streaming.corpus_stream import start_corpus_stream
+
+    stage = f"/tmp/icenetetl-cstream-{tag}"
+    ckpt, wh = f"{stage}-ckpt", f"{stage}-wh"
+    for p in (stage, ckpt, wh):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    docs = (
+        spark.read.parquet(docs_dir)
+        .select(
+            "doc_id",
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_dt_interval(secs=F.col("doc_id").cast("double"))
+            ).alias("ts"),
+            "text",
+        )
+    )
+    n_rows = docs.count()
+    docs.repartition(batches).write.parquet(stage)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    t0 = time.time()
+    q = start_corpus_stream(
+        spark,
+        stage,
+        wh,
+        ckpt,
+        schema,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    state_rows = state_mem = n_batches = 0
+    for p in q.recentProgress:
+        n_batches += 1
+        for so in p.get("stateOperators") or []:
+            if so.get("numRowsTotal") is not None:
+                state_rows = so["numRowsTotal"]
+                state_mem = so.get("memoryUsedBytes", 0)
+    corpus_rows = spark.read.parquet(f"{wh}/corpus").count()
+    return {
+        "tag": tag,
+        "rows": n_rows,
+        "users": corpus_rows,  # column reused: unique corpus docs
+        "batches": n_batches,
+        "wall": round(wall, 2),
+        "out_rows": corpus_rows,
+        "state_rows": state_rows,
+        "state_mem_kb": round(state_mem / 1024, 1),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument(
+        "--corpus", action="store_true",
+        help="measure the two-layer corpus dedup stream instead of "
+        "sessionization",
+    )
     args = ap.parse_args()
     spark = get_spark("icenetetl-stream-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = []
     for tag, d in (("1x", BASE_SF), ("10x", SCALED)):
-        evp = f"{d}/events.parquet"
+        table = "documents" if args.corpus else "events"
+        evp = f"{d}/{table}.parquet"
         if not os.path.exists(evp):
             print(f"skip {tag}: {evp} missing (run scale_stress first)")
             continue
-        rows.append(measure(spark, evp, args.batches, tag))
+        fn = measure_corpus if args.corpus else measure
+        rows.append(fn(spark, evp, args.batches, tag))
 
     print("| size | events | users | micro-batches | wall s | emitted rows "
           "| state rows | state KB |")
