@@ -59,7 +59,8 @@ def semantic_pairs(
     N*cap/2 by deterministic block re-splitting of oversized cells (see
     :func:`_pairs_from_cells`)."""
     cells = assign_cells_fixed(emb, centroids, id_col, vec_col, dim=dim)
-    return _pairs_from_cells(cells, threshold, dim=dim, cell_cap=cell_cap)
+    out = _pairs_from_cells(cells, threshold, dim=dim, cell_cap=cell_cap)
+    return out.drop("__blk")
 
 
 def _pairs_from_cells(
@@ -109,9 +110,51 @@ def _pairs_from_cells(
             "doc_a",
             "doc_b",
             "cell",
+            *(["__blk"] if cell_cap is not None else []),
             cosine(F.col("va"), F.col("vb"), dim=dim).alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(threshold))
+    )
+
+
+def _blockwise_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, component_id) over edges CONFINED to (cell, __blk) blocks.
+
+    The generic large-star/small-star :func:`connected_components` pays
+    O(log² n) global rounds — a couple of shuffles each — for graphs whose
+    components can span the whole corpus. Block-capped SemDeDup edges
+    cannot: every edge lives inside one (cell, block) of at most
+    ``cell_cap`` members, so components are block-local by construction
+    and ONE groupBy + an Arrow-batched in-memory union-find per block
+    (<= cap*(cap-1)/2 edge rows per group) replaces the iteration —
+    one shuffle total, identical labels (component_id = min member id,
+    the same contract). The SQL oracle keeps the recursive closure: two
+    independent implementations, one semantic."""
+    import pandas as pd
+
+    def cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a_, b_ in zip(pdf["doc_a"], pdf["doc_b"]):
+            a_, b_ = int(a_), int(b_)
+            parent.setdefault(a_, a_)
+            parent.setdefault(b_, b_)
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        docs = sorted(parent)
+        return pd.DataFrame(
+            {"doc_id": docs, "component_id": [find(d) for d in docs]}
+        )
+
+    return pairs.groupBy("cell", "__blk").applyInPandas(
+        cc, "doc_id long, component_id long"
     )
 
 
@@ -139,7 +182,15 @@ def semdedup(
     # assign_cells_fixed call would duplicate the whole pass)
     cells = assign_cells_fixed(emb, centroids, id_col, vec_col, dim=dim)
     pairs = _pairs_from_cells(cells, threshold, dim=dim, cell_cap=cell_cap)
-    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    if cell_cap is not None:
+        # block-confined edges -> one-shuffle blockwise union-find instead
+        # of the iterative global algorithm (identical labels; see
+        # _blockwise_components)
+        comp = _blockwise_components(
+            pairs.select("cell", "__blk", "doc_a", "doc_b")
+        )
+    else:
+        comp = connected_components(pairs.select("doc_a", "doc_b"))
     csims = cells.select(F.col("vec_id").alias("doc_id"), "csim")
     return (
         comp.join(csims, "doc_id")
