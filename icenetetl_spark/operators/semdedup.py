@@ -177,10 +177,15 @@ def semdedup(
     cannot span blocks when no edge does."""
     # ONE cell assignment feeds both the pair self-join and the keep
     # policy — assign_cells_fixed is the expensive corpus x k crossJoin +
-    # argmax aggregate, and sharing the lineage lets ReuseExchange serve
-    # all three consumers from one physical aggregate (a second
-    # assign_cells_fixed call would duplicate the whole pass)
-    cells = assign_cells_fixed(emb, centroids, id_col, vec_col, dim=dim)
+    # argmax aggregate. MATERIALIZE it (localCheckpoint): the component
+    # branch and the csim branch are separate plan subtrees, and without
+    # the cut the assignment pass runs once per branch — measured 35s vs
+    # 26s at 10x data for the full query. The checkpoint is N rows of
+    # (id, vector, cell, csim) — linear, distributed across executors
+    # (memory with disk spill), never driver state.
+    cells = assign_cells_fixed(
+        emb, centroids, id_col, vec_col, dim=dim
+    ).localCheckpoint(eager=True)
     pairs = _pairs_from_cells(cells, threshold, dim=dim, cell_cap=cell_cap)
     if cell_cap is not None:
         # block-confined edges -> one-shuffle blockwise union-find instead

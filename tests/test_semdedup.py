@@ -111,3 +111,38 @@ def test_trained_variant_deterministic_and_within_cell(emb):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and len(ra) > 0
+
+
+def test_blockwise_components_match_global_algorithm(spark):
+    """The one-shuffle per-block union-find must produce exactly the
+    labels the iterative global algorithm produces on the same capped
+    edge set (components are block-confined by construction)."""
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.dedup import connected_components
+    from icenetetl_spark.operators.ivf import assign_cells_fixed
+    from icenetetl_spark.operators.semdedup import (
+        _blockwise_components,
+        _pairs_from_cells,
+    )
+    from icenetetl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = emb.filter(F.col("vec_id") % 45 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    cells = assign_cells_fixed(emb, cents, "vec_id", "embedding")
+    pairs = _pairs_from_cells(cells, 0.3, cell_cap=8).localCheckpoint()
+    blockwise = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in _blockwise_components(
+            pairs.select("cell", "__blk", "doc_a", "doc_b")
+        ).collect()
+    )
+    global_ = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            pairs.select("doc_a", "doc_b")
+        ).collect()
+    )
+    assert blockwise == global_ and len(blockwise) > 0
