@@ -58,6 +58,32 @@ BENCH_QUERIES = [
 ]
 
 
+def _ambient_probe(spark, reps: int = 3) -> list[float]:
+    """Fixed-size synthetic CPU+shuffle micro-job, independent of SF and of
+    any repo data: 20M-row integer hash -> 1M-key groupBy (one shuffle) ->
+    top-5. Run before and after the suite so every recorded total carries its
+    own ambient denominator — round-over-round shifts in the suite total can
+    then be attributed to host conditions vs code without re-running the
+    interleaved A/B by hand (BENCHDRIFT.md established the need: same-code
+    spread on this host is ~20%, with 4-15% CPU steal in slow windows)."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for _ in range(reps):
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(((F.col("id") * 2654435761) % 1000003).alias("k"))
+            .groupBy("k")
+            .count()
+            .orderBy(F.desc("count"), F.asc("k"))
+            .limit(5)
+            .collect()
+        )
+        out.append(round(time.time() - t0, 3))
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -106,6 +132,8 @@ def main() -> None:
         "left",
     ).count()
 
+    probe_pre = _ambient_probe(spark)
+
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for _ in range(runs):
@@ -117,12 +145,17 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
 
+    probe_post = _ambient_probe(spark)
+
     import statistics
 
     timings = {
         n: round(statistics.median(s), 3) for n, s in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    probe = round(
+        statistics.median(sorted(probe_pre + probe_post)), 3
+    )
     print(
         json.dumps(
             {
@@ -131,6 +164,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # ambient calibration: fixed synthetic probe (see
+                # _ambient_probe). Compare `value / ambient_probe.median`
+                # across rounds to separate host drift from code drift.
+                "ambient_probe": {
+                    "pre": probe_pre,
+                    "post": probe_post,
+                    "median": probe,
+                    "total_per_probe": round(total / probe, 2)
+                    if probe > 0
+                    else None,
+                },
             }
         )
     )

@@ -222,6 +222,16 @@ def source_mixture(
     """
     from icenetetl_spark.functions.portable import portable_hash64
 
+    # refuse inputs already carrying the output/internal column names —
+    # silently overwriting caller data is worse than an error (the
+    # assign_shards lesson, ADVICE r7/r8)
+    taken = {"epoch", "__rk", "__copies"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"source_mixture would overwrite existing column(s) "
+            f"{sorted(taken)}; rename or drop them first"
+        )
+
     wmap = F.create_map(
         *[
             x

@@ -182,10 +182,19 @@ def semdedup(
     # the cut the assignment pass runs once per branch — measured 35s vs
     # 26s at 10x data for the full query. The checkpoint is N rows of
     # (id, vector, cell, csim) — linear, distributed across executors
-    # (memory with disk spill), never driver state.
+    # (memory with disk spill), never driver state. eager=False so merely
+    # CONSTRUCTING the DataFrame stays free (bench median-of-N and
+    # parametrized tests build the plan repeatedly; eager=True ran the full
+    # N x k assignment job per construction and pinned the blocks until GC
+    # — ADVICE r8); the blocks materialize on the first action, which is
+    # the only pass that needs them. Tradeoff (deliberate): a
+    # localCheckpoint cannot be recomputed after executor loss — on a real
+    # cluster a lost executor fails the query and the retry re-runs it from
+    # source, which for this one-job operator is the same cost profile as
+    # no checkpoint at all.
     cells = assign_cells_fixed(
         emb, centroids, id_col, vec_col, dim=dim
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pairs = _pairs_from_cells(cells, threshold, dim=dim, cell_cap=cell_cap)
     if cell_cap is not None:
         # block-confined edges -> one-shuffle blockwise union-find instead

@@ -35,6 +35,19 @@ _MODULES = [
     database,
 ]
 
+# query name -> defining module name, for change-aware rotation (the
+# fingerprint closure starts at the module whose QUERIES dict names it)
+_QUERY_SRC_MODULE: dict[str, str] = {
+    name: m.__name__ for m in _MODULES for name in m.QUERIES
+}
+
+# canonical tie-break position: QUERIES merge order. ORACLES dicts may list
+# the same names in a different order, and the driver pairs them by name, so
+# both all_queries() and all_oracles() must sort ties identically
+_CANONICAL_POS: dict[str, int] = {
+    name: i for i, name in enumerate(_QUERY_SRC_MODULE)
+}
+
 
 _LAST_VERIFIED_CACHE: tuple[tuple, dict[str, int]] | None = None
 
@@ -99,16 +112,46 @@ def _last_verified_round() -> dict[str, int]:
 
 
 def _reorder(d):
-    """LEAST-RECENTLY-VERIFIED first. The driver's correctness gate records
-    rows for the first N registry entries per round (N=50 in rounds 1-2,
-    fewer than the registry size), so a static order would permanently
-    shadow whatever sits past the window. Sorting by the round each query
-    last verified cleanly — never-checked and last-failed queries first,
-    stable by module order within ties — rotates the window automatically:
-    the queries that missed this round's gate lead the next round's."""
+    """LEAST-RECENTLY-VERIFIED first, with CHANGED-SINCE-GREEN promoted to
+    the very front. The driver's correctness gate records rows for the first
+    N registry entries per round (N=50 in rounds 1-2, fewer than the registry
+    size), so a static order would permanently shadow whatever sits past the
+    window. Sorting by the round each query last verified cleanly —
+    never-checked and last-failed queries first, stable by module order
+    within ties — rotates the window automatically. On top of age, any query
+    whose implementing module closure's git-blob fingerprint differs from
+    that of its last-green round's gate commit (see ``_staleness``) is
+    treated as never verified, so edited plans re-enter the window the round
+    after they change instead of riding unverified until age alone rotates
+    them back in (round-8 verdict item #1)."""
+    from icenetetl_spark.queries import _staleness
+
     last = _last_verified_round()
+    latest = max(last.values(), default=-1)
     names = list(d)
-    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], -1), i))
+
+    def key(i):
+        name = names[i]
+        pos = _CANONICAL_POS.get(name, i)
+        rnd = last.get(name, -1)
+        mod = _QUERY_SRC_MODULE.get(name)
+        changed = (
+            rnd >= 0
+            and mod is not None
+            and _staleness.changed_since_round(mod, rnd)
+        )
+        if rnd < 0:
+            return (0, 0, rnd, pos)  # never verified: absolute front
+        if changed:
+            # newest change first (a plan edited last round or this round
+            # beats one whose unverified change is older — the older one's
+            # low last-green round already rotates it forward), then stalest
+            # green within the same change epoch
+            epoch = _staleness.change_epoch(mod, rnd, latest)
+            return (1, -epoch, rnd, pos)
+        return (2, 0, rnd, pos)
+
+    order = sorted(range(len(names)), key=key)
     return {names[i]: d[names[i]] for i in order}
 
 

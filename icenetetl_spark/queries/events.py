@@ -47,13 +47,34 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a >30-minute silence starts a new session.
 
-    lag() over (user, time) -> boundary flag -> running SUM = session index;
-    per-user window shuffle is keyed by user_id, so at scale this distributes
-    across executors (no global window). Hot-user lever with identical
-    output: operators/temporal.sessionize_two_phase (gated as
-    ev_sessionize_two_phase). Streaming twin:
+    DEFAULT PLAN (since round 9): operators/temporal.sessionize_two_phase —
+    phase 1 sessionizes within (user, day-bucket) slices, phase 2 stitches
+    local sessions per user, so a hot user costs ~#sessions rather than
+    #events in the stitch task. The skew table (SCALING.md) measured the
+    single-window form at 6.2x under a 100x hot user while the two-phase
+    form held 1.7x with pinned-identical output (equality for any bucket
+    width proven in the operator docstring and pinned in
+    tests/test_temporal.py), so the skew-safe plan is the gated default
+    (round-8 verdict #6). The lag/running-sum window form remains as the
+    diagnostic/oracle twin ev_sessionize_window below. Streaming twin:
     streaming/stateful.sessionize_stream (constant-size per-user state,
     pinned equal to this plan in tests/test_stateful.py).
+    """
+    from icenetetl_spark.operators.temporal import sessionize_two_phase
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_two_phase(
+        ev, "user_id", "ts", "event_id", gap_s=1800, bucket_s=86400
+    )
+
+
+def ev_sessionize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of ev_sessionize: the classic single-window
+    gaps-and-islands plan (lag() over (user, time) -> boundary flag ->
+    running SUM = session index). Distributes by user_id, but a hot user's
+    whole history serializes into one window task — which is why the
+    two-phase plan is the gated default; this form stays as the readable
+    reference implementation and shares the same oracle verbatim.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -355,6 +376,7 @@ QUERIES = {
     "ev_window_rollup": ev_window_rollup,
     "ev_json_extract": ev_json_extract,
     "ev_sessionize": ev_sessionize,
+    "ev_sessionize_window": ev_sessionize_window,
     "ev_session_window": ev_session_window,
     "ev_top_users": ev_top_users,
     "ev_asof_join": ev_asof_join,
@@ -900,23 +922,7 @@ ORACLES["ev_rate_spike"] = f"""
 """
 
 
-def ev_sessionize_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hot-user lever for sessionization, under the hash gate: the
-    skew stress table (SCALING.md) measured ev_sessionize at 1.39x with
-    30% of events on one user because the per-user window serializes that
-    user's whole history into one task. sessionize_two_phase splits phase
-    1 by (user, day-bucket) and stitches local sessions per user — the
-    straggler shrinks from the user's event count to its session count.
-    Output is provably identical for any bucket width (equality vs the
-    window plan is pinned in tests/test_temporal.py), so this row reuses
-    ev_sessionize's oracle SQL verbatim."""
-    from icenetetl_spark.operators.temporal import sessionize_two_phase
-
-    ev = load_table(spark, sf_dir, "events")
-    return sessionize_two_phase(
-        ev, "user_id", "ts", "event_id", gap_s=1800, bucket_s=86400
-    )
-
-
-QUERIES["ev_sessionize_two_phase"] = ev_sessionize_two_phase
-ORACLES["ev_sessionize_two_phase"] = ORACLES["ev_sessionize"]
+# ev_sessionize_two_phase was folded into ev_sessionize in round 9: the
+# two-phase plan is now the gated default (round-8 verdict #6), and the
+# single-window form survives as the diagnostic twin ev_sessionize_window.
+ORACLES["ev_sessionize_window"] = ORACLES["ev_sessionize"]

@@ -1488,10 +1488,17 @@ QUERIES["doc_token_budget_head"] = doc_token_budget_head
 def _mix_weight_case() -> str:
     from icenetetl_spark.queries.text import MIX_WEIGHTS  # self, for clarity
 
+    # CAST each weight to DOUBLE: a bare literal like 0.3 parses as DECIMAL
+    # in DuckDB while Spark computes the fractional target in DOUBLE, and
+    # FLOOR((w - FLOOR(w)) * n_s + 0.5) can differ by 1 between the two
+    # arithmetics for non-dyadic weights (ADVICE r8). All current
+    # MIX_WEIGHTS are dyadic, but the oracle must mirror Spark's arithmetic
+    # for ANY weight.
     arms = " ".join(
-        f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
+        f"WHEN '{s}' THEN CAST({w} AS DOUBLE)"
+        for s, w in sorted(MIX_WEIGHTS.items())
     )
-    return f"CASE source {arms} ELSE 1.0 END"
+    return f"CASE source {arms} ELSE CAST(1.0 AS DOUBLE) END"
 
 
 ORACLES["doc_source_mixture"] = f"""

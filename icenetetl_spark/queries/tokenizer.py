@@ -115,6 +115,13 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the training loop turns the driver gate red — fail-loud, the exact
 # property a gate is for. ``pair_count`` is the argmax statistic at each
 # step, pinned alongside the pair.
+# Oracles below that embed the pinned fit are valid ONLY at the gate SF —
+# running tools/check_oracle.py at another SF would compare a trainer fit
+# on that corpus against the sf0.01 constant and read false red. The local
+# checker consults this set and skips these entries when SF differs
+# (ADVICE r8); the driver always gates at sf0.01 so its rows are unaffected.
+PINNED_AT_SF001 = {"bpe_train_merges", "bpe_encode_tokens"}
+
 FIXED_MERGES: list[dict] = [
     {"left": "e", "right": "r", "merged": "er", "pair_count": 4568},
     {"left": "e", "right": "</w>", "merged": "e</w>", "pair_count": 4473},

@@ -35,7 +35,7 @@ FLOAT_SENSITIVE = [
     # depend on how many partitions it lands on), the two-phase sessionize
     # stitch, and the count-based band-bucket cap
     "doc_global_shuffle",
-    "ev_sessionize_two_phase",
+    "ev_sessionize_window",
     "dedup_minhash_lsh_capped",
 ]
 

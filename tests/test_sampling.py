@@ -188,3 +188,19 @@ def test_token_budget_head_boundary_and_monotone(spark):
     small_ids = {r["doc_id"] for r in small.collect()}
     big_ids = {r["doc_id"] for r in big.collect()}
     assert small_ids < big_ids
+
+
+def test_source_mixture_refuses_column_collisions(spark):
+    """Pre-existing epoch/__rk/__copies columns would be silently
+    overwritten (the assign_shards failure mode, ADVICE r8) — refuse."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from icenetetl_spark.operators.sampling import source_mixture
+
+    base = spark.range(10).selectExpr("id AS doc_id", "'a' AS source")
+    for bad in ("epoch", "__rk", "__copies"):
+        df = base.withColumn(bad, F.lit(1))
+        with _pytest.raises(ValueError, match=bad.replace("_", "_")):
+            source_mixture(df, "source", {"a": 1.5}, "doc_id")

@@ -47,7 +47,7 @@ SPOT_QUERIES = [
     # show up as a ratio <= the window plan's as volume grows) and the
     # distributed-prefix-sum global shuffle (range exchange + k-row offset
     # broadcast; a single-partition window would serialize at 100x)
-    "ev_sessionize_two_phase",
+    "ev_sessionize_window",
     "doc_global_shuffle",
     # round-7: components-first dedup at the second decade — the claim
     # that the exact-duplicate quotient / df-capped pair stage bounds

@@ -95,7 +95,7 @@ STRESS_QUERIES = [
     # round-7 late additions: the hot-user sessionize lever and the
     # distributed-prefix-sum global shuffle (range exchange + k-row
     # offset broadcast — the stage count must not grow with volume)
-    "ev_sessionize_two_phase",
+    "ev_sessionize_window",
     "doc_global_shuffle",
     # round-7 session 2: the time-series join family (as-of carry-forward
     # window; bin-quantized range join — both one key shuffle by design)

@@ -57,8 +57,8 @@ SKEWED_DIR = "/tmp/icenetetl-skew-hot"
 
 SKEW_QUERIES = [
     "ev_top_users",       # hot groupBy key
-    "ev_sessionize",      # hot window partition
-    "ev_sessionize_two_phase",  # ...and its gated lever, measured side-by-side
+    "ev_sessionize",      # skew-safe two-phase default (since r9)
+    "ev_sessionize_window",  # the single-window diagnostic twin, side-by-side
     "q18_large_orders",   # hot agg-then-join key
     "j_salted_join",      # hot equi-join key, salting lever gated on
     "dedup_groups",       # hot shingles, df-cap lever
@@ -72,10 +72,10 @@ SKEW_QUERIES = [
 # table so the reader sees the lever next to the number)
 MITIGATION = {
     "ev_top_users": "partial agg combines the hot key map-side; no lever needed",
-    "ev_sessionize": "hot user serializes one window task; lever: the"
-    " two-phase row below (or streaming/stateful.sessionize_stream)",
-    "ev_sessionize_two_phase": "the lever, gated: phase 1 windows on"
+    "ev_sessionize": "gated default IS the lever: phase 1 windows on"
     " (user, day-bucket), stitch over session summaries — identical output",
+    "ev_sessionize_window": "diagnostic twin: hot user serializes one window"
+    " task — kept to show what the two-phase default avoids",
     "q18_large_orders": "AQE skew-join split (on in session.py) rebalances the"
     " post-agg join; the groupBy side combines map-side",
     "j_salted_join": "this IS the lever: deterministic salting spreads the hot"
