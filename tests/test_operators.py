@@ -587,6 +587,34 @@ def test_simhash_topn_precap_is_lossless(spark):
     assert per <= 4
 
 
+def test_simhash_topn_strategies_identical(spark):
+    """The Hamming-ball enumeration strategy and the pigeonhole segment
+    join must produce byte-identical shortlists — enumeration is the auto
+    default at 16 bits (697 masks), the segment join remains the wide-
+    fingerprint path, and the oracle mirrors the plain definition for
+    both. Fingerprint set includes exact-dup mass (hamming-0 pairs, mask
+    0) and rank ties."""
+    from icenetetl_spark.operators.dedup import simhash_topn_pairs
+
+    fps = [0b0, 0b1, 0b11, 0b10011, 0b1111111100000000, 0b1111111100000011]
+    rows = [(i, fps[i % len(fps)]) for i in range(40)]
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    key = lambda r: (r["doc_a"], r["doc_b"], r["hamming"], r["rank"])
+    for symmetric in (False, True):
+        enum = simhash_topn_pairs(
+            sim, max_hamming=3, num_bits=16, per_doc=4,
+            symmetric=symmetric, strategy="enumerate",
+        )
+        seg = simhash_topn_pairs(
+            sim, max_hamming=3, num_bits=16, per_doc=4,
+            symmetric=symmetric, strategy="segment",
+        )
+        assert sorted(map(key, enum.collect())) == sorted(
+            map(key, seg.collect())
+        )
+
+
 def test_fingerprint_topn_quotient_semantics(spark):
     """fingerprint_topn_pairs == (distinct fp -> min-doc rep + count) ->
     symmetric per-rep top-N by (hamming, rep_b) — checked against a naive

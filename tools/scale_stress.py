@@ -80,11 +80,10 @@ STRESS_QUERIES = [
     # round-6 widening: the iterative / self-join families that were not
     # yet under measured stress — fixed-point iteration (pagerank),
     # star-contraction connected components, IVF-cell semantic dedup,
-    # banded perceptual-hash self-join, and sequence-path explode
+    # and sequence-path explode
     "graph_pagerank",
     "dedup_groups",
     "dedup_semantic",
-    "mm_image_dhash_pairs",
     "ev_top_paths",
     # round-7: the components/canonical replacement for quadratic-output
     # media pair materialization (exact-duplicate quotient bounds every
@@ -108,6 +107,19 @@ STRESS_QUERIES = [
     # and the capped+prenorm SemDeDup re-measured after its fix
     "dedup_simhash_topn",
     "mm_image_dhash_topn",
+]
+
+# Pair-materializing DIAGNOSTICS: correct, driver-gated at sf0.01, but
+# their OUTPUT is quadratic by definition (every near-dup pair), so at 10x
+# synthetic data they dominate the harness budget and would mislead the
+# "worst ratio" headline (round-8 verdict #4). They run only with
+# --diagnostics, their rows are labeled, and the headline reads the
+# production set above. The scale defaults for these families are the
+# bounded forms already in STRESS_QUERIES (dedup_simhash_topn /
+# mm_image_dhash_topn, dedup_groups / mm_image_dup_groups).
+DIAGNOSTIC_QUERIES = [
+    "mm_image_dhash_pairs",
+    "dedup_simhash_pairs",
 ]
 
 
@@ -215,7 +227,8 @@ def _run_once(fn, spark: SparkSession, sf_dir: str) -> float:
 
 
 def measure_interleaved(
-    spark: SparkSession, base_dir: str, big_dir: str, runs: int
+    spark: SparkSession, base_dir: str, big_dir: str, runs: int,
+    names: list[str] | None = None,
 ) -> tuple[dict, dict]:
     """Per query: one untimed warmup at each size (codegen compile + page
     cache for THIS plan — the first execution is routinely 2-5x the steady
@@ -230,7 +243,7 @@ def measure_interleaved(
     _warmup(spark, base_dir)
     _warmup(spark, big_dir)
     base_out, big_out = {}, {}
-    for name in STRESS_QUERIES:
+    for name in (names if names is not None else STRESS_QUERIES):
         fn = queries[name]
         for sf_dir, out in ((base_dir, base_out), (big_dir, big_out)):
             shuffles, broadcasts = _exchanges(fn(spark, sf_dir))
@@ -249,13 +262,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--diagnostics", action="store_true",
+        help="also measure the quadratic-output pair diagnostics "
+             "(DIAGNOSTIC_QUERIES); their rows are labeled and excluded "
+             "from the worst-ratio headline",
+    )
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"))
     args = ap.parse_args()
 
     spark = get_spark("icenetetl-scale-stress")
     scaled = build_scaled(spark, args.factor)
-    base, big = measure_interleaved(spark, BASE_SF, scaled, args.runs)
+    names = STRESS_QUERIES + (DIAGNOSTIC_QUERIES if args.diagnostics else [])
+    base, big = measure_interleaved(spark, BASE_SF, scaled, args.runs, names)
 
     lines = [
         "# SCALING — measured 10x stress (tools/scale_stress.py)",
@@ -275,12 +295,17 @@ def main() -> int:
         "|---|---|---|---|---|---|",
     ]
     worst = 0.0
-    for name in STRESS_QUERIES:
+    measured_diag = [n for n in DIAGNOSTIC_QUERIES if n in base]
+    for name in STRESS_QUERIES + measured_diag:
         b, g = base[name], big[name]
         ratio = round(g["sec"] / b["sec"], 2) if b["sec"] else float("inf")
-        worst = max(worst, ratio)
+        label = name
+        if name in DIAGNOSTIC_QUERIES:
+            label = f"{name} *(diagnostic — quadratic output by design)*"
+        else:
+            worst = max(worst, ratio)
         lines.append(
-            f"| {name} | {b['sec']} | {g['sec']} | {ratio}x "
+            f"| {label} | {b['sec']} | {g['sec']} | {ratio}x "
             f"| {b['shuffles']}/{g['shuffles']} | {b['broadcasts']}/{g['broadcasts']} |"
         )
     same_shape = all(
@@ -337,10 +362,27 @@ def main() -> int:
         )
     else:
         over_note = "none observed above the factor."
+    diag_note = ""
+    if measured_diag:
+        diag_note = (
+            " Diagnostic rows (labeled) are excluded from the headline: "
+            "they materialize every near-dup pair, an output that grows "
+            "quadratically by construction on this self-similar synthetic "
+            "corpus; their bounded production twins (topn/groups) are in "
+            "the headline set."
+        )
+    elif DIAGNOSTIC_QUERIES:
+        diag_note = (
+            " Pair-materializing diagnostics "
+            f"({', '.join(DIAGNOSTIC_QUERIES)}) are quarantined from the "
+            "default run (--diagnostics opts in): their output is "
+            "quadratic by design and their bounded production twins "
+            "(topn/groups) are what the headline grades."
+        )
     lines += [
         "",
-        f"Worst time ratio at {args.factor}x data: **{worst}x**. "
-        f"Plan shapes identical across sizes: **{same_shape}**.",
+        f"Worst PRODUCTION time ratio at {args.factor}x data: **{worst}x**. "
+        f"Plan shapes identical across sizes: **{same_shape}**." + diag_note,
         "",
         "Reading: a ratio at or below ~10x for 10x data is at-most-linear "
         "scaling for that plan on fixed cores (sub-10x = fixed overheads "
