@@ -175,6 +175,30 @@ def measure_corpus(spark, docs_dir: str, batches: int, tag: str) -> dict:
     }
 
 
+def build_hot_events(spark, events_dir: str, out_dir: str) -> str:
+    """Skewed twin of an events table: ~30% of all events deterministically
+    remapped onto ONE hot user (event_id % 10 < 3 — no RNG), the rest
+    untouched. This is the hot-key shape the batch skew table uses
+    (tools/skew_stress.py); here it stresses the per-user streaming state
+    group: the hot user's group function receives ~30% of every
+    micro-batch, and the claim under test is that it costs its BATCH SHARE
+    per trigger — its state stays one open-session tuple — never a replay
+    of its history."""
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    ev = spark.read.parquet(events_dir)
+    hot = (
+        ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 3, F.lit(1)).otherwise(
+                F.col("user_id")
+            ),
+        )
+    )
+    hot.repartition(32).write.parquet(out_dir)
+    return out_dir
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=8)
@@ -182,6 +206,11 @@ def main() -> int:
         "--corpus", action="store_true",
         help="measure the two-layer corpus dedup stream instead of "
         "sessionization",
+    )
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="also measure a 10x variant with one hot user owning ~30% "
+        "of all events (sessionization mode only)",
     )
     args = ap.parse_args()
     spark = get_spark("icenetetl-stream-stress")
@@ -196,6 +225,13 @@ def main() -> int:
             continue
         fn = measure_corpus if args.corpus else measure
         rows.append(fn(spark, evp, args.batches, tag))
+    if args.skew and not args.corpus:
+        evp = f"{SCALED}/events.parquet"
+        if os.path.exists(evp):
+            hot = build_hot_events(
+                spark, evp, "/tmp/icenetetl-stream-hotevents"
+            )
+            rows.append(measure(spark, hot, args.batches, "10x hot-user"))
 
     print("| size | events | users | micro-batches | wall s | emitted rows "
           "| state rows | state KB |")
