@@ -97,12 +97,47 @@ def _pairs_from_cells(
         keys = ["cell", "__blk"]
     else:
         keys = ["cell"]
-    a = cells.select(
-        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), *keys
-    )
-    b = cells.select(
-        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), *keys
-    )
+    # Hoist each member's norm OUT of the pair stage (the ivf.py round-8
+    # lesson applied to the self-join): cosine(va, vb) unrolled at d=64 is
+    # three 64-term dots (~192 multiply-adds) inside the join's consume
+    # method, which overflows the JVM's 64 KB method limit — Spark logs
+    # "Code grows beyond 64 KB" and silently runs the WHOLE pair stage
+    # interpreted, forfeiting codegen exactly where it matters most. With
+    # norms precomputed once per member (N rows, linear), the pair stage
+    # is ONE unrolled dot plus a divide and compiles. Values are
+    # BIT-IDENTICAL: sqrt(dot(v,v)) is the same double whether computed
+    # per member or per pair (same accumulation order), and
+    # dot/(sqrt(aa)*sqrt(bb)) == dot/(na*nb) exactly — so the oracle and
+    # every downstream gate are untouched.
+    if dim:
+        from icenetetl_spark.operators.similarity import dot_unrolled
+
+        cells = cells.withColumn(
+            "__nrm", F.sqrt(dot_unrolled(F.col("v"), F.col("v"), dim))
+        )
+        a = cells.select(
+            F.col("vec_id").alias("doc_a"),
+            F.col("v").alias("va"),
+            F.col("__nrm").alias("na"),
+            *keys,
+        )
+        b = cells.select(
+            F.col("vec_id").alias("doc_b"),
+            F.col("v").alias("vb"),
+            F.col("__nrm").alias("nb"),
+            *keys,
+        )
+        cos = dot_unrolled(F.col("va"), F.col("vb"), dim) / (
+            F.col("na") * F.col("nb")
+        )
+    else:
+        a = cells.select(
+            F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), *keys
+        )
+        b = cells.select(
+            F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), *keys
+        )
+        cos = cosine(F.col("va"), F.col("vb"), dim=None)
     return (
         a.join(b, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -111,7 +146,7 @@ def _pairs_from_cells(
             "doc_b",
             "cell",
             *(["__blk"] if cell_cap is not None else []),
-            cosine(F.col("va"), F.col("vb"), dim=dim).alias("cos"),
+            cos.alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )
