@@ -353,25 +353,39 @@ BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval — the scoring behind retrieval-based corpus
     curation (nearest public shape: Robertson & Zaragoza, "The
-    Probabilistic Relevance Framework: BM25 and Beyond"). Plan: one
-    explode->groupBy for per-doc term frequencies, a 3-row broadcast of
-    per-term document frequencies, a 1-row broadcast of (N, avgdl), score
-    arithmetic fully JVM-side, fixed-point-accumulated per-doc sum, top-k
-    window. The token shuffle is the only data-sized exchange."""
+    Probabilistic Relevance Framework: BM25 and Beyond"). Plan (round 9:
+    NO full-token exchange remains): per-doc term frequencies aggregate
+    only the QUERY terms — the isin filter is pushed below the explode,
+    so the tf shuffle carries a handful of terms instead of the whole
+    token stream (the former plan shuffled every token twice: once for
+    tf over ALL terms that a later filter discarded, once for document
+    lengths). Document length is size(tokens(text)) — a map-only
+    projection. Docs with zero tokens are filtered out of dl exactly as
+    the explode form dropped them (explode of an empty array emits no
+    rows), so N/avgdl — and every downstream float — are bit-identical
+    and the oracle keeps the explode formulation. Then: a 3-row broadcast
+    of per-term document frequencies, a 1-row broadcast of (N, avgdl),
+    score arithmetic fully JVM-side, fixed-point-accumulated per-doc sum,
+    distributed top-k."""
     from icenetetl_spark.functions.portable import fsum_col
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    qtf = (
+        docs.select(
+            "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term").isin(BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
     # N and avgdl from two exact longs -> identical double division
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    qtf = tf.filter(F.col("term").isin(BM25_QUERY))
     dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n, dfc = F.col("n_docs").cast("double"), F.col("df").cast("double")
     tfd, dld = F.col("tf").cast("double"), F.col("dl").cast("double")
