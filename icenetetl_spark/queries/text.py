@@ -360,12 +360,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream (the former plan shuffled every token twice: once for
     tf over ALL terms that a later filter discarded, once for document
     lengths). Document length is size(tokens(text)) — a map-only
-    projection. Docs with zero tokens are filtered out of dl exactly as
-    the explode form dropped them (explode of an empty array emits no
-    rows), so N/avgdl — and every downstream float — are bit-identical
-    and the oracle keeps the explode formulation. Then: a 3-row broadcast
-    of per-term document frequencies, a 1-row broadcast of (N, avgdl),
-    score arithmetic fully JVM-side, fixed-point-accumulated per-doc sum,
+    projection that equals the explode+groupBy count for EVERY doc,
+    including empty ones: split() never returns an empty array (an empty
+    text tokenizes to [""], one element, so the old explode form also
+    counted it as dl=1 — pinned in tests/test_bm25_edge.py). N/avgdl and
+    every downstream float are therefore bit-identical and the oracle
+    keeps the explode formulation. Then: a 3-row broadcast of per-term
+    document frequencies, a 1-row broadcast of (N, avgdl), score
+    arithmetic fully JVM-side, fixed-point-accumulated per-doc sum,
     distributed top-k."""
     from icenetetl_spark.functions.portable import fsum_col
 
@@ -380,7 +382,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dl = docs.select(
         "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("dl")
-    ).filter(F.col("dl") > 0)
+    )
     # N and avgdl from two exact longs -> identical double division
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
