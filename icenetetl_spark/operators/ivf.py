@@ -174,15 +174,31 @@ def knn_ivf_fixed_centroids(
 
     Scale notes: centroid assignment is corpus ⨯ broadcast(k rows) scored
     per-row, then argmax via ONE partial-aggregated groupBy (max over a
-    (sim, -centroid_id, cv) struct — lexicographic, ties to the smaller
+    scalar (sim, -centroid_id) struct — lexicographic, ties to the smaller
     centroid id; the k scored copies of a row are produced in the same task,
-    so map-side combine collapses them before the shuffle). A per-row window
-    would shuffle k×N rows instead.
+    so map-side combine collapses them before the shuffle, and the vector
+    rejoins by id afterwards). A per-row window would shuffle k×N rows
+    instead.
     """
+    from icenetetl_spark.operators.similarity import _dot, dot_unrolled
+
+    def _d(x, y):
+        return dot_unrolled(x, y, dim) if dim else _dot(x, y)
+
     cents = F.broadcast(centroids)
+    # carry each corpus vector's norm out of the re-rank join (round-9:
+    # cosine unrolled at d=64 inside the join consume method is three
+    # 64-term dots and overflows janino's 64 KB limit, dropping the probe
+    # join out of whole-stage codegen; with norms precomputed the join is
+    # one dot + a divide — bit-identical values, sqrt factored out)
     corpus_cells = assign_cells_fixed(
         corpus, centroids, id_col, vec_col, out_id="neighbor_id", dim=dim
-    ).select("neighbor_id", F.col("v").alias("cv"), "cell")
+    ).select(
+        "neighbor_id",
+        F.col("v").alias("cv"),
+        F.sqrt(_d(F.col("v"), F.col("v"))).alias("cvn"),
+        "cell",
+    )
     q_scored = queries.crossJoin(cents).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -195,7 +211,12 @@ def knn_ivf_fixed_centroids(
     probes = (
         q_scored.withColumn("__rk", F.row_number().over(wq))
         .filter(F.col("__rk") <= n_probe)
-        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+        .select(
+            "query_id",
+            "qv",
+            F.sqrt(_d(F.col("qv"), F.col("qv"))).alias("qvn"),
+            F.col("centroid_id").alias("cell"),
+        )
     )
     scored = (
         # probes = queries x n_probe (bounded): broadcasting it means the
@@ -203,7 +224,12 @@ def knn_ivf_fixed_centroids(
         F.broadcast(probes).join(corpus_cells, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos")
+            "query_id",
+            "neighbor_id",
+            (
+                _d(F.col("qv"), F.col("cv"))
+                / (F.col("qvn") * F.col("cvn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -489,13 +489,45 @@ def embedding_near_duplicates(
     Production swap: seeded random hyperplanes instead of axis signs, wider
     bands — same plan shape.
     """
+    # Norms are hoisted out of every pair stage below (the ivf.py /
+    # semdedup.py round-9 lesson): cosine unrolled at d=64 inside a join's
+    # consume method is three 64-term dots, which overflows the JVM's
+    # 64 KB method limit — Spark logged "Code grows beyond 64 KB" on this
+    # very query's banded join and ran the stage interpreted. With ||v||
+    # precomputed once per row (map-side, linear), the pair stage is one
+    # dot plus a divide and compiles. Bit-identical: same operands, same
+    # accumulation order, sqrt factored out of the division.
+    def _nrm(col: Column) -> Column:
+        from icenetetl_spark.operators.similarity import _dot, dot_unrolled
+
+        d = dot_unrolled(col, col, dim) if dim else _dot(col, col)
+        return F.sqrt(d)
+
+    def _pair_cos(va, vb, na, nb) -> Column:
+        from icenetetl_spark.operators.similarity import _dot, dot_unrolled
+
+        d = dot_unrolled(va, vb, dim) if dim else _dot(va, vb)
+        return d / (na * nb)
+
     if exact:
-        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = emb.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            _nrm(F.col(vec_col)).alias("na"),
+        )
+        b = emb.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            _nrm(F.col(vec_col)).alias("nb"),
+        )
         return (
             a.join(b, F.col("id_a") < F.col("id_b"))
             .select(
-                "id_a", "id_b", cosine(F.col("va"), F.col("vb"), dim=dim).alias("cos")
+                "id_a",
+                "id_b",
+                _pair_cos(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ).alias("cos"),
             )
             .filter(F.col("cos") >= threshold)
         )
@@ -528,8 +560,9 @@ def embedding_near_duplicates(
     banded = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
+        _nrm(F.col(vec_col)).alias("nrm"),
         F.explode(F.array(*band_structs)).alias("b"),
-    ).select("vid", "vec", "b.band_idx", "b.band_sig")
+    ).select("vid", "vec", "nrm", "b.band_idx", "b.band_sig")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -541,7 +574,9 @@ def embedding_near_duplicates(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec"), dim=dim).alias("cos"),
+            _pair_cos(
+                F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .distinct()
