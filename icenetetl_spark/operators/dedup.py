@@ -748,7 +748,10 @@ def simhash_topn_pairs(
       the rep universe toward 2^16, where per-bucket candidates hit
       (2^12)^2/2 per bucket = ~537M total), while the mask join's ceiling
       is 697 * 2^16 = ~46M rows. Each true pair is produced exactly once
-      per direction (the connecting mask is the XOR of the two values),
+      per direction (the connecting mask is the XOR of the two values'
+      LOW num_bits; the post-join filter re-checks the full 64-bit
+      hamming, so inputs with set bits above num_bits get the same
+      answer as the segment strategy instead of silently losing pairs),
       so no cross-bucket dedup pass exists, and the final per-doc rank
       window sees at most mask_count rows per distinct-fingerprint doc.
       This is the dual of Manku's segment join for SHORT fingerprints —
@@ -790,28 +793,47 @@ def simhash_topn_pairs(
         masks = _hamming_ball_masks(
             sim.sparkSession, num_bits, max_hamming
         )
+        # Join on the LOW num_bits only, then filter on the TRUE full-width
+        # hamming (round-9 advice): a fingerprint with set bits at or above
+        # num_bits would otherwise never equi-join to its ball neighbors
+        # (masks flip only low bits), silently diverging from the segment
+        # strategy, whose hamming is a popcount of the full 64-bit XOR.
+        # Low-bit hamming <= full hamming, so every qualifying pair shares
+        # exactly one connecting low mask (the pair's low-bit XOR) — each
+        # true pair still joins exactly once per direction — and in-range
+        # inputs take the identical path (the low-bit AND is a no-op and
+        # the recomputed popcount equals the mask's ball distance).
+        low = (
+            F.col("simhash")
+            if num_bits >= 64
+            else F.col("simhash").bitwiseAND(F.lit((1 << num_bits) - 1))
+        )
         nb = (
             sim.select("doc_id", "simhash")
-            .crossJoin(F.broadcast(masks))
+            .crossJoin(F.broadcast(masks.select("mask")))
             .select(
                 F.col("doc_id").alias("doc_a"),
-                F.col("simhash").bitwiseXOR(F.col("mask")).alias("__nb"),
-                "hamming",
+                F.col("simhash").alias("__sim_a"),
+                low.bitwiseXOR(F.col("mask")).alias("__nb"),
             )
         )
         right = sim.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__nb")
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("__sim_b"),
+            low.alias("__nb"),
         )
         id_cond = (
             (F.col("doc_a") != F.col("doc_b"))
             if symmetric
             else (F.col("doc_a") < F.col("doc_b"))
         )
+        ham = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
         w = Window.partitionBy("doc_a").orderBy("hamming", "doc_b")
         return (
             nb.join(right, "__nb")
             .filter(id_cond)
-            .select("doc_a", "doc_b", "hamming")
+            .select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= per_doc)
         )

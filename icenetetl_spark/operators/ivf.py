@@ -100,6 +100,14 @@ def assign_cells_fixed(
     note); ties go to the smaller centroid id — with the vector joined
     back by key afterwards (see the inline note).
 
+    CONTRACT: ``id_col`` must be unique in ``vectors`` — one output row
+    per input row. Under duplicate ids the reattach join fans the single
+    argmax row back out to every duplicate input row (the pre-round-9
+    groupBy collapsed them instead), and the ``pre`` subtree is evaluated
+    a second time through the join when the input is not cached. Every
+    in-repo caller feeds a primary key (``vec_id``/``doc_id``); callers
+    with non-unique ids must dedup first.
+
     The norms are factored OUT of the k-way crossJoin: ``||v||`` is
     computed once per vector and ``||c||`` once per centroid, so the hot
     N*k projection evaluates one dot instead of three (measured 16.7s ->

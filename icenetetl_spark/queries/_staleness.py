@@ -136,17 +136,23 @@ def _git(*args: str) -> str | None:
 @lru_cache(maxsize=None)
 def _round_commit(rnd: int) -> str | None:
     """The driver's gate commit for round ``rnd`` (its tree is the code the
-    gate actually ran)."""
-    out = _git(
-        "log", "--format=%H", "--fixed-strings", f"--grep=round {rnd}:",
-        "--all-match",
-    )
+    gate actually ran). Matched against the SUBJECT line only (round-9
+    advice): a later commit merely *mentioning* "round N:" in its body must
+    not be mistaken for the gate commit — that would fingerprint the wrong
+    tree and report false fresh/stale."""
+    out = _git("log", "--format=%H%x1f%s")
     if not out:
         return None
+    prefix = f"round {rnd}:"
     for line in out.splitlines():
-        # prefer the verdict/correctness commit over the snapshot commit:
-        # both share the tree's code files, so the newest match is fine
-        return line.strip() or None
+        try:
+            sha, subject = line.split("\x1f", 1)
+        except ValueError:
+            continue
+        # newest matching subject wins: the driver's verdict/correctness
+        # commit and its snapshot commit share the tree's code files
+        if subject.startswith(prefix):
+            return sha.strip() or None
     return None
 
 

@@ -363,15 +363,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection that equals the explode+groupBy count for EVERY doc,
     including empty ones: split() never returns an empty array (an empty
     text tokenizes to [""], one element, so the old explode form also
-    counted it as dl=1 — pinned in tests/test_bm25_edge.py). N/avgdl and
-    every downstream float are therefore bit-identical and the oracle
-    keeps the explode formulation. Then: a 3-row broadcast of per-term
-    document frequencies, a 1-row broadcast of (N, avgdl), score
-    arithmetic fully JVM-side, fixed-point-accumulated per-doc sum,
-    distributed top-k."""
+    counted it as dl=1 — pinned in tests/test_bm25_edge.py). NULL text is
+    the one input class where the two forms diverge (tokens(NULL) is
+    NULL, so size() yields NULL — the doc still counts toward n_docs
+    while adding nothing to sum(dl) — where explode drops the row), so NULL-text
+    docs are filtered up front — exactly the rows the pre-rewrite explode
+    plan and the oracle's unnest both drop (round-9 advice; pinned in
+    tests/test_bm25_edge.py). N/avgdl and every downstream float are
+    therefore bit-identical and the oracle keeps the explode formulation.
+    Then: a 3-row broadcast of per-term document frequencies, a 1-row
+    broadcast of (N, avgdl), score arithmetic fully JVM-side,
+    fixed-point-accumulated per-doc sum, distributed top-k."""
     from icenetetl_spark.functions.portable import fsum_col
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     qtf = (
         docs.select(
             "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")

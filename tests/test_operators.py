@@ -593,10 +593,18 @@ def test_simhash_topn_strategies_identical(spark):
     default at 16 bits (697 masks), the segment join remains the wide-
     fingerprint path, and the oracle mirrors the plain definition for
     both. Fingerprint set includes exact-dup mass (hamming-0 pairs, mask
-    0) and rank ties."""
+    0) and rank ties — plus OUT-OF-RANGE fingerprints with set bits at or
+    above num_bits (round-9 advice): the segment strategy's hamming is a
+    full 64-bit popcount, so the enumeration path must re-check the full
+    width too ((1<<20)|1 vs (1<<20)|2 is a true hamming-2 pair reachable
+    only through the low-bit mask join; (1<<21) vs 0 differs ONLY in a
+    high bit and both strategies must agree on it)."""
     from icenetetl_spark.operators.dedup import simhash_topn_pairs
 
-    fps = [0b0, 0b1, 0b11, 0b10011, 0b1111111100000000, 0b1111111100000011]
+    fps = [
+        0b0, 0b1, 0b11, 0b10011, 0b1111111100000000, 0b1111111100000011,
+        (1 << 20) | 0b1, (1 << 20) | 0b10, (1 << 21),
+    ]
     rows = [(i, fps[i % len(fps)]) for i in range(40)]
     sim = spark.createDataFrame(rows, "doc_id long, simhash long")
 

@@ -35,6 +35,11 @@ FLOAT_SENSITIVE = [
     # depend on how many partitions it lands on), the two-phase sessionize
     # stitch, and the count-based band-bucket cap
     "doc_global_shuffle",
+    # BOTH sessionize plans: ev_sessionize is the two-phase stitch (the
+    # gated default since round 9 — the ordering-sensitive path), the
+    # window twin keeps its row too (round-9 advice: the r9 rename left
+    # only the twin covered)
+    "ev_sessionize",
     "ev_sessionize_window",
     "dedup_minhash_lsh_capped",
 ]
