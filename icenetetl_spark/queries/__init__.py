@@ -41,6 +41,30 @@ _QUERY_SRC_MODULE: dict[str, str] = {
     name: m.__name__ for m in _MODULES for name in m.QUERIES
 }
 
+
+def _src_root(m, fn) -> tuple[str, str] | None:
+    """Registered callable -> (defining module, def name) root for the
+    function-level fingerprint (None -> module-closure fallback)."""
+    name = getattr(fn, "__name__", None)
+    if not (isinstance(name, str) and name.isidentifier()):
+        return None
+    fmod = getattr(fn, "__module__", None)
+    if not (isinstance(fmod, str) and fmod.startswith("icenetetl_spark")):
+        fmod = m.__name__
+    return (fmod, name)
+
+
+# query name -> (defining module, def name); roots the call-reachable
+# fingerprint so a one-line edit to an unrelated function in the same hub
+# module no longer stales the query (round-9 verdict #1b). The defining
+# module comes from the callable itself (__module__) — a function imported
+# into the registering hub fingerprints where its code lives.
+_QUERY_SRC_FUNC: dict[str, tuple[str, str] | None] = {
+    name: _src_root(m, fn)
+    for m in _MODULES
+    for name, fn in m.QUERIES.items()
+}
+
 # canonical tie-break position: QUERIES merge order. ORACLES dicts may list
 # the same names in a different order, and the driver pairs them by name, so
 # both all_queries() and all_oracles() must sort ties identically
@@ -135,10 +159,12 @@ def _reorder(d):
         pos = _CANONICAL_POS.get(name, i)
         rnd = last.get(name, -1)
         mod = _QUERY_SRC_MODULE.get(name)
+        root = _QUERY_SRC_FUNC.get(name)
+        fmod, func = root if root is not None else (mod, None)
         changed = (
             rnd >= 0
-            and mod is not None
-            and _staleness.changed_since_round(mod, rnd)
+            and fmod is not None
+            and _staleness.changed_since_round(fmod, rnd, func)
         )
         if rnd < 0:
             return (0, 0, rnd, pos)  # never verified: absolute front
@@ -147,7 +173,7 @@ def _reorder(d):
             # beats one whose unverified change is older — the older one's
             # low last-green round already rotates it forward), then stalest
             # green within the same change epoch
-            epoch = _staleness.change_epoch(mod, rnd, latest)
+            epoch = _staleness.change_epoch(fmod, rnd, latest, func)
             return (1, -epoch, rnd, pos)
         return (2, 0, rnd, pos)
 

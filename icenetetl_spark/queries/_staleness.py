@@ -27,6 +27,17 @@ A query whose fingerprints differ is "stale" and sorts as if never verified,
 so it re-enters the driver window in the very next round after its code
 changes.
 
+Round 10 adds a FUNCTION-level layer on top (see ``function_fingerprint``):
+when the registered callable resolves to a top-level def, the fingerprint
+covers only the definitions statically CALL-REACHABLE from it (hashing each
+reached def's ``ast.dump``), so a one-line edit to an unrelated function in
+the same 1500-line hub module no longer stales every query in the module's
+import closure (round-9 verdict: one r9 edit staled 127 closures and the
+50-slot window needed two rounds to drain changes the driver had already
+gated). Unresolvable bindings degrade to whole-module inclusion — always
+toward "stale", never toward missing a change — and unresolvable ROOTS fall
+back to the module-closure fingerprint above.
+
 Everything degrades gracefully: outside a git checkout, with an unreadable
 history, or for an unresolvable module, a query is simply treated as
 unchanged and the age-only rotation applies.
@@ -215,10 +226,432 @@ def _fingerprint(paths: frozenset[str], blobs: dict[str, str] | None) -> str | N
     return hashlib.sha256("\n".join(items).encode()).hexdigest()
 
 
-def changed_since_round(modname: str, rnd: int) -> bool:
-    """True iff the implementation closure of ``modname`` differs between the
-    working tree and round ``rnd``'s gate commit. Unknowable -> False (age
-    rotation still applies)."""
+# --------------------------------------------------------------------------
+# Function-level fingerprints (round 10).
+#
+# The module-granularity closure over-approximates badly: queries/text.py
+# alone hosts ~25 queries plus constants imported by other hubs, so a
+# one-line edit to ONE function staled >100 query closures in round 9 and
+# the driver's 50-slot window needed multiple rounds to drain changes it
+# had already gated. The fix: fingerprint the CALL-REACHABLE top-level
+# definitions, not whole files. Starting from the query's registered
+# function, walk the AST reference graph — names used by a def resolve to
+# sibling defs/assigns, package from-imports resolve into the imported
+# module, attribute access through a package-module alias resolves to that
+# module's def — and hash the ``ast.dump`` of every reached definition
+# (whitespace/comment edits are invisible; ANY code edit inside a reached
+# def changes its dump). External imports contribute the dump of their
+# import statement. Anything the static walk cannot resolve (star imports,
+# module objects passed as values, re-exports, getattr) degrades to
+# including the whole target module's blob — over-approximation is always
+# toward "stale", never toward missing a real change. If the ROOT function
+# itself cannot be found (lambda/partial registrations), the caller falls
+# back to the module-closure fingerprint above.
+# --------------------------------------------------------------------------
+
+
+class _ModuleInfo:
+    """Static binding surface of one module source file."""
+
+    __slots__ = ("defs", "mod_aliases", "from_names", "ext_imports", "stars")
+
+    def __init__(self):
+        # name -> list of (dump_sha, bare_names, attr_pairs)
+        self.defs: dict[str, list] = {}
+        # alias -> package module fullname (``import pkg.x as y``)
+        self.mod_aliases: dict[str, str] = {}
+        # alias -> (package module fullname, attr) (``from pkg.x import a``)
+        self.from_names: dict[str, tuple[str, str]] = {}
+        # alias -> dump sha of the import statement (non-package imports)
+        self.ext_imports: dict[str, str] = {}
+        # package modules star-imported (forces whole-module inclusion)
+        self.stars: list[str] = []
+
+
+class _RefVisitor(ast.NodeVisitor):
+    """Collect bare name loads and (base, attr) pairs for Name-based
+    attribute access. Over-approximates on purpose: local variables that
+    shadow module names simply pull in extra (harmless) definitions."""
+
+    def __init__(self):
+        self.names: set[str] = set()
+        self.attrs: set[tuple[str, str]] = set()
+
+    def visit_Attribute(self, node):
+        if isinstance(node.value, ast.Name):
+            self.attrs.add((node.value.id, node.attr))
+        else:
+            self.generic_visit(node)
+
+    def visit_Name(self, node):
+        self.names.add(node.id)
+
+
+def _node_refs(node) -> tuple[frozenset, frozenset]:
+    v = _RefVisitor()
+    v.visit(node)
+    return frozenset(v.names), frozenset(v.attrs)
+
+
+def _local_imports(node) -> tuple[dict, dict]:
+    """Package imports nested INSIDE a definition (the repo's standard
+    late-import style): bound name -> (module, attr) for from-imports,
+    bound name -> module fullname for module imports. The import statement
+    itself is part of the def's dump; what these edges add is reachability
+    into the imported DEFINITIONS."""
+    lfrom: dict[str, tuple[str, str]] = {}
+    lmods: dict[str, str] = {}
+    for sub in ast.walk(node):
+        if isinstance(sub, ast.Import):
+            for alias in sub.names:
+                if alias.name.startswith(_PKG):
+                    bound = alias.asname or alias.name.split(".")[0]
+                    lmods[bound] = alias.name
+        elif isinstance(sub, ast.ImportFrom):
+            mod = sub.module or ""
+            if sub.level == 0 and mod.startswith(_PKG):
+                for alias in sub.names:
+                    if alias.name != "*":
+                        bound = alias.asname or alias.name
+                        lfrom[bound] = (mod, alias.name)
+    return lfrom, lmods
+
+
+def _dump_sha(node) -> str:
+    return hashlib.sha1(ast.dump(node).encode()).hexdigest()
+
+
+def _assign_names(node) -> list[str]:
+    targets = (
+        node.targets
+        if isinstance(node, ast.Assign)
+        else [node.target]
+    )
+    out = []
+    for t in targets:
+        if isinstance(t, ast.Name):
+            out.append(t.id)
+        elif isinstance(t, (ast.Tuple, ast.List)):
+            out.extend(e.id for e in t.elts if isinstance(e, ast.Name))
+        elif isinstance(t, ast.Subscript) and isinstance(
+            t.value, ast.Name
+        ):
+            # ``QUERIES["x"] = fn`` mutates an existing binding: attribute
+            # the statement to the base name so edits to registration
+            # lines fingerprint under it
+            out.append(t.value.id)
+    return out
+
+
+def _parse_info(src: str) -> _ModuleInfo | None:
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    info = _ModuleInfo()
+
+    def record_def(name: str, node) -> None:
+        names, attrs = _node_refs(node)
+        lfrom, lmods = _local_imports(node)
+        info.defs.setdefault(name, []).append(
+            (_dump_sha(node), names, attrs, lfrom, lmods)
+        )
+
+    def scan(body) -> None:
+        for node in body:
+            if isinstance(
+                node,
+                (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+            ):
+                record_def(node.name, node)
+            elif isinstance(
+                node, (ast.Assign, ast.AnnAssign, ast.AugAssign)
+            ):
+                for name in _assign_names(node):
+                    record_def(name, node)
+            elif isinstance(node, ast.Import):
+                sha = _dump_sha(node)
+                for alias in node.names:
+                    bound = alias.asname or alias.name.split(".")[0]
+                    if alias.name.startswith(_PKG):
+                        # un-aliased ``import pkg.a.b`` binds ``pkg``; the
+                        # resolvable target is still the full module
+                        info.mod_aliases[bound] = alias.name
+                    else:
+                        info.ext_imports[bound] = sha
+            elif isinstance(node, ast.ImportFrom):
+                sha = _dump_sha(node)
+                mod = node.module or ""
+                if node.level == 0 and mod.startswith(_PKG):
+                    for alias in node.names:
+                        if alias.name == "*":
+                            info.stars.append(mod)
+                        else:
+                            bound = alias.asname or alias.name
+                            info.from_names[bound] = (mod, alias.name)
+                else:
+                    for alias in node.names:
+                        bound = alias.asname or alias.name
+                        info.ext_imports[bound] = sha
+            elif isinstance(node, (ast.If, ast.Try, ast.With)):
+                for attr in ("body", "orelse", "finalbody"):
+                    scan(getattr(node, attr, []) or [])
+                for h in getattr(node, "handlers", []) or []:
+                    scan(h.body)
+            elif isinstance(node, (ast.For, ast.While)):
+                scan(node.body)
+                scan(node.orelse or [])
+    scan(tree.body)
+    return info
+
+
+# tree key: None = worktree, else a commit sha
+_SRC_CACHE: dict = {}
+_INFO_CACHE: dict = {}
+_FN_FP_CACHE: dict = {}
+
+
+def _relpath_in(modname: str, tree: str | None) -> str | None:
+    """Repo-relative path of a package module within a tree (worktree or
+    gate commit)."""
+    if not modname.startswith(_PKG):
+        return None
+    if tree is None:
+        return _module_relpath(modname)
+    blobs = _blobs_at_commit(tree)
+    if blobs is None:
+        return None
+    parts = modname.split(".")
+    for cand in ("/".join(parts) + ".py", "/".join(parts) + "/__init__.py"):
+        if cand in blobs:
+            return cand
+    return None
+
+
+def _module_source(relpath: str, tree: str | None) -> str | None:
+    key = (tree, relpath)
+    if key in _SRC_CACHE:
+        return _SRC_CACHE[key]
+    src: str | None = None
+    if tree is None:
+        try:
+            with open(
+                os.path.join(_repo_root(), relpath), encoding="utf-8"
+            ) as f:
+                src = f.read()
+        except OSError:
+            src = None
+    else:
+        blobs = _blobs_at_commit(tree)
+        sha = blobs.get(relpath) if blobs else None
+        if sha is not None:
+            src = _git("cat-file", "-p", sha)
+    _SRC_CACHE[key] = src
+    return src
+
+
+def _module_info(relpath: str, tree: str | None) -> _ModuleInfo | None:
+    src = _module_source(relpath, tree)
+    if src is None:
+        return None
+    key = hashlib.sha1(src.encode()).hexdigest()
+    if key not in _INFO_CACHE:
+        _INFO_CACHE[key] = _parse_info(src)
+    return _INFO_CACHE[key]
+
+
+def _tree_blob(relpath: str, tree: str | None) -> str:
+    if tree is None:
+        # honor a seeded _SRC_CACHE entry (the staleness tests simulate
+        # worktree edits by seeding sources) so whole-module items see the
+        # same bytes the parser saw
+        src = _SRC_CACHE.get((None, relpath))
+        if isinstance(src, str):
+            data = src.encode()
+            h = hashlib.sha1()
+            h.update(b"blob %d\x00" % len(data))
+            h.update(data)
+            return h.hexdigest()
+        return _blob_sha_worktree(relpath) or "ABSENT"
+    blobs = _blobs_at_commit(tree)
+    return (blobs or {}).get(relpath, "ABSENT")
+
+
+def function_fingerprint(
+    modname: str, funcname: str, tree: str | None
+) -> str | None:
+    """Digest of the call-reachable definition set of ``modname.funcname``
+    in ``tree`` (None = worktree, else a gate-commit sha). Returns None
+    only when the ROOT cannot be resolved in the WORKTREE layout — the
+    caller then falls back to the module closure. A root that is missing
+    from a historical tree fingerprints as ABSENT (a new function is by
+    definition a change)."""
+    items = function_items(modname, funcname, tree)
+    if items is None:
+        return None
+    return hashlib.sha256("\n".join(items).encode()).hexdigest()
+
+
+def function_items(
+    modname: str, funcname: str, tree: str | None
+) -> list[str] | None:
+    """The sorted item set behind :func:`function_fingerprint` — exposed
+    for diagnostics and for the staleness tests' item-diff assertions."""
+    cache_key = (tree, modname, funcname)
+    if cache_key in _FN_FP_CACHE:
+        return _FN_FP_CACHE[cache_key]
+    items: set[str] = set()
+    whole_modules: set[str] = set()
+    # (mod, name) -> whether a static binding was found; a later EXPECTED
+    # edge to a name first reached as a plain miss still forces the
+    # whole-module fallback
+    visited: dict[tuple[str, str], bool] = {}
+    unresolved_root = False
+
+    def include_module(mod: str) -> None:
+        # a whole-module fallback covers the module's TRANSITIVE import
+        # closure (worktree-derived, like the module-level fingerprint),
+        # so an unresolvable binding can never hide a change landing in a
+        # module it delegates to
+        for rel in import_closure(mod) or (
+            r for r in [_relpath_in(mod, tree)] if r
+        ):
+            whole_modules.add(rel)
+
+    def visit(
+        mod: str, name: str, expect: bool = False, is_root: bool = False
+    ) -> None:
+        nonlocal unresolved_root
+        if (mod, name) in visited:
+            if expect and not visited[(mod, name)]:
+                include_module(mod)
+            return
+        visited[(mod, name)] = True  # provisional; corrected below on miss
+        rel = _relpath_in(mod, tree)
+        if rel is None:
+            # module absent from this tree: hash as ABSENT via the
+            # worktree layout's path when we have one
+            wrel = _relpath_in(mod, None)
+            if wrel is not None:
+                items.add(f"def:{wrel}:{name}:ABSENT")
+            elif is_root:
+                unresolved_root = True
+            return
+        info = _module_info(rel, tree)
+        if info is None:
+            whole_modules.add(rel)
+            return
+        if info.stars:
+            for star in info.stars:
+                include_module(star)
+        def is_module(fullname: str) -> bool:
+            return bool(
+                _relpath_in(fullname, tree) or _relpath_in(fullname, None)
+            )
+
+        def module_target(base: str, lfrom, lmods) -> str | None:
+            """Module fullname a name is bound to (def-local bindings
+            first), or None when it's not a module binding."""
+            if base in lmods:
+                return lmods[base]
+            for table in (lfrom, info.from_names):
+                if base in table:
+                    smod, sname = table[base]
+                    sub = f"{smod}.{sname}"
+                    return sub if is_module(sub) else None
+            if base in info.mod_aliases:
+                return info.mod_aliases[base]
+            return None
+
+        def follow_from(binding: tuple[str, str]) -> None:
+            smod, sname = binding
+            sub = f"{smod}.{sname}"
+            if is_module(sub):
+                # ``from pkg.a import b`` importing a MODULE used as a
+                # bare value: conservative whole-module
+                include_module(sub)
+            else:
+                visit(smod, sname, expect=True)
+
+        hit = False
+        if name in info.defs:
+            hit = True
+            for sha, names, attrs, lfrom, lmods in info.defs[name]:
+                items.add(f"def:{rel}:{name}:{sha}")
+                for n in names:
+                    if n in lmods:
+                        include_module(lmods[n])
+                    elif n in lfrom:
+                        follow_from(lfrom[n])
+                    else:
+                        resolve(mod, info, n)
+                for base, attr in attrs:
+                    target = module_target(base, lfrom, lmods)
+                    if target is not None:
+                        sub = f"{target}.{attr}"
+                        if is_module(sub):
+                            include_module(sub)
+                        else:
+                            visit(target, attr, expect=True)
+                    elif base in lfrom:
+                        follow_from(lfrom[base])
+                    else:
+                        resolve(mod, info, base)
+        if name in info.from_names:
+            hit = True
+            follow_from(info.from_names[name])
+        if name in info.mod_aliases:
+            hit = True
+            # a package module used as a bare value: whole module
+            include_module(info.mod_aliases[name])
+        if name in info.ext_imports:
+            hit = True
+            items.add(f"imp:{rel}:{name}:{info.ext_imports[name]}")
+        if not hit:
+            visited[(mod, name)] = False
+            if is_root:
+                unresolved_root = True
+            elif expect:
+                # reached through an explicit package import or a
+                # module-alias attribute but NOT statically bound in the
+                # target (re-export, __getattr__, dynamic registration):
+                # include the whole module so the change cannot be missed
+                include_module(mod)
+            # bare names that resolve nowhere are builtins/locals: external
+            return
+
+    def resolve(mod: str, info: _ModuleInfo, name: str) -> None:
+        if (
+            name in info.defs
+            or name in info.from_names
+            or name in info.mod_aliases
+            or name in info.ext_imports
+        ):
+            visit(mod, name)
+
+    visit(modname, funcname, is_root=True)
+    if unresolved_root and tree is None:
+        _FN_FP_CACHE[cache_key] = None
+        return None
+    if unresolved_root:
+        # root missing from the historical tree: a change by definition
+        wrel = _relpath_in(modname, None) or modname
+        items.add(f"def:{wrel}:{funcname}:ABSENT")
+    for rel in sorted(whole_modules):
+        items.add(f"mod:{rel}:{_tree_blob(rel, tree)}")
+    out = sorted(items)
+    _FN_FP_CACHE[cache_key] = out
+    return out
+
+
+def changed_since_round(
+    modname: str, rnd: int, func: str | None = None
+) -> bool:
+    """True iff the implementation of ``modname`` (or, when ``func`` is
+    given and statically resolvable, just the call-reachable definition
+    set of ``modname.func``) differs between the working tree and round
+    ``rnd``'s gate commit. Unknowable -> False (age rotation still
+    applies)."""
     if rnd < 0:
         return False  # never verified: already sorts first
     commit = _round_commit(rnd)
@@ -227,6 +660,10 @@ def changed_since_round(modname: str, rnd: int) -> bool:
     blobs = _blobs_at_commit(commit)
     if blobs is None:
         return False
+    if func is not None:
+        now_fn = function_fingerprint(modname, func, None)
+        if now_fn is not None:
+            return function_fingerprint(modname, func, commit) != now_fn
     paths = import_closure(modname)
     if not paths:
         return False
@@ -237,21 +674,34 @@ def changed_since_round(modname: str, rnd: int) -> bool:
     return then != now
 
 
-def change_epoch(modname: str, rnd: int, latest: int) -> int:
-    """Approximate round in which ``modname``'s closure last changed, given
-    its last green round ``rnd`` and the newest recorded round ``latest``:
-    the smallest r in (rnd, latest] whose gate-commit fingerprint already
-    equals the current worktree fingerprint (the change landed by round r),
-    or ``latest + 1`` when even the latest commit differs (the change is in
-    the current round's working tree). Used to order the changed group so
-    the most recently edited plans re-enter the driver window first."""
-    paths = import_closure(modname)
-    now = _fingerprint(paths, None)
-    if now is None:
-        return latest + 1
+def change_epoch(
+    modname: str, rnd: int, latest: int, func: str | None = None
+) -> int:
+    """Approximate round in which ``modname``'s (or ``modname.func``'s)
+    implementation last changed, given its last green round ``rnd`` and the
+    newest recorded round ``latest``: the smallest r in (rnd, latest] whose
+    gate-commit fingerprint already equals the current worktree fingerprint
+    (the change landed by round r), or ``latest + 1`` when even the latest
+    commit differs (the change is in the current round's working tree).
+    Used to order the changed group so the most recently edited plans
+    re-enter the driver window first."""
+    now_fn = (
+        function_fingerprint(modname, func, None)
+        if func is not None
+        else None
+    )
+    if now_fn is None:
+        paths = import_closure(modname)
+        now = _fingerprint(paths, None)
+        if now is None:
+            return latest + 1
     for r in range(rnd + 1, latest + 1):
         commit = _round_commit(r)
         if commit is None:
+            continue
+        if now_fn is not None:
+            if function_fingerprint(modname, func, commit) == now_fn:
+                return r
             continue
         blobs = _blobs_at_commit(commit)
         if blobs is None:
@@ -268,3 +718,6 @@ def reset_caches() -> None:
     _round_commit.cache_clear()
     _blobs_at_commit.cache_clear()
     _blob_sha_worktree.cache_clear()
+    _SRC_CACHE.clear()
+    _INFO_CACHE.clear()
+    _FN_FP_CACHE.clear()

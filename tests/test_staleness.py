@@ -93,6 +93,14 @@ def test_module_added_after_green_round_counts_as_changed():
     assert fp_with_absent != fp_now
 
 
+def _query_root(name):
+    """(module, func|None) the registry fingerprints a query under."""
+    root = qreg._QUERY_SRC_FUNC.get(name)
+    if root is not None:
+        return root
+    return (qreg._QUERY_SRC_MODULE.get(name), None)
+
+
 def test_registry_orders_changed_before_age_rotated_green():
     last = qreg._last_verified_round()
     latest = max(last.values(), default=-1)
@@ -104,8 +112,8 @@ def test_registry_orders_changed_before_age_rotated_green():
         rnd = last.get(name, -1)
         if rnd < 0:
             return 0
-        mod = qreg._QUERY_SRC_MODULE.get(name)
-        if mod and s.changed_since_round(mod, rnd):
+        fmod, func = _query_root(name)
+        if fmod and s.changed_since_round(fmod, rnd, func):
             return 1
         return 2
 
@@ -114,11 +122,123 @@ def test_registry_orders_changed_before_age_rotated_green():
     assert classes == sorted(classes)
     # within the changed class, newest change epoch leads
     changed = [n for n in names if cls(n) == 1]
-    epochs = [
-        s.change_epoch(qreg._QUERY_SRC_MODULE[n], last[n], latest)
-        for n in changed
-    ]
+    epochs = []
+    for n in changed:
+        fmod, func = _query_root(n)
+        epochs.append(s.change_epoch(fmod, last[n], latest, func))
     assert epochs == sorted(epochs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Function-level fingerprints (round 10)
+# ---------------------------------------------------------------------------
+
+HUB = "icenetetl_spark/queries/text.py"
+
+
+def _all_function_fps():
+    out = {}
+    for name, root in qreg._QUERY_SRC_FUNC.items():
+        if root is None:
+            continue
+        fmod, func = root
+        fp = s.function_fingerprint(fmod, func, None)
+        if fp is not None:
+            out[name] = fp
+    return out
+
+
+def _seed_worktree_source(relpath, src):
+    s._SRC_CACHE[(None, relpath)] = src
+
+
+def _hub_source():
+    import os
+
+    with open(os.path.join(s._repo_root(), HUB), encoding="utf-8") as f:
+        return f.read()
+
+
+def test_single_function_edit_stales_under_30_closures():
+    """The round-9 verdict's done-criterion: a single-module (here even a
+    single-FUNCTION) edit must stale fewer than 30 query closures — the
+    module-granularity fingerprint staled >100 on a one-line hub edit."""
+    s.reset_caches()
+    base = _all_function_fps()
+    assert len(base) > 150  # nearly every query resolves to a def root
+    # simulate editing ONE function in the biggest hub: re-binding the
+    # name appends a second def entry, changing exactly that def's items
+    s.reset_caches()
+    _seed_worktree_source(
+        HUB,
+        _hub_source()
+        + "\n\ndef text_stats(spark, sf_dir):\n    return None\n",
+    )
+    edited = _all_function_fps()
+    s.reset_caches()
+    changed = sorted(n for n in base if base[n] != edited.get(n))
+    assert "text_stats" in changed
+    assert 0 < len(changed) < 30, changed
+
+
+def test_constant_edit_stales_its_consumers_only():
+    """Editing a module-level constant must stale the queries whose defs
+    reference it — and not the rest of the hub."""
+    s.reset_caches()
+    base = _all_function_fps()
+    s.reset_caches()
+    _seed_worktree_source(HUB, _hub_source() + "\nBM25_TOPK = 21\n")
+    edited = _all_function_fps()
+    s.reset_caches()
+    changed = sorted(n for n in base if base[n] != edited.get(n))
+    assert "text_bm25_topk" in changed
+    assert len(changed) < 30, changed
+    # an unrelated query in the SAME module must not move
+    assert "text_lang_id" not in changed
+
+
+def test_comment_only_edit_stales_nothing():
+    """ast.dump is blind to comments and blank lines — the class of edit
+    that must never burn driver-window slots."""
+    s.reset_caches()
+    base = _all_function_fps()
+    s.reset_caches()
+    _seed_worktree_source(
+        HUB, _hub_source() + "\n# a trailing comment, no code change\n"
+    )
+    edited = _all_function_fps()
+    s.reset_caches()
+    changed = sorted(n for n in base if base[n] != edited.get(n))
+    assert changed == []
+
+
+def test_operator_edit_reaches_through_local_imports():
+    """The repo's late-import style (``from pkg.operators.x import f``
+    INSIDE a def) must still contribute reachability edges: editing the
+    imported operator stales the query."""
+    rel = "icenetetl_spark/operators/graph.py"
+    import os
+
+    with open(os.path.join(s._repo_root(), rel), encoding="utf-8") as f:
+        src = f.read()
+    s.reset_caches()
+    base = _all_function_fps()
+    s.reset_caches()
+    _seed_worktree_source(
+        rel, src + "\n\ndef pagerank(edges, iterations=10):\n    return None\n"
+    )
+    edited = _all_function_fps()
+    s.reset_caches()
+    changed = sorted(n for n in base if base[n] != edited.get(n))
+    # graph_pagerank imports pagerank inside its def body
+    assert "graph_pagerank" in changed
+    assert len(changed) < 30, changed
+
+
+def test_function_fingerprint_root_missing_falls_back():
+    assert s.function_fingerprint(
+        "icenetetl_spark.queries.text", "no_such_function_xyz", None
+    ) is None
 
 
 def test_oracle_order_matches_query_order_on_common_keys():
