@@ -1,0 +1,231 @@
+"""Deterministic, engine-portable Lloyd's k-means (round-10 verdict #2).
+
+MLlib's KMeans is seeded but NOT reproducible across engines (treeAggregate
+float sums depend on partition order), which forced the trained-quantizer
+queries (``knn_ivf``, ``knn_pq_trained``, ``dedup_semantic_trained``) into
+rows-only correctness gates. This module replaces the fit with a fixed-point
+Lloyd iteration over a FIXED init — the same construction that made BPE
+hash-gateable in round 8:
+
+- init = k corpus rows selected by id (both engines read the same rows);
+- assignment = exact nearest centroid (cosine argmax or L2 argmin, ties to
+  the smaller centroid id) — the same expression the downstream fixed plans
+  use, so a DuckDB oracle mirrors it verbatim;
+- update = per-dimension mean where the numerator is a SUM of fixed-point
+  quantized values (``FLOOR(v[i] * 10^s + 0.5)`` as BIGINT) — integer
+  addition is commutative, so the sum is independent of partitioning AND
+  engine, and the final ``(CAST(sum AS DOUBLE) / n) / 10^s`` division is the
+  identical IEEE sequence on both sides;
+- empty cells keep their previous centroid (LEFT JOIN + CASE in SQL).
+
+Scale shape: one corpus pass per iteration (Lloyd's lower bound). The
+assignment is the audited scalar-argmax crossJoin (k scored copies collapse
+map-side; see operators/ivf.assign_cells_fixed), and the update aggregates
+``d`` quantized sums per cell in ONE groupBy with map-side combine — no
+N*d explode, no shuffle wider than k rows x (d+2) columns. Driver state is
+the k x d centroid matrix (the same O(k*d) bound as the MLlib fit);
+iterations run as independent jobs against literal centroid frames, so
+lineage never accumulates. At 100 TB, bound the training set with a
+deterministic id-hash sample BEFORE calling (the oracle replays the same
+predicate), exactly like FAISS trains quantizers on samples.
+
+The DuckDB twin (:func:`lloyd_cents_cte`) unrolls the same iterations as
+chained CTEs (the pagerank/minhash generator pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from icenetetl_spark.operators.similarity import dot_unrolled
+
+LLOYD_SCALE = 9  # 10^9 fixed point: |v| <= ~10 and 10^9 rows/cell fit BIGINT
+
+
+def _quantized_sums(vcol, dim: int, scale: int):
+    q = float(10**scale)
+    return [
+        F.sum(
+            F.floor(
+                F.element_at(vcol, i).cast("double") * F.lit(q) + F.lit(0.5)
+            ).cast("long")
+        ).alias(f"s{i}")
+        for i in range(1, dim + 1)
+    ]
+
+
+def lloyd_fit(
+    corpus: DataFrame,
+    init: DataFrame,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    metric: str = "cosine",
+    scale: int = LLOYD_SCALE,
+) -> DataFrame:
+    """Fit centroids by deterministic Lloyd iterations; returns a literal
+    ``(centroid_id long, cvec array<double>)`` DataFrame ready for the
+    fixed-centroid plans (knn_ivf_fixed_centroids, semdedup, pq encode).
+
+    ``init`` must be a ``(centroid_id, cvec)`` frame of k rows (collected
+    immediately — O(k*d) driver state). ``metric='cosine'`` assigns by
+    cosine argmax (ties -> smaller id), ``'l2'`` by squared-euclidean
+    argmin via the three-dot identity — each matching the downstream
+    consumer's own assignment expression so fit and use share float
+    semantics."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    spark = corpus.sparkSession
+    q = float(10**scale)
+    cents = [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in init.select("centroid_id", "cvec").collect()
+    ]
+    cents.sort()
+    pre = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    for _ in range(iterations):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                cents, "centroid_id BIGINT, cvec ARRAY<DOUBLE>"
+            )
+        )
+        vdot = dot_unrolled(F.col("__v"), F.col("cvec"), dim)
+        if metric == "cosine":
+            sim = vdot / (
+                F.sqrt(dot_unrolled(F.col("__v"), F.col("__v"), dim))
+                * F.sqrt(dot_unrolled(F.col("cvec"), F.col("cvec"), dim))
+            )
+            best = F.max(
+                F.struct(
+                    F.col("__m").alias("m"),
+                    (-F.col("centroid_id")).alias("negcid"),
+                )
+            )
+            mcol = sim
+            cell = (-F.col("b.negcid")).alias("cell")
+        else:
+            dist = (
+                dot_unrolled(F.col("__v"), F.col("__v"), dim)
+                + dot_unrolled(F.col("cvec"), F.col("cvec"), dim)
+            ) - F.lit(2.0) * vdot
+            best = F.min(
+                F.struct(
+                    F.col("__m").alias("m"),
+                    F.col("centroid_id").alias("cid"),
+                )
+            )
+            mcol = dist
+            cell = F.col("b.cid").alias("cell")
+        assigned = (
+            pre.crossJoin(cdf)
+            .select("__id", mcol.alias("__m"), "centroid_id")
+            .groupBy("__id")
+            .agg(best.alias("b"))
+            .select("__id", cell)
+        )
+        # the reattach join (see assign_cells_fixed's plan note: carrying
+        # the vector through the argmax struct is dead weight), then ONE
+        # groupBy with d quantized partial sums
+        member = assigned.join(pre, "__id")
+        rows = (
+            member.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *_quantized_sums(F.col("__v"), dim, scale),
+            )
+            .collect()
+        )
+        means = {
+            int(r["cell"]): [
+                (float(r[f"s{i}"]) / float(r["n"])) / q
+                for i in range(1, dim + 1)
+            ]
+            for r in rows
+        }
+        cents = [(cid, means.get(cid, cvec)) for cid, cvec in cents]
+    return spark.createDataFrame(
+        cents, "centroid_id BIGINT, cvec ARRAY<DOUBLE>"
+    )
+
+
+def lloyd_cents_cte(
+    table: str,
+    init_pred: str,
+    iterations: int,
+    dim: int,
+    metric: str = "cosine",
+    scale: int = LLOYD_SCALE,
+    prefix: str = "km",
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+    row_pred: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`lloyd_fit`: chained CTE text (no leading
+    WITH) whose FINAL CTE, named ``{prefix}_fit``, holds the fitted
+    ``(centroid_id, cvec DOUBLE[])`` rows. ``init_pred`` selects the k
+    init rows; ``vec_expr`` lets PQ pass a list_slice; ``row_pred``
+    restricts the training rows (both engines must restrict alike)."""
+    q = f"{float(10**scale)!r}"
+    v = f"CAST({vec_expr} AS DOUBLE[])"
+    steps = [
+        f"""
+        {prefix}_c0 AS (
+            SELECT {id_expr} AS centroid_id, {v} AS cvec
+            FROM {table} WHERE {init_pred}
+        )"""
+    ]
+    for i in range(1, iterations + 1):
+        if metric == "cosine":
+            order = (
+                f"list_dot_product({v}, ct.cvec)"
+                f" / (sqrt(list_dot_product({v}, {v}))"
+                f" * sqrt(list_dot_product(ct.cvec, ct.cvec)))"
+                f" DESC, ct.centroid_id"
+            )
+        else:
+            order = (
+                f"(list_dot_product({v}, {v})"
+                f" + list_dot_product(ct.cvec, ct.cvec))"
+                f" - 2 * list_dot_product({v}, ct.cvec),"
+                f" ct.centroid_id"
+            )
+        sums = ", ".join(
+            f"SUM(CAST(FLOOR(v[{j}] * {q} + 0.5) AS BIGINT)) AS s{j}"
+            for j in range(1, dim + 1)
+        )
+        mean_list = ", ".join(
+            f"(CAST(m.s{j} AS DOUBLE) / CAST(m.n AS DOUBLE)) / {q}"
+            for j in range(1, dim + 1)
+        )
+        steps.append(
+            f"""
+        {prefix}_a{i} AS (
+            SELECT e.{id_expr} AS vid, {v} AS v, ct.centroid_id,
+                   row_number() OVER (PARTITION BY e.{id_expr}
+                                      ORDER BY {order}) AS rk
+            FROM {table} e, {prefix}_c{i - 1} ct
+            WHERE {row_pred}
+        ),
+        {prefix}_s{i} AS (
+            SELECT centroid_id, COUNT(*) AS n, {sums}
+            FROM {prefix}_a{i} WHERE rk = 1 GROUP BY centroid_id
+        ),
+        {prefix}_c{i} AS (
+            SELECT p.centroid_id,
+                   CASE WHEN m.n IS NULL THEN p.cvec
+                        ELSE [{mean_list}] END AS cvec
+            FROM {prefix}_c{i - 1} p
+            LEFT JOIN {prefix}_s{i} m USING (centroid_id)
+        )"""
+        )
+    steps.append(
+        f"""
+        {prefix}_fit AS (
+            SELECT centroid_id, cvec FROM {prefix}_c{iterations}
+        )"""
+    )
+    return ",".join(steps)

@@ -192,6 +192,56 @@ def fit_pq_codebooks(
     )
 
 
+def fit_pq_codebooks_lloyd(
+    corpus: DataFrame,
+    init_ids: list[int],
+    m: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    width: int | None = None,
+) -> DataFrame:
+    """DETERMINISTIC trained codebooks: per-subspace fixed-point Lloyd
+    (operators/kmeans.lloyd_fit, metric='l2' — the same squared-euclidean
+    three-dot identity the encode step ranks by) from the ``init_ids``
+    seed rows' subvector slices. Unlike :func:`fit_pq_codebooks` (MLlib,
+    partition-order-dependent sums), this fit is bit-reproducible and has
+    a DuckDB CTE twin, which is what lets the knn_pq_trained QUERY carry a
+    value-hash gate (round 10). Returns the (m, code_id, csub) shape of
+    :func:`pq_codebook`; code_id keeps the seed row's id (the encode
+    argmin only needs distinct ids). m * iterations corpus scans — at
+    scale persist the corpus or sample upstream with a deterministic
+    id-hash predicate the oracle replays."""
+    from icenetetl_spark.operators.kmeans import lloyd_fit
+
+    w = _sub_width(width or _vector_width(corpus, vec_col), m)
+    parts = []
+    for mi in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("__sid"),
+            F.slice(F.col(vec_col), mi * w + 1, w).alias("__sub"),
+        )
+        init = sub.filter(F.col("__sid").isin(init_ids)).select(
+            F.col("__sid").alias("centroid_id"),
+            F.col("__sub").alias("cvec"),
+        )
+        cents = lloyd_fit(
+            sub, init, iterations=iterations,
+            id_col="__sid", vec_col="__sub", dim=w, metric="l2",
+        )
+        parts.append(
+            cents.select(
+                F.lit(mi).alias("m"),
+                F.col("centroid_id").cast("int").alias("code_id"),
+                F.col("cvec").alias("csub"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def knn_pq_trained(
     queries: DataFrame,
     corpus: DataFrame,

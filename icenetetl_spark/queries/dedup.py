@@ -735,12 +735,17 @@ ORACLES["dedup_substring_sampled"] = f"""
 def _pagerank_oracle() -> str:
     from icenetetl_spark.operators.graph import pagerank_oracle_sql
 
+    # AS MATERIALIZED on the edge list: the unrolled iterations reference
+    # it 10 times, and DuckDB's default CTE inlining re-ran the whole
+    # capped-shingle Jaccard pair join per iteration — the dominant share
+    # of the gate's oracle-side wall (round-9 verdict #3). Pure execution
+    # hint; values unchanged.
     return f"""
         SELECT node AS doc_id, rank AS pagerank FROM (
-            WITH pairs AS (
+            WITH pairs AS MATERIALIZED (
                 SELECT doc_a, doc_b FROM ({ORACLES["dedup_ngram_jaccard"]}) jp
             ),
-            edges AS (
+            edges AS MATERIALIZED (
                 SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION
                 SELECT doc_b, doc_a FROM pairs

@@ -111,15 +111,33 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic Lloyd training (operators/kmeans.py): 3 iterations from
+# the same 16 spread seed rows the fixed twin reads. Makes the TRAINED
+# quantizer hash-gateable (round-10; the BPE construction) — MLlib KMeans
+# stayed rows-only because treeAggregate float sums depend on partition
+# order. The MLlib path (operators/ivf.knn_ivf) remains the production
+# alternative; recall vs brute force for both is in tests/test_ivf.py.
+LLOYD_ITERS = 3
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer + probed-cell search). Rows-only:
-    seeded KMeans is deterministic locally but not reproducible in SQL;
-    recall vs brute force is asserted in tests/test_ivf.py instead."""
-    from icenetetl_spark.operators.ivf import knn_ivf as _knn_ivf
+    """IVF ANN with a TRAINED coarse quantizer — deterministic fixed-point
+    Lloyd fit (operators/kmeans.lloyd_fit) feeding the identical
+    probe/assign/re-rank plan as knn_ivf_fixed. Hash-gated: the oracle
+    unrolls the same iterations as chained CTEs, so fit AND search match
+    bit-for-bit (previously rows-only under MLlib KMeans)."""
+    from icenetetl_spark.operators.ivf import knn_ivf_fixed_centroids
+    from icenetetl_spark.operators.kmeans import lloyd_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    cents = lloyd_fit(emb, init, iterations=LLOYD_ITERS, dim=EMB_DIM)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return _knn_ivf(queries, emb, k=K, n_cells=16, n_probe=6, dim=EMB_DIM)
+    return knn_ivf_fixed_centroids(
+        queries, emb, cents, k=K, n_probe=6, dim=EMB_DIM
+    )
 
 
 # Fixed coarse-quantizer seeds: 16 corpus vectors by id, spread across the
@@ -226,19 +244,32 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ codebook training: 2 deterministic L2-Lloyd iterations per subspace
+# from the PQ_CODE_IDS seed slices (8 subspaces x 2 iterations of the
+# kmeans.py fixed-point update — the oracle unrolls all 16 chains).
+PQ_LLOYD_ITERS = 2
+
+
 def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ with per-subspace KMeans codebooks — the production quantizer
-    on the identical plan as knn_pq (which is its hash-gated fixed twin,
-    the same split as knn_ivf / knn_ivf_fixed). Rows-only: seeded KMeans
-    is not SQL-reproducible; recall-vs-fixed dominance is pinned in
-    tests/test_pq.py."""
-    from icenetetl_spark.operators.pq import knn_pq_trained as _pq_trained
+    """PQ with TRAINED per-subspace codebooks — the deterministic
+    fixed-point Lloyd fit (operators/pq.fit_pq_codebooks_lloyd) on the
+    identical encode/ADC/refine plan as knn_pq. Hash-gated since round 10:
+    the oracle unrolls each subspace's fit as chained CTEs (previously
+    rows-only under MLlib KMeans; that path remains as
+    operators/pq.knn_pq_trained, recall-pinned in tests/test_pq.py)."""
+    from icenetetl_spark.operators.pq import (
+        _knn_pq_with_codebook,
+        fit_pq_codebooks_lloyd,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return _pq_trained(
-        queries, emb, k=K, m=PQ_M, k_codes=16, refine_factor=PQ_REFINE,
-        dim=EMB_DIM,
+    codebook = fit_pq_codebooks_lloyd(
+        emb, PQ_CODE_IDS, m=PQ_M, iterations=PQ_LLOYD_ITERS, width=EMB_DIM
+    )
+    return _knn_pq_with_codebook(
+        queries, emb, codebook, K, PQ_M, PQ_REFINE, "vec_id", "embedding",
+        EMB_DIM, dim=EMB_DIM,
     )
 
 
@@ -341,14 +372,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with the paper's KMeans clustering, centroids fed through
-    the IDENTICAL fixed plan (the knn_ivf / knn_ivf_fixed split). Rows-only:
-    seeded KMeans has no SQL twin; plan equality on fitted centroids is
-    pinned in tests/test_semdedup.py."""
-    from icenetetl_spark.operators.semdedup import semdedup_trained
+    """SemDeDup with the paper's TRAINED clustering — the deterministic
+    fixed-point Lloyd fit (operators/kmeans.py) feeding the IDENTICAL
+    block-capped fixed plan as dedup_semantic. Hash-gated since round 10:
+    the oracle unrolls the same fit, so clustering AND dedup match
+    bit-for-bit (previously rows-only under MLlib KMeans; that path
+    remains as operators/semdedup.semdedup_trained for production MLlib
+    parity, recall-pinned in tests/test_semdedup.py)."""
+    from icenetetl_spark.operators.kmeans import lloyd_fit
+    from icenetetl_spark.operators.semdedup import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup_trained(emb, n_cells=16, threshold=SEM_T)
+    init = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    cents = lloyd_fit(emb, init, iterations=LLOYD_ITERS, dim=EMB_DIM)
+    return semdedup(
+        emb, cents, threshold=SEM_T, dim=EMB_DIM, cell_cap=SEM_CAP
+    )
 
 
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +445,95 @@ def _sign_string(t: str, n: int) -> str:
 
 
 _SIGN_BUCKET = lambda t: _sign_string(t, LSH_BITS)  # noqa: E731
+
+
+def _ivf_oracle(cents_sql: str, n_probe: int) -> str:
+    """knn_ivf_fixed_centroids mirrored step for step over ANY cents CTE
+    chain: nearest-1 cell per corpus vector (ties -> smaller centroid_id),
+    ``n_probe`` nearest cells per query, equi-join on cell, exact-cosine
+    top-k re-rank. The fixed twin passes the 16 seed rows; the trained
+    twin passes the unrolled deterministic Lloyd fit
+    (operators/kmeans.lloyd_cents_cte) — same search text either way, so
+    the two gates cannot drift."""
+    return f"""
+        WITH {cents_sql},
+        c_scored AS (
+            SELECT c.vec_id AS neighbor_id, c.embedding AS cv, ct.centroid_id,
+                   list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(ct.cvec AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
+                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
+            FROM embeddings c, cents ct
+        ),
+        corpus_cells AS (
+            SELECT neighbor_id, cv, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                          ORDER BY sim DESC, centroid_id) AS rk
+                FROM c_scored
+            ) WHERE rk = 1
+        ),
+        q_scored AS (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, ct.centroid_id,
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(ct.cvec AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
+                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
+            FROM embeddings q, cents ct WHERE q.vec_id < {N_QUERIES}
+        ),
+        probes AS (
+            SELECT query_id, qv, centroid_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, centroid_id) AS rk
+                FROM q_scored
+            ) WHERE rk <= {n_probe}
+        ),
+        scored AS (
+            SELECT p.query_id, cc.neighbor_id,
+                   list_dot_product(CAST(p.qv AS DOUBLE[]), CAST(cc.cv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(p.qv AS DOUBLE[]),
+                                            CAST(p.qv AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(cc.cv AS DOUBLE[]),
+                                              CAST(cc.cv AS DOUBLE[])))) AS cos
+            FROM probes p JOIN corpus_cells cc ON p.cell = cc.cell
+            WHERE p.query_id != cc.neighbor_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM ranked WHERE rank <= {K}
+    """
+
+
+_FIXED_CENTS_SQL = f"""cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id IN ({", ".join(map(str, IVF_CENTROID_IDS))})
+        )"""
+
+
+def _lloyd_cents_sql(iterations: int) -> str:
+    """Unrolled deterministic-Lloyd CTE chain ending in a ``cents`` CTE —
+    the trained quantizer both knn_ivf and dedup_semantic_trained feed
+    their fixed plans."""
+    from icenetetl_spark.operators.kmeans import lloyd_cents_cte
+
+    return (
+        lloyd_cents_cte(
+            "embeddings",
+            f"vec_id IN ({', '.join(map(str, IVF_CENTROID_IDS))})",
+            iterations,
+            EMB_DIM,
+            metric="cosine",
+        )
+        + ", cents AS (SELECT centroid_id, cvec FROM km_fit)"
+    )
+
 
 ORACLES = {
     "f_array_funcs": """
@@ -540,66 +670,11 @@ ORACLES = {
                  for i in range(ND_BANDS))})
         ) WHERE cos >= {NEAR_DUP_T}
     """,
-    # Mirrors knn_ivf_fixed_centroids step for step: nearest-1 cell per
-    # corpus vector (ties -> smaller centroid_id), n_probe nearest cells per
-    # query, equi-join on cell, exact-cosine top-k re-rank.
-    "knn_ivf_fixed": f"""
-        WITH cents AS (
-            SELECT vec_id AS centroid_id, embedding AS cvec
-            FROM embeddings WHERE vec_id IN ({", ".join(map(str, IVF_CENTROID_IDS))})
-        ),
-        c_scored AS (
-            SELECT c.vec_id AS neighbor_id, c.embedding AS cv, ct.centroid_id,
-                   list_dot_product(CAST(c.embedding AS DOUBLE[]),
-                                    CAST(ct.cvec AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
-                                            CAST(c.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
-                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
-            FROM embeddings c, cents ct
-        ),
-        corpus_cells AS (
-            SELECT neighbor_id, cv, centroid_id AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY neighbor_id
-                          ORDER BY sim DESC, centroid_id) AS rk
-                FROM c_scored
-            ) WHERE rk = 1
-        ),
-        q_scored AS (
-            SELECT q.vec_id AS query_id, q.embedding AS qv, ct.centroid_id,
-                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(ct.cvec AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                            CAST(q.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
-                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
-            FROM embeddings q, cents ct WHERE q.vec_id < {N_QUERIES}
-        ),
-        probes AS (
-            SELECT query_id, qv, centroid_id AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                          ORDER BY sim DESC, centroid_id) AS rk
-                FROM q_scored
-            ) WHERE rk <= {IVF_N_PROBE}
-        ),
-        scored AS (
-            SELECT p.query_id, cc.neighbor_id,
-                   list_dot_product(CAST(p.qv AS DOUBLE[]), CAST(cc.cv AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(p.qv AS DOUBLE[]),
-                                            CAST(p.qv AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(cc.cv AS DOUBLE[]),
-                                              CAST(cc.cv AS DOUBLE[])))) AS cos
-            FROM probes p JOIN corpus_cells cc ON p.cell = cc.cell
-            WHERE p.query_id != cc.neighbor_id
-        ),
-        ranked AS (
-            SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored
-        )
-        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
-        FROM ranked WHERE rank <= {K}
-    """,
+    # Mirrors knn_ivf_fixed_centroids step for step (see _ivf_oracle).
+    "knn_ivf_fixed": _ivf_oracle(_FIXED_CENTS_SQL, IVF_N_PROBE),
+    # The TRAINED twin: identical search text over the unrolled
+    # deterministic-Lloyd centroid chain (operators/kmeans.py).
+    "knn_ivf": _ivf_oracle(_lloyd_cents_sql(LLOYD_ITERS), 6),
     # Rebuild-equality oracle for the incremental index: nearest-1 cell
     # per vector over ALL vectors (ties -> smaller centroid_id) — the
     # merged old+batch postings must equal this by the per-row-assignment
@@ -660,19 +735,11 @@ ORACLES = {
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
         FROM ranked WHERE rank <= {K}
     """,
-    # Mirrors operators/pq.knn_pq step for step with the same fixed
-    # codebook rows. Distances use the identical three-dot identity in the
-    # identical op order ((a.a + b.b) - 2*a.b over list_dot_product); the
-    # cross-subspace ADC sum goes through the same fixed-point integer
-    # accumulator, so candidate sets and ranks match bit-for-bit.
-    "knn_pq": f"""
-        WITH codebook AS (
-            {" UNION ALL ".join(
-                f"SELECT {mm} AS m, vec_id AS code_id,"
-                f" CAST(embedding[{mm * 8 + 1}:{mm * 8 + 8}] AS DOUBLE[]) AS csub"
-                f" FROM embeddings WHERE vec_id IN ({', '.join(map(str, PQ_CODE_IDS))})"
-                for mm in range(8))}
-        ),
+    # Mirrors operators/pq step for step (see _pq_oracle below; entries
+    # assigned after the dict): fixed codebook rows for knn_pq, unrolled
+    # per-subspace Lloyd chains for knn_pq_trained.
+    "knn_pq": (_pq_search_template := f"""
+        WITH {{codebook}},
         c_sub AS (
             {" UNION ALL ".join(
                 f"SELECT vec_id AS neighbor_id, {mm} AS m,"
@@ -727,7 +794,7 @@ ORACLES = {
                       ORDER BY cos DESC, neighbor_id) AS rank
             FROM refined
         ) WHERE rank <= {K}
-    """,
+    """),
     # Mirrors operators/pq.knn_ivfpq_fixed: the knn_ivf_fixed cell
     # CTEs bound the candidate pairs, the knn_pq code/ADC CTEs score
     # exactly those pairs (same fixed-point sum), same exact re-rank.
@@ -851,17 +918,19 @@ ORACLES = {
                min(norm) AS min_norm, max(norm) AS max_norm
         FROM norms GROUP BY label
     """,
-    # SemDeDup, step for step: nearest-1 cell (ties -> smaller centroid_id),
-    # within-cell cosine pairs above SEM_T, recursive min-label closure
-    # (pairs never cross cells, so neither do components), keep-one =
-    # argmin(centroid similarity, id) per component.
-    "dedup_semantic": f"""
-        WITH RECURSIVE cents AS (
-            SELECT vec_id AS centroid_id, embedding AS cvec
-            FROM embeddings
-            WHERE vec_id % GREATEST(2, CAST(CEIL(2.0 * SQRT(
-                      (SELECT COUNT(*) FROM embeddings))) AS BIGINT)) = 0
-        ),
+}
+
+
+def _semdedup_oracle(cents_sql: str) -> str:
+    """SemDeDup, step for step, over ANY cents CTE chain: nearest-1 cell
+    (ties -> smaller centroid_id), block-capped within-cell cosine pairs
+    above SEM_T, recursive min-label closure (pairs never cross cells, so
+    neither do components), keep-one = argmin(centroid similarity, id) per
+    component. The fixed gate passes the density-scaled id-subset cents;
+    the trained gate passes the unrolled deterministic Lloyd fit — same
+    dedup text either way."""
+    return f"""
+        WITH RECURSIVE {cents_sql},
         scored AS (
             SELECT e.vec_id, e.embedding, ct.centroid_id,
                    list_dot_product(CAST(e.embedding AS DOUBLE[]),
@@ -908,8 +977,67 @@ ORACLES = {
                count(*) AS n_members
         FROM comp c JOIN cells cl ON cl.vec_id = c.doc_id
         GROUP BY c.component_id
-    """,
-}
+    """
+
+
+_PQ_FIXED_CODEBOOK_SQL = f"""codebook AS (
+            {" UNION ALL ".join(
+                f"SELECT {mm} AS m, vec_id AS code_id,"
+                f" CAST(embedding[{mm * 8 + 1}:{mm * 8 + 8}] AS DOUBLE[]) AS csub"
+                f" FROM embeddings WHERE vec_id IN ({', '.join(map(str, PQ_CODE_IDS))})"
+                for mm in range(8))}
+        )"""
+
+
+def _pq_trained_codebook_sql() -> str:
+    """Per-subspace deterministic-Lloyd chains (metric='l2' — the same
+    three-dot identity the encode argmin ranks by) ending in the codebook
+    CTE the shared search template consumes."""
+    from icenetetl_spark.operators.kmeans import lloyd_cents_cte
+
+    ids = ", ".join(map(str, PQ_CODE_IDS))
+    w = EMB_DIM // PQ_M
+    chains = [
+        lloyd_cents_cte(
+            "embeddings",
+            f"vec_id IN ({ids})",
+            PQ_LLOYD_ITERS,
+            w,
+            metric="l2",
+            prefix=f"pq{mi}",
+            vec_expr=f"embedding[{mi * w + 1}:{(mi + 1) * w}]",
+        )
+        for mi in range(PQ_M)
+    ]
+    union = " UNION ALL ".join(
+        f"SELECT {mi} AS m, CAST(centroid_id AS INTEGER) AS code_id,"
+        f" cvec AS csub FROM pq{mi}_fit"
+        for mi in range(PQ_M)
+    )
+    return ",".join(chains) + f", codebook AS ({union})"
+
+
+# The dict literal bound the knn_pq slot to the SEARCH TEMPLATE (with a
+# {codebook} placeholder); materialize both gates from it so the fixed and
+# trained oracles share one search text and cannot drift.
+ORACLES["knn_pq"] = _pq_search_template.format(
+    codebook=_PQ_FIXED_CODEBOOK_SQL
+)
+ORACLES["knn_pq_trained"] = _pq_search_template.format(
+    codebook=_pq_trained_codebook_sql()
+)
+
+ORACLES["dedup_semantic"] = _semdedup_oracle(
+    """cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings
+            WHERE vec_id % GREATEST(2, CAST(CEIL(2.0 * SQRT(
+                      (SELECT COUNT(*) FROM embeddings))) AS BIGINT)) = 0
+        )"""
+)
+ORACLES["dedup_semantic_trained"] = _semdedup_oracle(
+    _lloyd_cents_sql(LLOYD_ITERS)
+)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,109 @@
+"""Deterministic fixed-point Lloyd's (operators/kmeans.py, round 10).
+
+What made the trained-quantizer queries rows-only was the FIT, not the
+search: MLlib KMeans's treeAggregate float sums depend on partition order.
+These tests pin the replacement fit's contract: bit-exact equality with its
+unrolled DuckDB CTE twin on both metrics, empty-cell carry-over, and
+partition-count independence of the fixed-point update.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from icenetetl_spark.operators.kmeans import lloyd_cents_cte, lloyd_fit
+from icenetetl_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+IDS = list(range(7, 500, 31))
+
+
+def _duck_fit(metric, iterations, ids=IDS, dim=64):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    cte = lloyd_cents_cte(
+        "embeddings",
+        f"vec_id IN ({', '.join(map(str, ids))})",
+        iterations,
+        dim,
+        metric=metric,
+    )
+    return {
+        r[0]: list(r[1])
+        for r in con.execute(
+            f"WITH {cte} SELECT centroid_id, cvec FROM km_fit"
+        ).fetchall()
+    }
+
+
+def _spark_fit(spark, metric, iterations, ids=IDS, dim=64):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    init = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    fit = lloyd_fit(emb, init, iterations=iterations, dim=dim, metric=metric)
+    return {r["centroid_id"]: list(r["cvec"]) for r in fit.collect()}
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_fit_bit_exact_vs_duckdb(spark, metric):
+    got = _spark_fit(spark, metric, iterations=2)
+    want = _duck_fit(metric, iterations=2)
+    assert set(got) == set(want)
+    for cid in got:
+        assert got[cid] == want[cid], f"centroid {cid} diverged"
+
+
+def test_fit_independent_of_partition_count(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _spark_fit(spark, "cosine", iterations=2)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _spark_fit(spark, "cosine", iterations=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_empty_cell_keeps_previous_centroid(spark):
+    # two tight clusters, THREE centroids: ids 0 and 1 both start inside
+    # cluster A (identical init vectors — id 1 never wins a tie because
+    # ties go to the smaller centroid id), id 2 in cluster B. Centroid 1
+    # receives no members and must stay at its init position; the oracle's
+    # LEFT JOIN + CASE does the same.
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [0.9, 0.1]), (4, [0.95, 0.05]), (5, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    fit = lloyd_fit(emb, init, iterations=2, dim=2, metric="cosine")
+    got = {r["centroid_id"]: list(r["cvec"]) for r in fit.collect()}
+    assert got[1] == [1.0, 0.0]  # untouched
+    assert got[0] != [1.0, 0.0]  # moved to cluster A's mean
+    assert got[2][1] > got[2][0]  # stayed in cluster B
+
+    # the SQL twin agrees on the same frame
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (vec_id BIGINT, embedding DOUBLE[])"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    cte = lloyd_cents_cte("t", "vec_id < 3", 2, 2, metric="cosine")
+    want = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            f"WITH {cte} SELECT centroid_id, cvec FROM km_fit"
+        ).fetchall()
+    }
+    assert got == want
