@@ -57,6 +57,19 @@ BENCH_QUERIES = [
     "mm_decode",
 ]
 
+# Round-10 additions (verdict #4): the r7-r9 retrieval/ANN/corpus surface
+# had no per-round recorded number, so regressions in the repo's most
+# expensive plans were invisible between stress refreshes. Kept SEPARATE
+# from BENCH_QUERIES so `value` stays comparable with rounds 1-9; the JSON
+# adds every extended timing plus `value_extended` for the full suite.
+BENCH_QUERIES_EXT = [
+    "knn_ivfpq_fixed",
+    "text_bm25_topk",
+    "hybrid_search_rrf",
+    "dedup_simhash_topn",
+    "corpus_prep_pipeline",
+]
+
 
 def _ambient_probe(spark, reps: int = 3) -> list[float]:
     """Fixed-size synthetic CPU+shuffle micro-job, independent of SF and of
@@ -135,9 +148,10 @@ def main() -> None:
     probe_pre = _ambient_probe(spark)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    suite = BENCH_QUERIES + BENCH_QUERIES_EXT
+    samples: dict[str, list[float]] = {n: [] for n in suite}
     for _ in range(runs):
-        for name in BENCH_QUERIES:
+        for name in suite:
             fn = queries[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -152,7 +166,10 @@ def main() -> None:
     timings = {
         n: round(statistics.median(s), 3) for n, s in samples.items()
     }
-    total = round(sum(timings.values()), 3)
+    # `value` remains the LEGACY-21 total (comparable with rounds 1-9);
+    # the extended suite reports alongside it
+    total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    total_ext = round(sum(timings.values()), 3)
     probe = round(
         statistics.median(sorted(probe_pre + probe_post)), 3
     )
@@ -161,6 +178,10 @@ def main() -> None:
             {
                 "metric": "headline_suite_total",
                 "value": total,
+                # full suite incl. the round-10 retrieval/ANN/corpus
+                # additions (BENCH_QUERIES_EXT); `value` stays the
+                # legacy-21 total so rounds 1-9 remain comparable
+                "value_extended": total_ext,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
