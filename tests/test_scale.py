@@ -536,3 +536,44 @@ def test_bloom_prefilter_validates_list_bitmap(spark):
         bloom_prefilter(probe, [], "k")
     with _pytest.raises(ValueError):
         bloom_prefilter(probe, [0, 0, 0], "k")  # 192 bits: not a power of 2
+
+
+def test_plan_shape_flag_whitelists_designed_adaptations_only():
+    """Round-9 verdict #7: the 'plan shapes identical' summary flag must
+    read True when only WHITELISTED adaptations occur (dedup_minhash_lsh's
+    designed broadcast->shuffle held it at False permanently, hiding any
+    future undesigned switch) — and an injected undesigned switch must
+    trip it."""
+    from tools.scale_stress import plan_shape_summary
+
+    base = {
+        "a": {"shuffles": 3, "broadcasts": 1, "sec": 1.0},
+        "b": {"shuffles": 2, "broadcasts": 2, "sec": 1.0},
+    }
+    wl = {"a": "designed broadcast->shuffle adaptation"}
+
+    # only the whitelisted query adapts: flag stays a real True
+    big = {
+        "a": {"shuffles": 5, "broadcasts": 0, "sec": 2.0},
+        "b": {"shuffles": 2, "broadcasts": 2, "sec": 2.0},
+    }
+    flag, designed, unexpected = plan_shape_summary(base, big, ["a", "b"], wl)
+    assert flag is True
+    assert designed == ["a"] and unexpected == []
+
+    # inject an UNDESIGNED switch on a non-whitelisted query: trips
+    big_bad = {
+        "a": {"shuffles": 3, "broadcasts": 1, "sec": 2.0},
+        "b": {"shuffles": 4, "broadcasts": 2, "sec": 2.0},
+    }
+    flag, designed, unexpected = plan_shape_summary(
+        base, big_bad, ["a", "b"], wl
+    )
+    assert flag is False
+    assert unexpected == ["b"] and designed == []
+
+    # a whitelisted query that does NOT adapt is fine (permits, not requires)
+    flag, designed, unexpected = plan_shape_summary(
+        base, base, ["a", "b"], wl
+    )
+    assert flag is True and designed == [] and unexpected == []

@@ -28,9 +28,11 @@ from icenetetl_spark.session import get_spark  # noqa: E402
 from icenetetl_spark.sources.testdata import load_table  # noqa: E402
 from tools.scale_stress import (  # noqa: E402
     BASE_SF,
+    DESIGNED_ADAPTATIONS,
     _copies,
     _perturb_text,
     measure_interleaved,
+    plan_shape_summary,
 )
 import tools.scale_stress as stress  # noqa: E402
 
@@ -192,12 +194,24 @@ def main() -> int:
             f"| {b['shuffles']}/{g['shuffles']} "
             f"| {b['broadcasts']}/{g['broadcasts']} |"
         )
-    same = all(
-        base[n]["shuffles"] == big[n]["shuffles"]
-        and base[n]["broadcasts"] == big[n]["broadcasts"]
-        for n in SPOT_QUERIES
+    same, adapted, unexpected = plan_shape_summary(
+        base, big, SPOT_QUERIES, DESIGNED_ADAPTATIONS
     )
-    lines += ["", f"Plan shapes identical across sizes: **{same}**.", ""]
+    flag_line = (
+        f"Plan shapes identical across sizes (excluding whitelisted "
+        f"designed adaptations): **{same}**."
+    )
+    if adapted:
+        flag_line += " Designed adaptations observed: " + "; ".join(
+            f"{n} ({DESIGNED_ADAPTATIONS[n]})" for n in adapted
+        ) + "."
+    if unexpected:
+        flag_line += (
+            " **UNDESIGNED plan-shape changes: "
+            + ", ".join(unexpected)
+            + " — investigate before trusting these plans at scale.**"
+        )
+    lines += ["", flag_line, ""]
     block = "\n".join(lines) + "\n"
 
     md = os.path.join(

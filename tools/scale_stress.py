@@ -122,6 +122,44 @@ DIAGNOSTIC_QUERIES = [
     "dedup_simhash_pairs",
 ]
 
+# Plan adaptations that are BY DESIGN at larger sizes (round-9 verdict #7):
+# each entry exempts one query from the "plan shapes identical" alarm, with
+# the reason printed next to the flag. Anything NOT listed here that changes
+# its exchange/broadcast counts across sizes trips the flag — which is the
+# point: before this whitelist, dedup_minhash_lsh's designed broadcast->
+# shuffle switch held the global flag at False permanently, so a future
+# UNDESIGNED strategy switch (e.g. a pinned broadcast silently degrading to
+# a shuffle or a CartesianProduct) would have been invisible.
+DESIGNED_ADAPTATIONS: dict[str, str] = {
+    "dedup_minhash_lsh": (
+        "band self-join is planner-broadcast while the signature table is "
+        "tiny (1x) and becomes the designed hash-partitioned shuffle join "
+        "once corpus-sized — keeping a corpus-sized broadcast would be "
+        "the scale bug"
+    ),
+}
+
+
+def plan_shape_summary(
+    base: dict, big: dict, queries: list[str], whitelist: dict[str, str]
+) -> tuple[bool, list[str], list[str]]:
+    """(flag, designed, unexpected): ``flag`` is True iff every NON-
+    whitelisted query keeps identical exchange/broadcast counts across
+    sizes; ``designed`` lists whitelisted queries that did adapt (printed,
+    not alarming); ``unexpected`` lists the queries that trip the flag.
+    A whitelisted query that does NOT adapt is fine — the whitelist
+    permits, it does not require."""
+    designed, unexpected = [], []
+    for n in queries:
+        changed = (
+            base[n]["shuffles"] != big[n]["shuffles"]
+            or base[n]["broadcasts"] != big[n]["broadcasts"]
+        )
+        if not changed:
+            continue
+        (designed if n in whitelist else unexpected).append(n)
+    return (not unexpected, designed, unexpected)
+
 
 def _copies(spark: SparkSession, factor: int) -> DataFrame:
     return spark.range(factor).select(F.col("id").cast("int").alias("copy"))
@@ -308,10 +346,8 @@ def main() -> int:
             f"| {label} | {b['sec']} | {g['sec']} | {ratio}x "
             f"| {b['shuffles']}/{g['shuffles']} | {b['broadcasts']}/{g['broadcasts']} |"
         )
-    same_shape = all(
-        base[n]["shuffles"] == big[n]["shuffles"]
-        and base[n]["broadcasts"] == big[n]["broadcasts"]
-        for n in STRESS_QUERIES
+    same_shape, adapted, unexpected = plan_shape_summary(
+        base, big, STRESS_QUERIES, DESIGNED_ADAPTATIONS
     )
     over = [
         n
@@ -382,7 +418,25 @@ def main() -> int:
     lines += [
         "",
         f"Worst PRODUCTION time ratio at {args.factor}x data: **{worst}x**. "
-        f"Plan shapes identical across sizes: **{same_shape}**." + diag_note,
+        f"Plan shapes identical across sizes (excluding whitelisted "
+        f"designed adaptations): **{same_shape}**."
+        + (
+            " Designed adaptations observed: "
+            + "; ".join(
+                f"{n} ({DESIGNED_ADAPTATIONS[n]})" for n in adapted
+            )
+            + "."
+            if adapted
+            else ""
+        )
+        + (
+            " **UNDESIGNED plan-shape changes: "
+            + ", ".join(unexpected)
+            + " — investigate before trusting these plans at scale.**"
+            if unexpected
+            else ""
+        )
+        + diag_note,
         "",
         "Reading: a ratio at or below ~10x for 10x data is at-most-linear "
         "scaling for that plan on fixed cores (sub-10x = fixed overheads "
