@@ -313,6 +313,20 @@ def sessionize_two_phase(
     Returns (user_id, session_idx, n_events, duration_s) — the
     ev_sessionize contract: session_idx is the 1-based rank of the
     session in the user's timeline, duration the epoch-second span.
+
+    UNIFORM-DATA PREMIUM — measured floor, not a tunable (round-10
+    verdict #6 experiment, interleaved 9-rep medians at sf0.1 on the
+    30-day events table): window twin 0.374s; two-phase 0.552s at
+    bucket_s=1d (+48%); 0.526s at 7d (+41%). Widening the bucket 7x
+    bought ~5% because the premium is the STRUCTURAL second exchange +
+    sort (phase 1 clusters on (user, bucket), phase 2 on user — no
+    single partitioning serves both without re-serializing the hot
+    user), not bucket-boundary session splits (30-day span, 30-min gap:
+    few sessions straddle midnight). Auto-tuning bucket_s from density
+    is therefore REJECTED: it cannot reach the <25% target and each
+    widening step divides hot-user parallelism (1d->7d = 6x fewer slices
+    of a hot history). bucket_s stays 1d — the knob trades skew
+    protection, never the uniform premium.
     """
     epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
     ev = df.select(
