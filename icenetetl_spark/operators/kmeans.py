@@ -76,6 +76,8 @@ def lloyd_fit(
     semantics."""
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
+    import math
+
     spark = corpus.sparkSession
     q = float(10**scale)
     cents = [
@@ -83,54 +85,71 @@ def lloyd_fit(
         for r in init.select("centroid_id", "cvec").collect()
     ]
     cents.sort()
+    # ``__sn`` hoists the per-vector self-dot out of the k-way crossJoin
+    # (the assign_cells_fixed trick): the hot N*k projection evaluates ONE
+    # dot instead of three. Value-identical — same operands, same order,
+    # sqrt/add merely hoisted.
+    self_dot = dot_unrolled(F.col("__v"), F.col("__v"), dim)
     pre = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
+        (F.sqrt(self_dot) if metric == "cosine" else self_dot).alias("__sn"),
     )
     for _ in range(iterations):
+        # the per-centroid self-dot is an in-order python fold over the
+        # same doubles — IEEE-identical to SQL's list_dot_product(c, c)
+        def cfold(c):
+            acc = 0.0
+            for x in c:
+                acc += x * x
+            return acc
+
         cdf = F.broadcast(
             spark.createDataFrame(
-                cents, "centroid_id BIGINT, cvec ARRAY<DOUBLE>"
+                [
+                    (
+                        cid,
+                        cvec,
+                        math.sqrt(cfold(cvec))
+                        if metric == "cosine"
+                        else cfold(cvec),
+                    )
+                    for cid, cvec in cents
+                ],
+                "centroid_id BIGINT, cvec ARRAY<DOUBLE>, __cn DOUBLE",
             )
         )
         vdot = dot_unrolled(F.col("__v"), F.col("cvec"), dim)
         if metric == "cosine":
-            sim = vdot / (
-                F.sqrt(dot_unrolled(F.col("__v"), F.col("__v"), dim))
-                * F.sqrt(dot_unrolled(F.col("cvec"), F.col("cvec"), dim))
-            )
+            mcol = vdot / (F.col("__sn") * F.col("__cn"))
             best = F.max(
                 F.struct(
                     F.col("__m").alias("m"),
                     (-F.col("centroid_id")).alias("negcid"),
                 )
             )
-            mcol = sim
             cell = (-F.col("b.negcid")).alias("cell")
         else:
-            dist = (
-                dot_unrolled(F.col("__v"), F.col("__v"), dim)
-                + dot_unrolled(F.col("cvec"), F.col("cvec"), dim)
-            ) - F.lit(2.0) * vdot
+            mcol = (F.col("__sn") + F.col("__cn")) - F.lit(2.0) * vdot
             best = F.min(
                 F.struct(
                     F.col("__m").alias("m"),
                     F.col("centroid_id").alias("cid"),
                 )
             )
-            mcol = dist
             cell = F.col("b.cid").alias("cell")
-        assigned = (
+        # ONE exchange serves argmax AND vector carry: the k scored copies
+        # of a row live in the same input partition, so the partial agg
+        # collapses them map-side and first(__v) (all k copies identical)
+        # rides along without a reattach join — vs the two-exchange
+        # argmax+join form, which paid a whole extra stage per iteration.
+        member = (
             pre.crossJoin(cdf)
-            .select("__id", mcol.alias("__m"), "centroid_id")
+            .select("__id", mcol.alias("__m"), "centroid_id", "__v")
             .groupBy("__id")
-            .agg(best.alias("b"))
-            .select("__id", cell)
+            .agg(best.alias("b"), F.first("__v").alias("__v"))
+            .select(cell, "__v")
         )
-        # the reattach join (see assign_cells_fixed's plan note: carrying
-        # the vector through the argmax struct is dead weight), then ONE
-        # groupBy with d quantized partial sums
-        member = assigned.join(pre, "__id")
         rows = (
             member.groupBy("cell")
             .agg(
@@ -173,7 +192,7 @@ def lloyd_cents_cte(
     v = f"CAST({vec_expr} AS DOUBLE[])"
     steps = [
         f"""
-        {prefix}_c0 AS (
+        {prefix}_c0 AS MATERIALIZED (
             SELECT {id_expr} AS centroid_id, {v} AS cvec
             FROM {table} WHERE {init_pred}
         )"""
@@ -203,18 +222,18 @@ def lloyd_cents_cte(
         )
         steps.append(
             f"""
-        {prefix}_a{i} AS (
+        {prefix}_a{i} AS MATERIALIZED (
             SELECT e.{id_expr} AS vid, {v} AS v, ct.centroid_id,
                    row_number() OVER (PARTITION BY e.{id_expr}
                                       ORDER BY {order}) AS rk
             FROM {table} e, {prefix}_c{i - 1} ct
             WHERE {row_pred}
         ),
-        {prefix}_s{i} AS (
+        {prefix}_s{i} AS MATERIALIZED (
             SELECT centroid_id, COUNT(*) AS n, {sums}
             FROM {prefix}_a{i} WHERE rk = 1 GROUP BY centroid_id
         ),
-        {prefix}_c{i} AS (
+        {prefix}_c{i} AS MATERIALIZED (
             SELECT p.centroid_id,
                    CASE WHEN m.n IS NULL THEN p.cvec
                         ELSE [{mean_list}] END AS cvec

@@ -299,6 +299,16 @@ class IceNetPipeline:
         partition). Both paths upsert on the same key, so final states are
         identical (test_incremental_meta_equivalent).
         """
+        meta = self.meta_frame(touched)
+        # ON CONFLICT (date_forecast_generated, hemisphere) DO UPDATE
+        self.catalog.upsert(
+            "forecast_meta", meta, ["date_forecast_generated", "hemisphere"]
+        )
+
+    def meta_frame(self, touched: DataFrame | None = None) -> DataFrame:
+        """The rollup SELECT as a DataFrame (separated from the upsert so
+        tests and the stress harness can inspect the plan — the
+        latest_frame() pattern)."""
         forecasts = self.catalog.read("forecasts")
         if touched is not None:
             forecasts = forecasts.join(
@@ -311,7 +321,7 @@ class IceNetPipeline:
             F.max("date_forecast_for").alias("date_forecast_last"),
             F.count(F.lit(1)).alias("n_records"),
         )
-        meta = rollup.select(
+        return rollup.select(
             F.xxhash64("date_forecast_generated", "hemisphere").alias(
                 "forecast_meta_id"
             ),
@@ -320,10 +330,6 @@ class IceNetPipeline:
             "date_forecast_last",
             "hemisphere",
             "n_records",
-        )
-        # ON CONFLICT (date_forecast_generated, hemisphere) DO UPDATE
-        self.catalog.upsert(
-            "forecast_meta", meta, ["date_forecast_generated", "hemisphere"]
         )
 
     # -- the five-stage lifecycle (__init__.py:22-26) --------------------
