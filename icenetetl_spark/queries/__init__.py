@@ -143,8 +143,10 @@ def _reorder(d):
     window. Sorting by the round each query last verified cleanly —
     never-checked and last-failed queries first, stable by module order
     within ties — rotates the window automatically. On top of age, any query
-    whose implementing module closure's git-blob fingerprint differs from
-    that of its last-green round's gate commit (see ``_staleness``) is
+    whose implementation fingerprint differs from that of its last-green
+    round's gate commit (see ``_staleness``; since round 10 the fingerprint
+    covers only the definitions call-reachable from the query's registered
+    function, so a one-line hub edit stales only its real consumers) is
     treated as never verified, so edited plans re-enter the window the round
     after they change instead of riding unverified until age alone rotates
     them back in (round-8 verdict item #1)."""

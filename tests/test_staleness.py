@@ -245,3 +245,22 @@ def test_oracle_order_matches_query_order_on_common_keys():
     qnames = [n for n in qreg.all_queries() if n in qreg.all_oracles()]
     onames = list(qreg.all_oracles())
     assert qnames == [n for n in onames if n in set(qnames)]
+
+
+def test_round_commit_matches_subject_only():
+    """Round-9 advice: a commit that merely MENTIONS 'round N:' in its
+    body must not be mistaken for the gate commit — the match anchors to
+    the subject line."""
+    import subprocess
+
+    latest = max(qreg._last_verified_round().values(), default=-1)
+    if latest < 0:
+        pytest.skip("no CORRECTNESS files")
+    sha = s._round_commit(latest)
+    if sha is None:
+        pytest.skip("gate commit not in history")
+    subject = subprocess.run(
+        ["git", "-C", s._repo_root(), "log", "-1", "--format=%s", sha],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert subject.startswith(f"round {latest}:")
