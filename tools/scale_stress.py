@@ -107,6 +107,11 @@ STRESS_QUERIES = [
     # and the capped+prenorm SemDeDup re-measured after its fix
     "dedup_simhash_topn",
     "mm_image_dhash_topn",
+    # round-10: the deterministic-Lloyd TRAINED quantizer (fit is
+    # iterations x one corpus pass + an O(k*d) collect per pass — the
+    # ratio must track the corpus like the fixed twin's search does, with
+    # the fit's per-iteration overhead amortizing)
+    "knn_ivf",
 ]
 
 # Pair-materializing DIAGNOSTICS: correct, driver-gated at sf0.01, but
