@@ -107,3 +107,40 @@ def test_empty_cell_keeps_previous_centroid(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_lloyd_objective_improves_over_init(spark):
+    """Algorithmic sanity beyond engine parity: Lloyd's L2 objective (sum
+    of squared distances to the assigned centroid) is provably
+    non-increasing per iteration, so the 2-iteration fit must not be worse
+    than the raw seed rows; the cosine fit is checked empirically on the
+    same fixed corpus (deterministic fit -> stable assertion)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    init_rows = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(IDS)).collect()
+    }
+    C0 = np.stack([init_rows[i] for i in sorted(init_rows)])
+
+    def l2_obj(C):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    def cos_obj(C):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return (Xn @ Cn.T).max(axis=1).mean()
+
+    fit_l2 = _spark_fit(spark, "l2", iterations=2)
+    C_l2 = np.stack([np.array(fit_l2[c]) for c in sorted(fit_l2)])
+    assert l2_obj(C_l2) <= l2_obj(C0)
+
+    fit_cos = _spark_fit(spark, "cosine", iterations=2)
+    C_cos = np.stack([np.array(fit_cos[c]) for c in sorted(fit_cos)])
+    assert cos_obj(C_cos) >= cos_obj(C0)
