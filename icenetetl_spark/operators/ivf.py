@@ -101,9 +101,10 @@ def assign_cells_fixed(
     back by key afterwards (see the inline note).
 
     CONTRACT: ``id_col`` must be unique in ``vectors`` — one output row
-    per input row. Under duplicate ids the groupBy collapses them to one
-    row whose ``v`` is an arbitrary (partition-order-dependent) member —
-    nondeterministic output, not merely a different row count. Every
+    per input row. Under duplicate ids the reattach join fans the single
+    argmax row back out to every duplicate input row (the pre-round-9
+    groupBy collapsed them instead), and the ``pre`` subtree is evaluated
+    a second time through the join when the input is not cached. Every
     in-repo caller feeds a primary key (``vec_id``/``doc_id``); callers
     with non-unique ids must dedup first.
 
@@ -133,35 +134,41 @@ def assign_cells_fixed(
         F.col(out_id),
         sim.alias("__sim"),
         (-F.col("centroid_id")).alias("__negcid"),
-        "v",
     )
-    # The argmax struct carries ONLY the two comparison scalars —
-    # carrying ``v`` INSIDE the max-struct was pure dead weight
-    # (``__negcid`` is unique per centroid, so a third field never
-    # participates in a comparison, yet every one of the N*k candidate
-    # rows would copy a d-float array into the comparison buffer —
-    # measured 13.6s -> 3.6s on the 10x SemDeDup assignment when it was
-    # removed in round 9). Since round 10 the vector rides the SAME agg
-    # as a separate first() column instead of a reattach join: the k
-    # scored copies of a row live in one input partition, so the partial
-    # agg collapses them map-side and the exchange carries N rows with
-    # one v each — the same volume the reattach join's pre side shuffled,
-    # minus the join's second exchange and its sort. first() is
-    # deterministic here because all k copies hold the identical array.
-    # Results are identical row-for-row: same (sim, negcid) ordering,
-    # v still never compared.
-    return (
+    # The argmax struct carries ONLY the two comparison scalars; the
+    # vector is joined back by key afterwards. Carrying ``v`` inside the
+    # max-struct was pure dead weight: ``__negcid`` is unique per
+    # centroid, so the third field never participated in a comparison,
+    # yet every one of the N*k candidate rows copied a d-float array into
+    # the aggregation buffer — measured 13.6s -> 3.6s on the 10x SemDeDup
+    # assignment (N*k = 1.4M rows at d=64). The reattach join is N-row
+    # vs N-row on the id (broadcast at small N, co-shuffle at scale — the
+    # same N-rows-with-arrays volume the old plan shuffled through its
+    # agg anyway). Results are identical row-for-row: same (sim, negcid)
+    # ordering, v was never compared.
+    #
+    # REJECTED round-10 experiment (measured, interleaved 5-rep medians on
+    # the 10x SemDeDup assignment, 20k vectors x ~283 centroids): folding
+    # the vector into the SAME agg as a separate ``first(v)`` column to
+    # save the reattach join made the stage 5.9s -> 11.1s. First's buffer
+    # short-circuits after one row, but its CHILD is still evaluated per
+    # input row, so the d-float array materializes k times per vector
+    # inside the wide-fanout agg — the round-9 dead-weight lesson applies
+    # to ANY array column entering a fanout agg, not just compared struct
+    # fields. (operators/kmeans.lloyd_fit keeps the first()-carry because
+    # its fanout is the FIXED k<=16 quantizer width, where the k extra
+    # array touches are cheaper than a join stage — measured faster there.)
+    assigned = (
         scored.groupBy(out_id)
-        .agg(
-            F.max(F.struct("__sim", "__negcid")).alias("m"),
-            F.first("v").alias("v"),
-        )
+        .agg(F.max(F.struct("__sim", "__negcid")).alias("m"))
         .select(
             out_id,
-            "v",
             (-F.col("m.__negcid")).alias("cell"),
             F.col("m.__sim").alias("csim"),
         )
+    )
+    return assigned.join(pre.select(out_id, "v"), out_id).select(
+        out_id, "v", "cell", "csim"
     )
 
 
