@@ -131,6 +131,15 @@ def pagerank(
         )
         if it % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
             ranks = ranks.localCheckpoint(eager=True)
+    # when the final iteration didn't land on a checkpoint boundary, the
+    # returned frame carries up to CHECKPOINT_EVERY-1 live iterations of
+    # lineage, so EVERY caller action re-executes that tail join+agg+join
+    # chain (values unaffected, recompute paid repeatedly — round-10
+    # advice). Checkpoint once here so callers act on a materialized vector.
+    if iterations > 0 and (iterations - 1) % CHECKPOINT_EVERY != (
+        CHECKPOINT_EVERY - 1
+    ):
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -41,6 +41,21 @@ from icenetetl_spark.operators.similarity import dot_unrolled
 
 LLOYD_SCALE = 9  # 10^9 fixed point: |v| <= ~10 and 10^9 rows/cell fit BIGINT
 
+# Session-lifetime memo of fitted centroid lists (round-10 verdict #2: the
+# trained-quantizer gates each re-ran the same 3-5 iteration fit from
+# scratch — 16-20s per gate). The fit is a DETERMINISTIC pure function of
+# (corpus, init, params), so given a caller-supplied key identifying the
+# (corpus, init) pair, the O(k*d) result list can be cached exactly like
+# the BPE vocab-sized driver cache (operators/bpe.py). Keys append the
+# full parameter tuple, so the same corpus fitted with different
+# iterations/metric/scale never collides.
+_FIT_CACHE: dict[tuple, list] = {}
+
+
+def reset_fit_cache() -> None:
+    """Test hook: drop memoized fits."""
+    _FIT_CACHE.clear()
+
 
 def _quantized_sums(vcol, dim: int, scale: int):
     q = float(10**scale)
@@ -63,6 +78,7 @@ def lloyd_fit(
     dim: int = 64,
     metric: str = "cosine",
     scale: int = LLOYD_SCALE,
+    cache_key: tuple | str | None = None,
 ) -> DataFrame:
     """Fit centroids by deterministic Lloyd iterations; returns a literal
     ``(centroid_id long, cvec array<double>)`` DataFrame ready for the
@@ -73,12 +89,26 @@ def lloyd_fit(
     cosine argmax (ties -> smaller id), ``'l2'`` by squared-euclidean
     argmin via the three-dot identity — each matching the downstream
     consumer's own assignment expression so fit and use share float
-    semantics."""
+    semantics.
+
+    ``cache_key``, when given, MUST uniquely identify the (corpus, init)
+    pair — e.g. ``(sf_dir, "embeddings", tuple(seed_ids))``; the fit
+    parameters are appended automatically. The fitted centroid list is
+    then memoized for the session (deterministic fit -> identical result),
+    so chained gate/stress runs pay one fit instead of one per query."""
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
     import math
 
     spark = corpus.sparkSession
+    full_key = None
+    if cache_key is not None:
+        full_key = (cache_key, iterations, id_col, vec_col, dim, metric, scale)
+        cached = _FIT_CACHE.get(full_key)
+        if cached is not None:
+            return spark.createDataFrame(
+                cached, "centroid_id BIGINT, cvec ARRAY<DOUBLE>"
+            )
     q = float(10**scale)
     cents = [
         (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
@@ -158,6 +188,21 @@ def lloyd_fit(
             )
             .collect()
         )
+        # Overflow guard (round-10 advice): each quantized term is bounded
+        # by ~|v|*10^scale + 1 <= 10^(scale+1) for the documented |v|<=10
+        # envelope, so a cell of n rows sums to at most n*10^(scale+1).
+        # Spark wraps BIGINT silently (ANSI off) while DuckDB raises — at
+        # 100 TB the engines would diverge without a signal. Raise instead:
+        # the counts are already on the driver, so the check is free.
+        max_n = max((int(r["n"]) for r in rows), default=0)
+        if max_n * 10 ** (scale + 1) >= 2**63:
+            raise OverflowError(
+                f"lloyd_fit: cell membership {max_n} can overflow the "
+                f"BIGINT quantized sum at scale={scale} "
+                f"(bound {max_n} * 10^{scale + 1} >= 2^63); train on a "
+                "deterministic id-hash sample (see module docstring) or "
+                "lower the fixed-point scale"
+            )
         means = {
             int(r["cell"]): [
                 (float(r[f"s{i}"]) / float(r["n"])) / q
@@ -166,6 +211,8 @@ def lloyd_fit(
             for r in rows
         }
         cents = [(cid, means.get(cid, cvec)) for cid, cvec in cents]
+    if full_key is not None:
+        _FIT_CACHE[full_key] = cents
     return spark.createDataFrame(
         cents, "centroid_id BIGINT, cvec ARRAY<DOUBLE>"
     )

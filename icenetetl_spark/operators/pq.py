@@ -200,6 +200,7 @@ def fit_pq_codebooks_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     width: int | None = None,
+    cache_key: tuple | str | None = None,
 ) -> DataFrame:
     """DETERMINISTIC trained codebooks: per-subspace fixed-point Lloyd
     (operators/kmeans.lloyd_fit, metric='l2' — the same squared-euclidean
@@ -228,6 +229,12 @@ def fit_pq_codebooks_lloyd(
         cents = lloyd_fit(
             sub, init, iterations=iterations,
             id_col="__sid", vec_col="__sub", dim=w, metric="l2",
+            # per-subspace memo (lloyd_fit appends the fit params): the
+            # subspace index + slice width identify the (corpus, init)
+            # slice pair under the caller's corpus key
+            cache_key=(cache_key, "pq_sub", mi, w, tuple(init_ids))
+            if cache_key is not None
+            else None,
         )
         parts.append(
             cents.select(

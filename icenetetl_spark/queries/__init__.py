@@ -168,14 +168,30 @@ def _reorder(d):
             and fmod is not None
             and _staleness.changed_since_round(fmod, rnd, func)
         )
+        # the oracle SQL is gate semantics too, and the function-level
+        # fingerprint roots at the query callable which never references
+        # the module-level ORACLES dict — walk ORACLES as a second root so
+        # an oracle edit re-enters the window next round (round-10 advice)
+        oracle_changed = (
+            rnd >= 0
+            and mod is not None
+            and _staleness.oracle_changed_since_round(mod, rnd)
+        )
         if rnd < 0:
             return (0, 0, rnd, pos)  # never verified: absolute front
-        if changed:
+        if changed or oracle_changed:
             # newest change first (a plan edited last round or this round
             # beats one whose unverified change is older — the older one's
             # low last-green round already rotates it forward), then stalest
             # green within the same change epoch
-            epoch = _staleness.change_epoch(fmod, rnd, latest, func)
+            epoch = max(
+                _staleness.change_epoch(fmod, rnd, latest, func)
+                if changed
+                else -1,
+                _staleness.change_epoch(mod, rnd, latest, "ORACLES")
+                if oracle_changed
+                else -1,
+            )
             return (1, -epoch, rnd, pos)
         return (2, 0, rnd, pos)
 

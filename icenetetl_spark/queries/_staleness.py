@@ -644,6 +644,32 @@ def function_items(
     return out
 
 
+def oracle_changed_since_round(modname: str, rnd: int) -> bool:
+    """True iff the ORACLES binding surface of ``modname`` differs between
+    the working tree and round ``rnd``'s gate commit (round-10 advice #1:
+    the function-level fingerprint roots at the registered query callable,
+    which never references the module-level ORACLES dict, so an oracle-SQL
+    edit — a gate-semantics change — was invisible to the rotation). Roots
+    a second function fingerprint at the module's ``ORACLES`` binding:
+    ``_assign_names`` already attributes both the dict-literal assign and
+    the ``ORACLES["name"] = ...`` subscript form to the ``ORACLES`` name,
+    and the reference walk reaches the oracle-building helpers
+    (``_ivf_oracle``, ``lloyd_cents_cte``, ...), so editing any of them
+    stales every query the module registers — over-approximation toward
+    stale, per the module contract. Returns False when the module has no
+    statically resolvable ORACLES binding (nothing to track) or history is
+    unreadable (age rotation still applies)."""
+    if rnd < 0:
+        return False
+    commit = _round_commit(rnd)
+    if commit is None:
+        return False
+    now = function_fingerprint(modname, "ORACLES", None)
+    if now is None:
+        return False
+    return function_fingerprint(modname, "ORACLES", commit) != now
+
+
 def changed_since_round(
     modname: str, rnd: int, func: str | None = None
 ) -> bool:

@@ -118,6 +118,10 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. The MLlib path (operators/ivf.knn_ivf) remains the production
 # alternative; recall vs brute force for both is in tests/test_ivf.py.
 LLOYD_ITERS = 3
+# probe count shared by knn_ivf's Spark plan and its oracle construction
+# (round-10 advice: a bare literal duplicated on both sides desyncs the
+# hash-gated pair on edit; mirrors the IVF_N_PROBE pattern)
+LLOYD_N_PROBE = 6
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,10 +137,16 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    cents = lloyd_fit(emb, init, iterations=LLOYD_ITERS, dim=EMB_DIM)
+    cents = lloyd_fit(
+        emb,
+        init,
+        iterations=LLOYD_ITERS,
+        dim=EMB_DIM,
+        cache_key=(sf_dir, "embeddings", tuple(IVF_CENTROID_IDS)),
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return knn_ivf_fixed_centroids(
-        queries, emb, cents, k=K, n_probe=6, dim=EMB_DIM
+        queries, emb, cents, k=K, n_probe=LLOYD_N_PROBE, dim=EMB_DIM
     )
 
 
@@ -265,7 +275,12 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     codebook = fit_pq_codebooks_lloyd(
-        emb, PQ_CODE_IDS, m=PQ_M, iterations=PQ_LLOYD_ITERS, width=EMB_DIM
+        emb,
+        PQ_CODE_IDS,
+        m=PQ_M,
+        iterations=PQ_LLOYD_ITERS,
+        width=EMB_DIM,
+        cache_key=(sf_dir, "embeddings"),
     )
     return _knn_pq_with_codebook(
         queries, emb, codebook, K, PQ_M, PQ_REFINE, "vec_id", "embedding",
@@ -386,7 +401,15 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    cents = lloyd_fit(emb, init, iterations=LLOYD_ITERS, dim=EMB_DIM)
+    # identical (corpus, init, params) as knn_ivf -> the memoized fit is
+    # SHARED: a gate window running both pays one Lloyd fit per session
+    cents = lloyd_fit(
+        emb,
+        init,
+        iterations=LLOYD_ITERS,
+        dim=EMB_DIM,
+        cache_key=(sf_dir, "embeddings", tuple(IVF_CENTROID_IDS)),
+    )
     return semdedup(
         emb, cents, threshold=SEM_T, dim=EMB_DIM, cell_cap=SEM_CAP
     )
@@ -674,7 +697,7 @@ ORACLES = {
     "knn_ivf_fixed": _ivf_oracle(_FIXED_CENTS_SQL, IVF_N_PROBE),
     # The TRAINED twin: identical search text over the unrolled
     # deterministic-Lloyd centroid chain (operators/kmeans.py).
-    "knn_ivf": _ivf_oracle(_lloyd_cents_sql(LLOYD_ITERS), 6),
+    "knn_ivf": _ivf_oracle(_lloyd_cents_sql(LLOYD_ITERS), LLOYD_N_PROBE),
     # Rebuild-equality oracle for the incremental index: nearest-1 cell
     # per vector over ALL vectors (ties -> smaller centroid_id) — the
     # merged old+batch postings must equal this by the per-row-assignment

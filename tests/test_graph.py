@@ -106,3 +106,19 @@ def test_source_only_nodes_keep_teleport_rank(spark):
     assert set(oracle) == set(got)
     for k in got:
         assert got[k] == pytest.approx(oracle[k], abs=0), (k, got[k], oracle[k])
+
+
+def test_final_ranks_materialized_no_live_lineage(spark):
+    """Round-10 advice #3: iterations not a multiple of CHECKPOINT_EVERY
+    left the tail iteration's join+agg+join chain live, so every caller
+    action re-executed it. The returned frame must be a checkpoint scan
+    (no Join in its optimized plan) for ANY iteration count."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "doc_a long, doc_b long"
+    )
+    from icenetetl_spark.operators.graph import CHECKPOINT_EVERY
+
+    for its in (CHECKPOINT_EVERY - 1, CHECKPOINT_EVERY, CHECKPOINT_EVERY + 1):
+        ranks = pagerank(symmetrize(pairs), iterations=its)
+        plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan, f"live lineage at iterations={its}"

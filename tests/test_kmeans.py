@@ -144,3 +144,61 @@ def test_lloyd_objective_improves_over_init(spark):
     fit_cos = _spark_fit(spark, "cosine", iterations=2)
     C_cos = np.stack([np.array(fit_cos[c]) for c in sorted(fit_cos)])
     assert cos_obj(C_cos) >= cos_obj(C0)
+
+
+def test_fit_memoization_identical_and_single_fit(spark):
+    """cache_key memoizes the fitted centroid list for the session
+    (round-10 verdict #2: each trained-quantizer gate re-ran the same
+    deterministic fit, 16-20s per gate). The cached result must be
+    value-identical and the second call must not re-run Lloyd jobs."""
+    from icenetetl_spark.operators import kmeans as km
+
+    km.reset_fit_cache()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    init = emb.filter(F.col("vec_id").isin(IDS)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    key = (SF_DIR, "embeddings", tuple(IDS))
+    cold = {
+        r["centroid_id"]: list(r["cvec"])
+        for r in lloyd_fit(
+            emb, init, iterations=2, dim=64, cache_key=key
+        ).collect()
+    }
+    assert len(km._FIT_CACHE) == 1
+    # poison the corpus argument: a true cache hit never touches it
+    poisoned = emb.limit(0)
+    warm = {
+        r["centroid_id"]: list(r["cvec"])
+        for r in lloyd_fit(
+            poisoned, init.limit(0), iterations=2, dim=64, cache_key=key
+        ).collect()
+    }
+    assert warm == cold
+    # different params under the same corpus key must MISS (no collision)
+    miss = lloyd_fit(emb, init, iterations=1, dim=64, cache_key=key)
+    assert len(km._FIT_CACHE) == 2
+    assert miss.count() == len(IDS)
+    km.reset_fit_cache()
+
+
+def test_fit_without_cache_key_never_caches(spark):
+    from icenetetl_spark.operators import kmeans as km
+
+    km.reset_fit_cache()
+    _spark_fit(spark, "cosine", iterations=1)
+    assert km._FIT_CACHE == {}
+
+
+def test_overflow_guard_raises_instead_of_wrapping(spark):
+    """Round-10 advice #4: at scale=18 even one row per cell overflows the
+    BIGINT quantized sum envelope; Spark would wrap silently (ANSI off)
+    while DuckDB raises — the fit must raise instead of diverging."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(40)
+    init = emb.filter(F.col("vec_id").isin(IDS[:2])).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    with pytest.raises(OverflowError, match="id-hash sample"):
+        lloyd_fit(emb, init, iterations=1, dim=64, scale=18)

@@ -113,7 +113,11 @@ def test_registry_orders_changed_before_age_rotated_green():
         if rnd < 0:
             return 0
         fmod, func = _query_root(name)
+        mod = qreg._QUERY_SRC_MODULE.get(name)
         if fmod and s.changed_since_round(fmod, rnd, func):
+            return 1
+        # round-11: the oracle dict is a second fingerprint root
+        if mod and s.oracle_changed_since_round(mod, rnd):
             return 1
         return 2
 
@@ -125,7 +129,13 @@ def test_registry_orders_changed_before_age_rotated_green():
     epochs = []
     for n in changed:
         fmod, func = _query_root(n)
-        epochs.append(s.change_epoch(fmod, last[n], latest, func))
+        e = -1
+        if fmod and s.changed_since_round(fmod, last[n], func):
+            e = max(e, s.change_epoch(fmod, last[n], latest, func))
+        mod = qreg._QUERY_SRC_MODULE.get(n)
+        if mod and s.oracle_changed_since_round(mod, last[n]):
+            e = max(e, s.change_epoch(mod, last[n], latest, "ORACLES"))
+        epochs.append(e)
     assert epochs == sorted(epochs, reverse=True)
 
 
@@ -264,3 +274,78 @@ def test_round_commit_matches_subject_only():
         capture_output=True, text=True, check=True,
     ).stdout.strip()
     assert subject.startswith(f"round {latest}:")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-dict fingerprint root (round 11 — round-10 advice #1)
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_edit_changes_oracle_fingerprint():
+    """Editing a query's oracle SQL is a gate-semantics change: the
+    ORACLES-rooted fingerprint must move (the callable-rooted one cannot —
+    queries never reference the module-level ORACLES dict)."""
+    mod = "icenetetl_spark.queries.text"
+    s.reset_caches()
+    base = s.function_fingerprint(mod, "ORACLES", None)
+    assert base is not None
+    s.reset_caches()
+    _seed_worktree_source(
+        HUB, _hub_source() + '\nORACLES["text_stats"] = "SELECT 1"\n'
+    )
+    edited = s.function_fingerprint(mod, "ORACLES", None)
+    s.reset_caches()
+    assert edited is not None
+    assert edited != base
+
+
+def test_oracle_comment_edit_changes_nothing():
+    """A comment near the ORACLES dict must not stale the module's gates
+    (ast.dump blindness applies to the oracle root too)."""
+    mod = "icenetetl_spark.queries.text"
+    s.reset_caches()
+    base = s.function_fingerprint(mod, "ORACLES", None)
+    s.reset_caches()
+    _seed_worktree_source(
+        HUB, _hub_source() + "\n# oracle commentary, no code change\n"
+    )
+    edited = s.function_fingerprint(mod, "ORACLES", None)
+    s.reset_caches()
+    assert edited == base
+
+
+def test_oracle_fingerprint_reaches_builder_helpers():
+    """ORACLES entries built by helper calls (_ivf_oracle, lloyd_cents_cte)
+    must fingerprint the helpers: an oracle-builder edit is an oracle
+    edit."""
+    items = s.function_items(
+        "icenetetl_spark.queries.similarity", "ORACLES", None
+    )
+    assert items is not None
+    blob = "\n".join(items)
+    assert "_ivf_oracle" in blob
+    # the Lloyd CTE builder lives in operators/kmeans.py and is reached
+    # through _lloyd_cents_sql's def-local import
+    assert "operators/kmeans" in blob
+
+
+def test_oracle_unchanged_against_head_round():
+    """A module whose full closure is byte-identical to the latest gate
+    commit must not read as oracle-stale (guards against the ORACLES root
+    silently degrading to a whole-module fingerprint that drags in an
+    edited neighbor)."""
+    latest = max(qreg._last_verified_round().values(), default=-1)
+    if latest < 0:
+        pytest.skip("no CORRECTNESS files")
+    commit = s._round_commit(latest)
+    if commit is None:
+        pytest.skip("latest round commit not in history")
+    blobs = s._blobs_at_commit(commit)
+    for mod in sorted(set(qreg._QUERY_SRC_MODULE.values())):
+        paths = s.import_closure(mod)
+        if paths and s._fingerprint(paths, blobs) == s._fingerprint(
+            paths, None
+        ):
+            assert not s.oracle_changed_since_round(mod, latest)
+            return
+    pytest.skip("every module differs from the latest gate commit")
