@@ -175,7 +175,7 @@ def _reorder(d):
         oracle_changed = (
             rnd >= 0
             and mod is not None
-            and _staleness.oracle_changed_since_round(mod, rnd)
+            and _staleness.oracle_changed_since_round(mod, rnd, name)
         )
         if rnd < 0:
             return (0, 0, rnd, pos)  # never verified: absolute front

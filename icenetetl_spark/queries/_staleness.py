@@ -493,10 +493,20 @@ def function_fingerprint(
 
 
 def function_items(
-    modname: str, funcname: str, tree: str | None
+    modname: str,
+    funcname: str,
+    tree: str | None,
+    extra_defs: dict[str, list] | None = None,
 ) -> list[str] | None:
     """The sorted item set behind :func:`function_fingerprint` — exposed
-    for diagnostics and for the staleness tests' item-diff assertions."""
+    for diagnostics and for the staleness tests' item-diff assertions.
+
+    ``extra_defs`` injects synthetic definition entries (the
+    ``_parse_info`` record 5-tuple: dump sha, bare names, attr pairs,
+    def-local from-imports, def-local module imports) visible only in the
+    ROOT module — the oracle per-key fingerprint roots the walk at a
+    query's ORACLES value expression this way. Callers using it must pick
+    a ``funcname`` unique per injected root (it keys the cache)."""
     cache_key = (tree, modname, funcname)
     if cache_key in _FN_FP_CACHE:
         return _FN_FP_CACHE[cache_key]
@@ -573,10 +583,13 @@ def function_items(
             else:
                 visit(smod, sname, expect=True)
 
+        entries = list(info.defs.get(name, []))
+        if extra_defs and mod == modname and name in extra_defs:
+            entries.extend(extra_defs[name])
         hit = False
-        if name in info.defs:
+        if entries:
             hit = True
-            for sha, names, attrs, lfrom, lmods in info.defs[name]:
+            for sha, names, attrs, lfrom, lmods in entries:
                 items.add(f"def:{rel}:{name}:{sha}")
                 for n in names:
                     if n in lmods:
@@ -644,30 +657,135 @@ def function_items(
     return out
 
 
-def oracle_changed_since_round(modname: str, rnd: int) -> bool:
-    """True iff the ORACLES binding surface of ``modname`` differs between
-    the working tree and round ``rnd``'s gate commit (round-10 advice #1:
-    the function-level fingerprint roots at the registered query callable,
-    which never references the module-level ORACLES dict, so an oracle-SQL
-    edit — a gate-semantics change — was invisible to the rotation). Roots
-    a second function fingerprint at the module's ``ORACLES`` binding:
-    ``_assign_names`` already attributes both the dict-literal assign and
-    the ``ORACLES["name"] = ...`` subscript form to the ``ORACLES`` name,
-    and the reference walk reaches the oracle-building helpers
-    (``_ivf_oracle``, ``lloyd_cents_cte``, ...), so editing any of them
-    stales every query the module registers — over-approximation toward
-    stale, per the module contract. Returns False when the module has no
-    statically resolvable ORACLES binding (nothing to track) or history is
-    unreadable (age rotation still applies)."""
+_ORACLE_NODE_CACHE: dict = {}
+
+
+def _oracle_value_nodes(modname: str, qname: str, tree: str | None):
+    """AST value expressions bound to ``ORACLES[qname]`` in ``modname`` —
+    via the dict-literal entry (``ORACLES = {"q": <expr>, ...}``) and/or
+    the subscript form (``ORACLES["q"] = <expr>``), searched through the
+    same If/Try/loop nesting ``_parse_info`` scans. Returns a (possibly
+    empty) list of nodes, or None when the binding cannot be indexed
+    per-key (non-Dict assign, ``**`` merges, non-constant subscript keys)
+    — the caller then falls back to the whole-dict fingerprint."""
+    cache_key = (tree, modname, qname)
+    if cache_key in _ORACLE_NODE_CACHE:
+        return _ORACLE_NODE_CACHE[cache_key]
+    result = None
+    rel = _relpath_in(modname, tree)
+    src = _module_source(rel, tree) if rel else None
+    if src is not None:
+        try:
+            mod_tree = ast.parse(src)
+        except SyntaxError:
+            mod_tree = None
+        nodes: list = []
+        indexable = True
+
+        def scan(body):
+            nonlocal indexable
+            for node in body:
+                if isinstance(node, ast.Assign):
+                    for t in node.targets:
+                        if isinstance(t, ast.Name) and t.id == "ORACLES":
+                            if isinstance(node.value, ast.Dict):
+                                for k, v in zip(
+                                    node.value.keys, node.value.values
+                                ):
+                                    if k is None:  # {**other} merge
+                                        indexable = False
+                                    elif (
+                                        isinstance(k, ast.Constant)
+                                        and k.value == qname
+                                    ):
+                                        nodes.append(v)
+                            else:
+                                indexable = False
+                        elif (
+                            isinstance(t, ast.Subscript)
+                            and isinstance(t.value, ast.Name)
+                            and t.value.id == "ORACLES"
+                        ):
+                            if (
+                                isinstance(t.slice, ast.Constant)
+                                and t.slice.value == qname
+                            ):
+                                nodes.append(node.value)
+                            elif not isinstance(t.slice, ast.Constant):
+                                indexable = False
+                elif isinstance(node, (ast.If, ast.Try, ast.With)):
+                    for attr in ("body", "orelse", "finalbody"):
+                        scan(getattr(node, attr, []) or [])
+                    for h in getattr(node, "handlers", []) or []:
+                        scan(h.body)
+                elif isinstance(node, (ast.For, ast.While)):
+                    scan(node.body)
+                    scan(node.orelse or [])
+
+        if mod_tree is not None:
+            scan(mod_tree.body)
+            if indexable:
+                result = nodes
+    _ORACLE_NODE_CACHE[cache_key] = result
+    return result
+
+
+def oracle_fingerprint(
+    modname: str, qname: str, tree: str | None
+) -> str | None:
+    """Digest of the gate-semantics surface of ``qname``'s oracle SQL in
+    ``modname`` (round-10 advice #1: the function-level fingerprint roots
+    at the registered query callable, which never references the
+    module-level ORACLES dict, so an oracle edit was invisible to the
+    rotation). When the dict is statically indexable per key, the walk is
+    rooted at THIS query's value expression (injected as a synthetic def
+    via ``function_items``'s ``extra_defs``), so it reaches exactly the
+    helpers/constants that oracle uses — editing one query's SQL, or a
+    helper only other oracles use, does not stale its siblings (the
+    whole-dict root staled all ~25 module queries against old green
+    rounds and would have clobbered the driver window). Un-indexable
+    forms degrade to the whole ORACLES-rooted item set; a key ABSENT from
+    one tree fingerprints as a change (oracle added/removed). None = no
+    trackable ORACLES binding."""
+    nodes = _oracle_value_nodes(modname, qname, tree)
+    if nodes is None:
+        items = function_items(modname, "ORACLES", tree)
+        if items is None:
+            return None
+        return hashlib.sha256(
+            ("WHOLE\n" + "\n".join(items)).encode()
+        ).hexdigest()
+    if not nodes:
+        return "ABSENT"
+    synth = f"__oracle__{qname}"
+    entries = []
+    for node in nodes:
+        names, attrs = _node_refs(node)
+        lfrom, lmods = _local_imports(node)
+        entries.append((_dump_sha(node), names, attrs, lfrom, lmods))
+    items = function_items(
+        modname, synth, tree, extra_defs={synth: entries}
+    )
+    if items is None:
+        return None
+    return hashlib.sha256("\n".join(items).encode()).hexdigest()
+
+
+def oracle_changed_since_round(modname: str, rnd: int, qname: str) -> bool:
+    """True iff ``qname``'s oracle surface (see :func:`oracle_fingerprint`)
+    differs between the working tree and round ``rnd``'s gate commit.
+    Returns False when the module has no statically resolvable ORACLES
+    binding (nothing to track) or history is unreadable (age rotation
+    still applies)."""
     if rnd < 0:
         return False
     commit = _round_commit(rnd)
     if commit is None:
         return False
-    now = function_fingerprint(modname, "ORACLES", None)
+    now = oracle_fingerprint(modname, qname, None)
     if now is None:
         return False
-    return function_fingerprint(modname, "ORACLES", commit) != now
+    return oracle_fingerprint(modname, qname, commit) != now
 
 
 def changed_since_round(
@@ -747,3 +865,4 @@ def reset_caches() -> None:
     _SRC_CACHE.clear()
     _INFO_CACHE.clear()
     _FN_FP_CACHE.clear()
+    _ORACLE_NODE_CACHE.clear()

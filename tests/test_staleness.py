@@ -116,8 +116,8 @@ def test_registry_orders_changed_before_age_rotated_green():
         mod = qreg._QUERY_SRC_MODULE.get(name)
         if fmod and s.changed_since_round(fmod, rnd, func):
             return 1
-        # round-11: the oracle dict is a second fingerprint root
-        if mod and s.oracle_changed_since_round(mod, rnd):
+        # round-11: the query's oracle entry is a second fingerprint root
+        if mod and s.oracle_changed_since_round(mod, rnd, name):
             return 1
         return 2
 
@@ -133,7 +133,7 @@ def test_registry_orders_changed_before_age_rotated_green():
         if fmod and s.changed_since_round(fmod, last[n], func):
             e = max(e, s.change_epoch(fmod, last[n], latest, func))
         mod = qreg._QUERY_SRC_MODULE.get(n)
-        if mod and s.oracle_changed_since_round(mod, last[n]):
+        if mod and s.oracle_changed_since_round(mod, last[n], n):
             e = max(e, s.change_epoch(mod, last[n], latest, "ORACLES"))
         epochs.append(e)
     assert epochs == sorted(epochs, reverse=True)
@@ -281,22 +281,23 @@ def test_round_commit_matches_subject_only():
 # ---------------------------------------------------------------------------
 
 
-def test_oracle_edit_changes_oracle_fingerprint():
-    """Editing a query's oracle SQL is a gate-semantics change: the
-    ORACLES-rooted fingerprint must move (the callable-rooted one cannot —
-    queries never reference the module-level ORACLES dict)."""
+def test_oracle_edit_stales_only_that_query():
+    """Editing ONE query's oracle SQL is a gate-semantics change for that
+    query alone: its per-key fingerprint must move while siblings in the
+    same ORACLES dict stay fixed (the whole-dict root staled all ~25
+    module queries against old green rounds, clobbering the window)."""
     mod = "icenetetl_spark.queries.text"
     s.reset_caches()
-    base = s.function_fingerprint(mod, "ORACLES", None)
-    assert base is not None
+    base_hit = s.oracle_fingerprint(mod, "text_stats", None)
+    base_other = s.oracle_fingerprint(mod, "text_lang_id", None)
+    assert base_hit is not None and base_other is not None
     s.reset_caches()
     _seed_worktree_source(
         HUB, _hub_source() + '\nORACLES["text_stats"] = "SELECT 1"\n'
     )
-    edited = s.function_fingerprint(mod, "ORACLES", None)
+    assert s.oracle_fingerprint(mod, "text_stats", None) != base_hit
+    assert s.oracle_fingerprint(mod, "text_lang_id", None) == base_other
     s.reset_caches()
-    assert edited is not None
-    assert edited != base
 
 
 def test_oracle_comment_edit_changes_nothing():
@@ -304,29 +305,83 @@ def test_oracle_comment_edit_changes_nothing():
     (ast.dump blindness applies to the oracle root too)."""
     mod = "icenetetl_spark.queries.text"
     s.reset_caches()
-    base = s.function_fingerprint(mod, "ORACLES", None)
+    base = s.oracle_fingerprint(mod, "text_stats", None)
     s.reset_caches()
     _seed_worktree_source(
         HUB, _hub_source() + "\n# oracle commentary, no code change\n"
     )
-    edited = s.function_fingerprint(mod, "ORACLES", None)
+    edited = s.oracle_fingerprint(mod, "text_stats", None)
     s.reset_caches()
     assert edited == base
 
 
-def test_oracle_fingerprint_reaches_builder_helpers():
+def test_oracle_fingerprint_reaches_its_builder_helpers_only():
     """ORACLES entries built by helper calls (_ivf_oracle, lloyd_cents_cte)
-    must fingerprint the helpers: an oracle-builder edit is an oracle
-    edit."""
-    items = s.function_items(
-        "icenetetl_spark.queries.similarity", "ORACLES", None
-    )
-    assert items is not None
+    must fingerprint THE HELPERS THAT ORACLE USES — and not helpers other
+    keys use (a helper added for a new oracle in r9 must not stale every
+    r7-green sibling)."""
+    mod = "icenetetl_spark.queries.similarity"
+    s.reset_caches()
+    nodes = s._oracle_value_nodes(mod, "knn_ivf", None)
+    assert nodes  # indexable dict-literal entry
+    synth = "__oracle__knn_ivf"
+    entries = []
+    for node in nodes:
+        names, attrs = s._node_refs(node)
+        lfrom, lmods = s._local_imports(node)
+        entries.append((s._dump_sha(node), names, attrs, lfrom, lmods))
+    items = s.function_items(mod, synth, None, extra_defs={synth: entries})
     blob = "\n".join(items)
     assert "_ivf_oracle" in blob
     # the Lloyd CTE builder lives in operators/kmeans.py and is reached
     # through _lloyd_cents_sql's def-local import
     assert "operators/kmeans" in blob
+    # a helper only the BM25/hybrid oracles use must NOT be reached
+    assert "_SIGN_BUCKET" not in blob
+
+
+def test_oracle_nodes_absent_key_and_subscript_forms():
+    # a key that does not exist resolves to an empty node list -> the
+    # fingerprint is the ABSENT sentinel (added oracle = change), never
+    # un-indexable
+    mod = "icenetetl_spark.queries.text"
+    s.reset_caches()
+    assert s._oracle_value_nodes(mod, "no_such_query_xyz", None) == []
+    assert s.oracle_fingerprint(mod, "no_such_query_xyz", None) == "ABSENT"
+    # subscript registration is indexed per key too (reset FIRST — it
+    # clears the seeded source)
+    s.reset_caches()
+    _seed_worktree_source(
+        HUB, _hub_source() + '\nORACLES["qq_sub"] = "SELECT 2"\n'
+    )
+    got = s._oracle_value_nodes(mod, "qq_sub", None)
+    assert got and len(got) == 1
+    assert s.oracle_fingerprint(mod, "qq_sub", None) not in (None, "ABSENT")
+    s.reset_caches()
+
+
+def test_oracle_helper_edit_for_other_key_does_not_stale_sibling():
+    """The round-11 window regression this design exists to avoid: adding
+    a constant + helper used by a NEW oracle must leave existing queries'
+    oracle fingerprints untouched."""
+    mod = "icenetetl_spark.queries.text"
+    s.reset_caches()
+    base = s.oracle_fingerprint(mod, "text_stats", None)
+    s.reset_caches()
+    _seed_worktree_source(
+        HUB,
+        _hub_source()
+        + '\nNEW_HELPER_K = 7\n'
+        + '\ndef _new_oracle_sql(k):\n    return f"SELECT {k}"\n'
+        + '\nORACLES["brand_new_query"] = _new_oracle_sql(NEW_HELPER_K)\n',
+    )
+    assert s.oracle_fingerprint(mod, "text_stats", None) == base
+    # while the new key itself fingerprints (and differs from ABSENT)
+    assert s.oracle_fingerprint(mod, "brand_new_query", None) not in (
+        None,
+        "ABSENT",
+    )
+    s.reset_caches()
 
 
 def test_oracle_unchanged_against_head_round():
@@ -346,6 +401,8 @@ def test_oracle_unchanged_against_head_round():
         if paths and s._fingerprint(paths, blobs) == s._fingerprint(
             paths, None
         ):
-            assert not s.oracle_changed_since_round(mod, latest)
+            for q, m in qreg._QUERY_SRC_MODULE.items():
+                if m == mod:
+                    assert not s.oracle_changed_since_round(mod, latest, q)
             return
     pytest.skip("every module differs from the latest gate commit")
