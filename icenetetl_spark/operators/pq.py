@@ -38,6 +38,15 @@ from pyspark.sql.window import Window
 
 from icenetetl_spark.operators.similarity import _dot, cosine
 
+# session-lifetime memo of deterministic codebook fits (the
+# operators/kmeans._FIT_CACHE pattern; see fit_pq_codebooks_lloyd)
+_PQ_FIT_CACHE: dict[tuple, list] = {}
+
+
+def reset_fit_cache() -> None:
+    """Test hook: drop memoized codebook fits."""
+    _PQ_FIT_CACHE.clear()
+
 # fixed-point scale for the order-independent cross-subspace ADC sum:
 # distances are quantized to integers with floor(d * 10^12 + 0.5) —
 # identical IEEE ops on both engines — then summed exactly as BIGINTs.
@@ -202,51 +211,156 @@ def fit_pq_codebooks_lloyd(
     width: int | None = None,
     cache_key: tuple | str | None = None,
 ) -> DataFrame:
-    """DETERMINISTIC trained codebooks: per-subspace fixed-point Lloyd
-    (operators/kmeans.lloyd_fit, metric='l2' — the same squared-euclidean
-    three-dot identity the encode step ranks by) from the ``init_ids``
-    seed rows' subvector slices. Unlike :func:`fit_pq_codebooks` (MLlib,
-    partition-order-dependent sums), this fit is bit-reproducible and has
-    a DuckDB CTE twin, which is what lets the knn_pq_trained QUERY carry a
-    value-hash gate (round 10). Returns the (m, code_id, csub) shape of
-    :func:`pq_codebook`; code_id keeps the seed row's id (the encode
-    argmin only needs distinct ids). m * iterations corpus scans — at
-    scale persist the corpus or sample upstream with a deterministic
-    id-hash predicate the oracle replays."""
-    from icenetetl_spark.operators.kmeans import lloyd_fit
+    """DETERMINISTIC trained codebooks: fixed-point Lloyd (the
+    operators/kmeans construction, metric='l2' — the same
+    squared-euclidean three-dot identity the encode step ranks by) from
+    the ``init_ids`` seed rows' subvector slices. Unlike
+    :func:`fit_pq_codebooks` (MLlib, partition-order-dependent sums),
+    this fit is bit-reproducible and has a DuckDB CTE twin, which is what
+    lets the knn_pq_trained QUERY carry a value-hash gate (round 10).
 
+    ALL m subspaces fit in ONE job per iteration (round 11): the corpus
+    explodes to (id, subspace, subvector) once, each iteration
+    equi-joins the m*k broadcast centroid frame on the subspace index,
+    and one groupBy carries every subspace's argmin + quantized sums —
+    ``iterations`` corpus passes total instead of the previous
+    m*iterations (at 100 TB that is an 8x scan reduction; at gate scale
+    it cut knn_pq_trained's fit from 16 sequential jobs to 2). Values
+    are identical to the per-subspace fits: integer quantized sums are
+    partition- and grouping-order independent, and the per-(row,
+    subspace) argmin sees exactly the same 16 scored centroids.
+
+    Returns the (m, code_id, csub) shape of :func:`pq_codebook`; code_id
+    keeps the seed row's id (the encode argmin only needs distinct ids).
+    ``cache_key`` memoizes the fitted codebook for the session (the
+    lloyd_fit contract: key must identify the (corpus, init) pair). At
+    scale sample upstream with a deterministic id-hash predicate the
+    oracle replays."""
+    from icenetetl_spark.operators.kmeans import (
+        LLOYD_SCALE,
+        _quantized_sums,
+    )
+    from icenetetl_spark.operators.similarity import dot_unrolled
+
+    spark = corpus.sparkSession
     w = _sub_width(width or _vector_width(corpus, vec_col), m)
-    parts = []
-    for mi in range(m):
-        sub = corpus.select(
+    full_key = None
+    if cache_key is not None:
+        full_key = (
+            cache_key, "pq_lloyd", m, iterations, id_col, vec_col, w,
+            tuple(init_ids),
+        )
+        cached = _PQ_FIT_CACHE.get(full_key)
+        if cached is not None:
+            return spark.createDataFrame(
+                cached, "m INT, code_id INT, csub ARRAY<DOUBLE>"
+            )
+    q = float(10**LLOYD_SCALE)
+    # init slices: collect the k seed vectors once, slice driver-side —
+    # no arithmetic, so the values equal Spark's F.slice of the cast array
+    init_rows = (
+        corpus.filter(F.col(id_col).isin(list(init_ids)))
+        .select(
             F.col(id_col).alias("__sid"),
-            F.slice(F.col(vec_col), mi * w + 1, w).alias("__sub"),
+            F.col(vec_col).cast("array<double>").alias("__full"),
         )
-        init = sub.filter(F.col("__sid").isin(init_ids)).select(
-            F.col("__sid").alias("centroid_id"),
-            F.col("__sub").alias("cvec"),
+        .collect()
+    )
+    cents: dict[int, list] = {
+        mi: sorted(
+            (int(r["__sid"]), [float(x) for x in r["__full"]][mi * w:(mi + 1) * w])
+            for r in init_rows
         )
-        cents = lloyd_fit(
-            sub, init, iterations=iterations,
-            id_col="__sid", vec_col="__sub", dim=w, metric="l2",
-            # per-subspace memo (lloyd_fit appends the fit params): the
-            # subspace index + slice width identify the (corpus, init)
-            # slice pair under the caller's corpus key
-            cache_key=(cache_key, "pq_sub", mi, w, tuple(init_ids))
-            if cache_key is not None
-            else None,
+        for mi in range(m)
+    }
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(mi).cast("int").alias("mi"),
+                F.slice(F.col("__full"), mi * w + 1, w).alias("sv"),
+            )
+            for mi in range(m)
+        ]
+    )
+    pre = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__full"),
         )
-        parts.append(
-            cents.select(
-                F.lit(mi).alias("m"),
-                F.col("centroid_id").cast("int").alias("code_id"),
-                F.col("cvec").alias("csub"),
+        .select("__id", F.explode(subs).alias("s"))
+        .select(
+            "__id", F.col("s.mi").alias("__mi"), F.col("s.sv").alias("__v")
+        )
+        .withColumn("__sn", dot_unrolled(F.col("__v"), F.col("__v"), w))
+    )
+
+    def cfold(c):
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        return acc
+
+    for _ in range(iterations):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (mi, cid, cvec, cfold(cvec))
+                    for mi in range(m)
+                    for cid, cvec in cents[mi]
+                ],
+                "__mi INT, centroid_id BIGINT, cvec ARRAY<DOUBLE>, __cn DOUBLE",
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        vdot = dot_unrolled(F.col("__v"), F.col("cvec"), w)
+        mcol = (F.col("__sn") + F.col("__cn")) - F.lit(2.0) * vdot
+        best = F.min(
+            F.struct(
+                F.col("__m").alias("m"), F.col("centroid_id").alias("cid")
+            )
+        )
+        member = (
+            pre.join(cdf, "__mi")
+            .select("__id", "__mi", mcol.alias("__m"), "centroid_id", "__v")
+            .groupBy("__id", "__mi")
+            .agg(best.alias("b"), F.first("__v").alias("__v"))
+            .select("__mi", F.col("b.cid").alias("cell"), "__v")
+        )
+        rows = (
+            member.groupBy("__mi", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *_quantized_sums(F.col("__v"), w, LLOYD_SCALE),
+            )
+            .collect()
+        )
+        max_n = max((int(r["n"]) for r in rows), default=0)
+        if max_n * 10 ** (LLOYD_SCALE + 1) >= 2**63:
+            raise OverflowError(
+                f"fit_pq_codebooks_lloyd: cell membership {max_n} can "
+                f"overflow the BIGINT quantized sum at scale="
+                f"{LLOYD_SCALE}; train on a deterministic id-hash sample"
+            )
+        means = {
+            (int(r["__mi"]), int(r["cell"])): [
+                (float(r[f"s{i}"]) / float(r["n"])) / q
+                for i in range(1, w + 1)
+            ]
+            for r in rows
+        }
+        cents = {
+            mi: [
+                (cid, means.get((mi, cid), cvec)) for cid, cvec in cents[mi]
+            ]
+            for mi in range(m)
+        }
+    out_rows = [
+        (mi, int(cid), cvec) for mi in range(m) for cid, cvec in cents[mi]
+    ]
+    if full_key is not None:
+        _PQ_FIT_CACHE[full_key] = out_rows
+    return spark.createDataFrame(
+        out_rows, "m INT, code_id INT, csub ARRAY<DOUBLE>"
+    )
 
 
 def knn_pq_trained(
