@@ -1201,15 +1201,44 @@ ORACLES["doc_chunk_tokens"] = (
 
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc zlib compression ratio (operators/text.compression_signals)
-    — the repetitive-boilerplate / binary-junk quality filter. Rows-only
-    by design: zlib has no SQL oracle; exact values are pinned against
-    direct stdlib calls in tests/test_operators.py."""
+    — the repetitive-boilerplate / binary-junk quality filter. zlib has no
+    SQL codec, so the DuckDB twin joins a precomputed fixture of expected
+    deflate lengths keyed by md5(text) (tools/make_zlib_fixture.py —
+    direct stdlib ground truth, independent of this operator's
+    mapInPandas plumbing) and recomputes n_bytes + ratio in SQL; exact
+    values are additionally pinned against direct stdlib calls in
+    tests/test_operators.py."""
     from icenetetl_spark.operators.text import compression_signals
 
     return compression_signals(load_table(spark, sf_dir, "documents"))
 
 
 QUERIES["text_compression_ratio"] = text_compression_ratio
+
+import os as _os  # noqa: E402
+
+# queries/text.py -> queries -> icenetetl_spark -> repo root
+_ZLIB_FIXTURE = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+    "zlib_signals.parquet",
+)
+
+# n_bytes and the ratio are recomputed in SQL (octet_length of the UTF-8
+# encoding; IEEE double division matches Python's int/int true division);
+# only the deflate LENGTH comes from the fixture. An unknown text drops
+# from the inner join -> row-count mismatch, never a silent pass.
+ORACLES["text_compression_ratio"] = f"""
+    SELECT d.doc_id,
+           octet_length(encode(d.text)) AS n_bytes,
+           f.n_compressed_fx AS n_compressed,
+           CAST(octet_length(encode(d.text)) AS DOUBLE)
+               / CAST(f.n_compressed_fx AS DOUBLE) AS compression_ratio
+    FROM documents d
+    JOIN '{_ZLIB_FIXTURE}' f ON md5(d.text) = f.text_md5
+"""
 
 
 # Negative sampling for contrastive/retrieval training: k pseudo-random
