@@ -67,6 +67,14 @@ SPOT_QUERIES = [
     "dedup_simhash_topn",
     "mm_image_dhash_topn",
     "ev_range_join",
+    # round-11 (VERDICT r10 #4): the expensive families the spot table
+    # skipped — the composed billion-scale index (most expensive plan in
+    # the repo), the sqrt-law SemDeDup centroid claim at a second decade,
+    # and the iterative co-partitioned pagerank over the df-capped pair
+    # graph
+    "knn_ivfpq_fixed",
+    "dedup_semantic",
+    "graph_pagerank",
 ]
 
 
