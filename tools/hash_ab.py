@@ -49,6 +49,40 @@ def main() -> int:
 
     spark = get_spark("icenetetl-hash-ab")
     queries = all_queries()  # impl is read at plan-BUILD time per call
+
+    # stage decomposition for dedup_substring_spans (round-10 verdict #8:
+    # does the k-gram hash pass or the span merge dominate?): time the
+    # gram table alone vs the full query, per impl
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from icenetetl_spark.operators.substrings import kgram_positions
+    from icenetetl_spark.queries.dedup import SUBSTR_K
+    from icenetetl_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    stage_rows = []
+    for impl in ("md5", "xxhash64"):
+        g_s, f_s = [], []
+        for _ in range(args.runs + 1):
+            t0 = time.time()
+            kgram_positions(docs, SUBSTR_K, hash_impl=impl).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            g_s.append(time.time() - t0)
+            set_default_hash_impl(impl)
+            t0 = time.time()
+            queries["dedup_substring_spans"](spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            f_s.append(time.time() - t0)
+        set_default_hash_impl("md5")
+        stage_rows.append(
+            (
+                impl,
+                round(statistics.median(g_s[1:]), 3),
+                round(statistics.median(f_s[1:]), 3),
+            )
+        )
     md5_w, xx_w = {}, {}
     for name in AB_QUERIES:
         m_s, x_s = [], []
@@ -90,6 +124,18 @@ def main() -> int:
             else float("inf")
         )
         lines.append(f"| {name} | {md5_w[name]} | {xx_w[name]} | {r}x |")
+    lines += [
+        "",
+        "Stage decomposition for dedup_substring_spans (gram-table pass "
+        "= one hash per character position; the remainder is the dup "
+        "groupBy + join + island window):",
+        "",
+        "| impl | gram table sec | full query sec | gram share |",
+        "|---|---|---|---|",
+    ]
+    for impl, g, f in stage_rows:
+        share = round(g / f, 2) if f else float("inf")
+        lines.append(f"| {impl} | {g} | {f} | {share} |")
     lines.append("")
     block = "\n".join(lines) + "\n"
     md = os.path.join(

@@ -142,6 +142,15 @@ DESIGNED_ADAPTATIONS: dict[str, str] = {
         "once corpus-sized — keeping a corpus-sized broadcast would be "
         "the scale bug"
     ),
+    "knn_ivfpq_fixed": (
+        "the corpus-cells x corpus-codes join on neighbor_id is planner-"
+        "broadcast while the corpus is tiny (1x, 2k rows) and becomes a "
+        "hash-partitioned SortMergeJoin once corpus-sized (verified in "
+        "the 100x executed plans, round 11) — both sides are corpus-"
+        "sized, so a persistent broadcast would be the scale bug; the "
+        "PINNED broadcasts (codebooks, centroids, probe frame) stay "
+        "broadcast at every size"
+    ),
 }
 
 
