@@ -406,3 +406,27 @@ def test_oracle_unchanged_against_head_round():
                     assert not s.oracle_changed_since_round(mod, latest, q)
             return
     pytest.skip("every module differs from the latest gate commit")
+
+
+def test_oracles_are_colocated_with_their_queries():
+    """The per-key oracle fingerprint looks up ORACLES[qname] in the
+    query's DEFINING module; an oracle registered in a different module
+    would read as permanently ABSENT there and its edits would bypass
+    the rotation. Pin the co-location invariant the design assumes."""
+    for m in qreg._MODULES:
+        missing = set(m.ORACLES) - set(m.QUERIES)
+        assert not missing, (
+            f"{m.__name__} registers oracles for queries it does not "
+            f"define: {sorted(missing)}"
+        )
+    for name, mod in qreg._QUERY_SRC_MODULE.items():
+        owner = next(x for x in qreg._MODULES if x.__name__ == mod)
+        foreign = [
+            x.__name__
+            for x in qreg._MODULES
+            if x is not owner and name in x.ORACLES
+        ]
+        assert not foreign, (
+            f"{name}'s oracle is registered in {foreign}, not its "
+            f"defining module {mod}"
+        )
