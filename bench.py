@@ -68,6 +68,14 @@ BENCH_QUERIES_EXT = [
     "hybrid_search_rrf",
     "dedup_simhash_topn",
     "corpus_prep_pipeline",
+    # Round-11 additions: the plans this round rewrote or memoized get a
+    # per-round recorded number (substring spans rode the single-scan
+    # window rewrite, 12.3s -> 3.6s; knn_pq_trained the one-job-per-
+    # iteration fit + session memo, 20.3s -> 7.2s gate). value_extended
+    # grows accordingly — the BENCHDRIFT ledger notes the suite width
+    # per round next to each total.
+    "dedup_substring_spans",
+    "knn_pq_trained",
 ]
 
 
