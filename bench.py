@@ -158,7 +158,14 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     suite = BENCH_QUERIES + BENCH_QUERIES_EXT
     samples: dict[str, list[float]] = {n: [] for n in suite}
-    for _ in range(runs):
+    # r11 drift lesson: the r11 driver run's FIRST pre-probe read 2.53s vs
+    # ~1.3s for the other five — a pre/post-only probe can miss an ambient
+    # burst that lands mid-suite. One probe rep between suite passes makes
+    # the denominator sample the same window the queries ran in.
+    probe_mid: list[float] = []
+    for i in range(runs):
+        if i > 0:
+            probe_mid += _ambient_probe(spark, reps=1)
         for name in suite:
             fn = queries[name]
             t0 = time.time()
@@ -179,7 +186,7 @@ def main() -> None:
     total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     total_ext = round(sum(timings.values()), 3)
     probe = round(
-        statistics.median(sorted(probe_pre + probe_post)), 3
+        statistics.median(sorted(probe_pre + probe_mid + probe_post)), 3
     )
     print(
         json.dumps(
@@ -198,6 +205,7 @@ def main() -> None:
                 # across rounds to separate host drift from code drift.
                 "ambient_probe": {
                     "pre": probe_pre,
+                    "mid": probe_mid,
                     "post": probe_post,
                     "median": probe,
                     "total_per_probe": round(total / probe, 2)

@@ -57,6 +57,35 @@ def reset_fit_cache() -> None:
     _FIT_CACHE.clear()
 
 
+def corpus_signature(df: DataFrame) -> tuple:
+    """Best-effort CONTENT signature of the frame's backing files, folded
+    into the fit-memo keys (r11 advice #2: the caller-supplied cache_key
+    names the path, so regenerating the parquet under the same path
+    mid-session silently served a stale fit). Local files contribute
+    (path, size, mtime_ns); non-local URIs contribute the path list alone
+    (object stores have no cheap driver-side stat here — the documented
+    cache_key contract carries the burden); a non-file-backed plan
+    contributes a constant. Driver-side only, no job is launched."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return ("nofiles",)
+    sig = []
+    for f in files:
+        if f.startswith("file:"):
+            try:
+                st = os.stat(unquote(urlparse(f).path))
+                sig.append((f, st.st_size, st.st_mtime_ns))
+                continue
+            except OSError:
+                pass
+        sig.append((f, -1, -1))
+    return tuple(sig)
+
+
 def _quantized_sums(vcol, dim: int, scale: int):
     q = float(10**scale)
     return [
@@ -67,6 +96,44 @@ def _quantized_sums(vcol, dim: int, scale: int):
         ).alias(f"s{i}")
         for i in range(1, dim + 1)
     ]
+
+
+def _vmax_agg(vcol):
+    """Per-cell max |element| — rides the same exchange as the quantized
+    sums (one extra double per group), so the overflow bound below is
+    derived from OBSERVED magnitudes at no added shuffle cost."""
+    return F.max(
+        F.array_max(F.transform(vcol, lambda x: F.abs(x)))
+    ).alias("vmax")
+
+
+def _check_quantized_bound(rows, scale: int, where: str) -> None:
+    """Raise when any cell's quantized BIGINT sum COULD have wrapped.
+
+    r11 advice #3: the previous guard assumed the documented |v| <= 10
+    envelope, so vectors with larger components could wrap silently while
+    the cell count stayed under its threshold — reintroducing the
+    Spark(wraps, ANSI off)/DuckDB(raises) divergence the guard exists to
+    prevent. The bound now derives from the observed max |element|
+    aggregated in the same groupBy: each quantized term satisfies
+    |floor(v*10^s + .5)| <= vmax*10^s + 1, so a cell of n rows is bounded
+    by n*(vmax*10^s + 1). n (COUNT) and vmax (MAX over doubles) are exact
+    and cannot themselves wrap, which keeps the check sound even though
+    it runs after the sums were computed."""
+    import math
+
+    q = 10**scale
+    for r in rows:
+        n = int(r["n"])
+        vmax = float(r["vmax"] if r["vmax"] is not None else 0.0)
+        if n * (int(math.ceil(vmax * q)) + 1) >= 2**63:
+            raise OverflowError(
+                f"{where}: cell of {n} rows with max |element| {vmax} "
+                f"can overflow the BIGINT quantized sum at scale={scale} "
+                f"(bound n*(ceil(vmax*10^{scale})+1) >= 2^63); train on "
+                "a deterministic id-hash sample (see module docstring) "
+                "or lower the fixed-point scale"
+            )
 
 
 def lloyd_fit(
@@ -93,9 +160,12 @@ def lloyd_fit(
 
     ``cache_key``, when given, MUST uniquely identify the (corpus, init)
     pair — e.g. ``(sf_dir, "embeddings", tuple(seed_ids))``; the fit
-    parameters are appended automatically. The fitted centroid list is
-    then memoized for the session (deterministic fit -> identical result),
-    so chained gate/stress runs pay one fit instead of one per query."""
+    parameters AND a content signature of the corpus' backing files
+    (:func:`corpus_signature` — size+mtime for local files, so a parquet
+    regenerated under the same path stales the memo) are appended
+    automatically. The fitted centroid list is then memoized for the
+    session (deterministic fit -> identical result), so chained
+    gate/stress runs pay one fit instead of one per query."""
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
     import math
@@ -103,7 +173,11 @@ def lloyd_fit(
     spark = corpus.sparkSession
     full_key = None
     if cache_key is not None:
-        full_key = (cache_key, iterations, id_col, vec_col, dim, metric, scale)
+        full_key = (
+            cache_key,
+            corpus_signature(corpus),
+            iterations, id_col, vec_col, dim, metric, scale,
+        )
         cached = _FIT_CACHE.get(full_key)
         if cached is not None:
             return spark.createDataFrame(
@@ -185,24 +259,11 @@ def lloyd_fit(
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *_quantized_sums(F.col("__v"), dim, scale),
+                _vmax_agg(F.col("__v")),
             )
             .collect()
         )
-        # Overflow guard (round-10 advice): each quantized term is bounded
-        # by ~|v|*10^scale + 1 <= 10^(scale+1) for the documented |v|<=10
-        # envelope, so a cell of n rows sums to at most n*10^(scale+1).
-        # Spark wraps BIGINT silently (ANSI off) while DuckDB raises — at
-        # 100 TB the engines would diverge without a signal. Raise instead:
-        # the counts are already on the driver, so the check is free.
-        max_n = max((int(r["n"]) for r in rows), default=0)
-        if max_n * 10 ** (scale + 1) >= 2**63:
-            raise OverflowError(
-                f"lloyd_fit: cell membership {max_n} can overflow the "
-                f"BIGINT quantized sum at scale={scale} "
-                f"(bound {max_n} * 10^{scale + 1} >= 2^63); train on a "
-                "deterministic id-hash sample (see module docstring) or "
-                "lower the fixed-point scale"
-            )
+        _check_quantized_bound(rows, scale, "lloyd_fit")
         means = {
             int(r["cell"]): [
                 (float(r[f"s{i}"]) / float(r["n"])) / q

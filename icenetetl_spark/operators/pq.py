@@ -238,7 +238,10 @@ def fit_pq_codebooks_lloyd(
     oracle replays."""
     from icenetetl_spark.operators.kmeans import (
         LLOYD_SCALE,
+        _check_quantized_bound,
         _quantized_sums,
+        _vmax_agg,
+        corpus_signature,
     )
     from icenetetl_spark.operators.similarity import dot_unrolled
 
@@ -247,8 +250,8 @@ def fit_pq_codebooks_lloyd(
     full_key = None
     if cache_key is not None:
         full_key = (
-            cache_key, "pq_lloyd", m, iterations, id_col, vec_col, w,
-            tuple(init_ids),
+            cache_key, "pq_lloyd", corpus_signature(corpus), m,
+            iterations, id_col, vec_col, w, tuple(init_ids),
         )
         cached = _PQ_FIT_CACHE.get(full_key)
         if cached is not None:
@@ -330,16 +333,11 @@ def fit_pq_codebooks_lloyd(
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *_quantized_sums(F.col("__v"), w, LLOYD_SCALE),
+                _vmax_agg(F.col("__v")),
             )
             .collect()
         )
-        max_n = max((int(r["n"]) for r in rows), default=0)
-        if max_n * 10 ** (LLOYD_SCALE + 1) >= 2**63:
-            raise OverflowError(
-                f"fit_pq_codebooks_lloyd: cell membership {max_n} can "
-                f"overflow the BIGINT quantized sum at scale="
-                f"{LLOYD_SCALE}; train on a deterministic id-hash sample"
-            )
+        _check_quantized_bound(rows, LLOYD_SCALE, "fit_pq_codebooks_lloyd")
         means = {
             (int(r["__mi"]), int(r["cell"])): [
                 (float(r[f"s{i}"]) / float(r["n"])) / q

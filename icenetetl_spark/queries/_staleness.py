@@ -659,6 +659,38 @@ def function_items(
 
 _ORACLE_NODE_CACHE: dict = {}
 
+_DATA_BLOB_CACHE: dict = {}
+
+
+def _data_blob(relpath: str, tree: str | None) -> str:
+    """Blob sha of a repo-relative DATA file (may live outside the package
+    dir _blobs_at_commit is restricted to). Worktree reads the bytes
+    directly so an uncommitted regeneration is visible; historical trees
+    ask git for that commit's own blob. ABSENT when missing."""
+    key = (tree, relpath)
+    if key in _DATA_BLOB_CACHE:
+        return _DATA_BLOB_CACHE[key]
+    if tree is None:
+        sha = _blob_sha_worktree(relpath) or "ABSENT"
+    else:
+        out = _git("rev-parse", f"{tree}:{relpath}")
+        sha = out.strip() if out else "ABSENT"
+    _DATA_BLOB_CACHE[key] = sha
+    return sha
+
+
+# Repo-relative data files whose CONTENT is part of a query's oracle
+# semantics (r11 advice #4: the text_compression_ratio oracle joins
+# fixtures/zlib_signals.parquet, so regenerating the fixture changes what
+# the gate asserts without any AST movement). oracle_fingerprint folds
+# each file's git blob sha — per tree, so a historical commit compares
+# its OWN fixture bytes — into the fingerprint items. Declared here (not
+# registered from the query modules) so this machinery module never
+# enters a query module's import closure.
+ORACLE_DATA_FILES: dict[str, tuple[str, ...]] = {
+    "text_compression_ratio": ("fixtures/zlib_signals.parquet",),
+}
+
 
 def _oracle_value_nodes(modname: str, qname: str, tree: str | None):
     """AST value expressions bound to ``ORACLES[qname]`` in ``modname`` —
@@ -682,25 +714,34 @@ def _oracle_value_nodes(modname: str, qname: str, tree: str | None):
         nodes: list = []
         indexable = True
 
+        def index_dict(value) -> None:
+            nonlocal indexable
+            if isinstance(value, ast.Dict):
+                for k, v in zip(value.keys, value.values):
+                    if k is None:  # {**other} merge
+                        indexable = False
+                    elif isinstance(k, ast.Constant) and k.value == qname:
+                        nodes.append(v)
+            else:
+                indexable = False
+
         def scan(body):
             nonlocal indexable
             for node in body:
-                if isinstance(node, ast.Assign):
+                if isinstance(node, ast.AnnAssign):
+                    # ``ORACLES: dict = {...}`` — same per-key indexing as
+                    # the plain Assign form (r11 advice: _parse_info handles
+                    # AnnAssign, so this scanner must too)
+                    t = node.target
+                    if isinstance(t, ast.Name) and t.id == "ORACLES":
+                        if node.value is not None:
+                            index_dict(node.value)
+                        else:
+                            indexable = False
+                elif isinstance(node, ast.Assign):
                     for t in node.targets:
                         if isinstance(t, ast.Name) and t.id == "ORACLES":
-                            if isinstance(node.value, ast.Dict):
-                                for k, v in zip(
-                                    node.value.keys, node.value.values
-                                ):
-                                    if k is None:  # {**other} merge
-                                        indexable = False
-                                    elif (
-                                        isinstance(k, ast.Constant)
-                                        and k.value == qname
-                                    ):
-                                        nodes.append(v)
-                            else:
-                                indexable = False
+                            index_dict(node.value)
                         elif (
                             isinstance(t, ast.Subscript)
                             and isinstance(t.value, ast.Name)
@@ -724,6 +765,28 @@ def _oracle_value_nodes(modname: str, qname: str, tree: str | None):
 
         if mod_tree is not None:
             scan(mod_tree.body)
+            # Mutation forms the per-key scan cannot attribute to a single
+            # key (r11 advice: these previously fingerprinted as a stable
+            # ABSENT on both trees, making oracle edits invisible):
+            # ``ORACLES |= {...}`` / ``ORACLES += ...`` (AugAssign) and any
+            # method call on the dict (``ORACLES.update({...})``,
+            # ``ORACLES.setdefault(...)``) — anywhere in the module,
+            # including helper functions that mutate at import time. Flag
+            # them un-indexable so the caller falls back to the
+            # whole-ORACLES-rooted fingerprint instead of the sentinel.
+            for node in ast.walk(mod_tree):
+                if isinstance(node, ast.AugAssign):
+                    t = node.target
+                    if isinstance(t, ast.Name) and t.id == "ORACLES":
+                        indexable = False
+                elif isinstance(node, ast.Call):
+                    f = node.func
+                    if (
+                        isinstance(f, ast.Attribute)
+                        and isinstance(f.value, ast.Name)
+                        and f.value.id == "ORACLES"
+                    ):
+                        indexable = False
             if indexable:
                 result = nodes
     _ORACLE_NODE_CACHE[cache_key] = result
@@ -747,13 +810,17 @@ def oracle_fingerprint(
     forms degrade to the whole ORACLES-rooted item set; a key ABSENT from
     one tree fingerprints as a change (oracle added/removed). None = no
     trackable ORACLES binding."""
+    data_items = [
+        f"data:{rel}:{_data_blob(rel, tree)}"
+        for rel in ORACLE_DATA_FILES.get(qname, ())
+    ]
     nodes = _oracle_value_nodes(modname, qname, tree)
     if nodes is None:
         items = function_items(modname, "ORACLES", tree)
         if items is None:
             return None
         return hashlib.sha256(
-            ("WHOLE\n" + "\n".join(items)).encode()
+            ("WHOLE\n" + "\n".join(sorted(items + data_items))).encode()
         ).hexdigest()
     if not nodes:
         return "ABSENT"
@@ -768,7 +835,9 @@ def oracle_fingerprint(
     )
     if items is None:
         return None
-    return hashlib.sha256("\n".join(items).encode()).hexdigest()
+    return hashlib.sha256(
+        "\n".join(sorted(items + data_items)).encode()
+    ).hexdigest()
 
 
 def oracle_changed_since_round(modname: str, rnd: int, qname: str) -> bool:
@@ -866,3 +935,4 @@ def reset_caches() -> None:
     _INFO_CACHE.clear()
     _FN_FP_CACHE.clear()
     _ORACLE_NODE_CACHE.clear()
+    _DATA_BLOB_CACHE.clear()

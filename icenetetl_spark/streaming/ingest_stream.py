@@ -36,11 +36,19 @@ def start_ingest_stream(
     checkpoint_dir: str,
     attrs: FileAttrs,
     available_now: bool = True,
+    max_files_per_trigger: int = 1,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for long-form parquet drops; run the five-stage
     pipeline on each micro-batch. (For raw NetCDF, swap the source for
     ``binaryFile`` + sources.netcdf.melt_netcdf_files — same foreachBatch.)
-    """
+
+    ``max_files_per_trigger=1`` (default) reproduces the reference's
+    serial queue (host.json:4-8: one blob per invocation). Raising it is
+    the concurrent-ingest scale mode the reference cannot express: one
+    micro-batch unions N files, so the chain (grid dedup, anti-join
+    append, latest/meta recompute) runs once per N files instead of once
+    per file — the pipeline's idempotent upserts make the two modes land
+    the identical warehouse (measured in tools/icenet_stress.py)."""
     pipeline = IceNetPipeline(ParquetCatalog(spark, warehouse))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -50,7 +58,7 @@ def start_ingest_stream(
 
     stream = (
         spark.readStream.schema(ICENET_RAW)
-        .option("maxFilesPerTrigger", 1)  # serial one-file batches ≙ host.json:4-8
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(input_dir)
     )
     writer = (

@@ -167,12 +167,15 @@ def test_fit_memoization_identical_and_single_fit(spark):
         ).collect()
     }
     assert len(km._FIT_CACHE) == 1
-    # poison the corpus argument: a true cache hit never touches it
-    poisoned = emb.limit(0)
+    # poison the init argument (NOT part of the memo key): a true cache
+    # hit never evaluates it — a miss would refit from the empty init and
+    # return an empty frame. The corpus argument itself IS touched on a
+    # hit since r12 (corpus_signature reads its backing-file metadata),
+    # so it must be a live frame over the unchanged path.
     warm = {
         r["centroid_id"]: list(r["cvec"])
         for r in lloyd_fit(
-            poisoned, init.limit(0), iterations=2, dim=64, cache_key=key
+            emb, init.limit(0), iterations=2, dim=64, cache_key=key
         ).collect()
     }
     assert warm == cold
@@ -192,13 +195,73 @@ def test_fit_without_cache_key_never_caches(spark):
 
 
 def test_overflow_guard_raises_instead_of_wrapping(spark):
-    """Round-10 advice #4: at scale=18 even one row per cell overflows the
-    BIGINT quantized sum envelope; Spark would wrap silently (ANSI off)
-    while DuckDB raises — the fit must raise instead of diverging."""
-    emb = load_table(spark, SF_DIR, "embeddings").limit(40)
+    """Round-10 advice #4: at scale=18 a ~250-row cell of this corpus
+    genuinely overflows the BIGINT quantized sum. Under the session's
+    ANSI mode (Spark 4 default) the engine itself raises during the
+    aggregation; the fit must surface SOME exception — never return
+    wrapped centroids. (An ANSI-off deployment is covered by the guard
+    test below, whose bound fires without a real wrap.)"""
+    emb = load_table(spark, SF_DIR, "embeddings")
     init = emb.filter(F.col("vec_id").isin(IDS[:2])).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cvec"),
     )
-    with pytest.raises(OverflowError, match="id-hash sample"):
+    with pytest.raises(Exception, match="(?i)overflow"):
         lloyd_fit(emb, init, iterations=1, dim=64, scale=18)
+
+
+def test_overflow_guard_uses_observed_magnitude(spark):
+    """r11 advice #3: the guard's bound derives from the OBSERVED max
+    |element| (aggregated in the same groupBy), not the documented
+    |v|<=10 envelope. Mixed-sign components far above the envelope at
+    the DEFAULT scale: the actual running sum stays near zero (so ANSI
+    cannot raise and ANSI-off could never wrap-detect), while the old
+    n-only bound (2 * 10^10 < 2^63) stayed silent — only the
+    magnitude-derived bound 2*(1e10*10^9+1) >= 2^63 catches it."""
+    emb = spark.createDataFrame(
+        [(0, [1e10, 0.0]), (1, [-1e10, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    init = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    with pytest.raises(OverflowError, match=r"max \|element\|"):
+        lloyd_fit(emb, init, iterations=1, dim=2, metric="l2")
+
+
+def test_fit_cache_stales_on_corpus_regeneration(spark, tmp_path):
+    """r11 advice #2 / r11 verdict #7: the memo key folds a content
+    signature of the corpus' backing files (size+mtime for local parquet),
+    so regenerating the data under the SAME path and the same caller
+    cache_key must MISS and refit — not silently serve the previous
+    corpus' centroids."""
+    from icenetetl_spark.operators import kmeans as km
+
+    km.reset_fit_cache()
+    p = str(tmp_path / "emb_regen.parquet")
+
+    def write(v):
+        spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [v, 0.0])],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+
+    def fit():
+        emb = spark.read.parquet(p)
+        init = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        out = lloyd_fit(
+            emb, init, iterations=1, dim=2, metric="l2",
+            cache_key=(p, "emb_regen"),
+        )
+        return [list(r["cvec"]) for r in out.collect()]
+
+    write(4.0)
+    assert fit() == [[2.0, 0.0]]
+    write(8.0)
+    assert fit() == [[4.0, 0.0]]  # stale fit would still read [[2.0, 0.0]]
+    assert len(km._FIT_CACHE) == 2
+    km.reset_fit_cache()

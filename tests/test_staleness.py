@@ -360,6 +360,61 @@ def test_oracle_nodes_absent_key_and_subscript_forms():
     s.reset_caches()
 
 
+def test_oracle_mutation_forms_fall_back_to_whole_dict_root():
+    """r11 advice #1: an ``ORACLES |= {...}`` AugAssign or an
+    ``ORACLES.update({...})`` call must mark the binding UN-indexable
+    (whole-dict fallback) — previously the per-key scanner skipped those
+    statements entirely, so every key fingerprinted as the stable ABSENT
+    sentinel on both trees and oracle edits registered through such forms
+    were invisible to the rotation. An ``ORACLES: dict = {...}``
+    AnnAssign with a Dict literal stays per-key indexable (parity with
+    _parse_info, which already handles AnnAssign)."""
+    mod = "icenetetl_spark.queries.text"
+    for mutation in (
+        '\nORACLES |= {"qq_aug": "SELECT 3"}\n',
+        '\nORACLES.update({"qq_upd": "SELECT 4"})\n',
+    ):
+        s.reset_caches()
+        _seed_worktree_source(HUB, _hub_source() + mutation)
+        assert s._oracle_value_nodes(mod, "text_stats", None) is None
+        fp = s.oracle_fingerprint(mod, "text_stats", None)
+        # whole-dict fallback, not the invisible-ABSENT failure mode
+        assert fp not in (None, "ABSENT")
+    # AnnAssign with a Dict literal: still indexed per key
+    s.reset_caches()
+    _seed_worktree_source(
+        HUB, _hub_source().replace("ORACLES = {", "ORACLES: dict = {", 1)
+    )
+    nodes = s._oracle_value_nodes(mod, "text_stats", None)
+    assert nodes and len(nodes) == 1
+    s.reset_caches()
+
+
+def test_oracle_fixture_content_is_part_of_staleness_root():
+    """r11 advice #4: text_compression_ratio's gate semantics depend on
+    fixtures/zlib_signals.parquet CONTENT (the oracle joins its expected
+    deflate lengths), so a make_zlib_fixture.py rerun must move the
+    oracle fingerprint even though no AST changes."""
+    mod = "icenetetl_spark.queries.text"
+    q = "text_compression_ratio"
+    rel = "fixtures/zlib_signals.parquet"
+    assert rel in s.ORACLE_DATA_FILES.get(q, ())
+    s.reset_caches()
+    base = s.oracle_fingerprint(mod, q, None)
+    assert base not in (None, "ABSENT")
+    # the fixture lives OUTSIDE the package dir _blobs_at_commit scans:
+    # the historical lookup must still find its blob (ABSENT here would
+    # permanently stale the query against every past round)
+    hist = s._data_blob(rel, "HEAD")
+    assert hist != "ABSENT"
+    assert hist == s._data_blob(rel, None)  # committed and unchanged
+    # simulate a fixture regeneration: same ASTs, different file bytes
+    s.reset_caches()
+    s._DATA_BLOB_CACHE[(None, rel)] = "0" * 40
+    assert s.oracle_fingerprint(mod, q, None) != base
+    s.reset_caches()
+
+
 def test_oracle_helper_edit_for_other_key_does_not_stale_sibling():
     """The round-11 window regression this design exists to avoid: adding
     a constant + helper used by a NEW oracle must leave existing queries'

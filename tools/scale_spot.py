@@ -75,6 +75,14 @@ SPOT_QUERIES = [
     "knn_ivfpq_fixed",
     "dedup_semantic",
     "graph_pagerank",
+    # round-12 (VERDICT r11 #6): the two round-11 bench-suite additions
+    # get the same second-decade evidence as their peers. Note the fit
+    # memo (operators/kmeans.py) means the measured reps ride a cached
+    # codebook after the dropped warmup — the row grades the SEARCH
+    # plan's scaling; the fit itself is `iterations` corpus passes by
+    # construction (linear, see pq.fit_pq_codebooks_lloyd docstring).
+    "knn_pq_trained",
+    "dedup_substring_spans",
 ]
 
 
