@@ -239,6 +239,8 @@ def fit_pq_codebooks_lloyd(
     from icenetetl_spark.operators.kmeans import (
         LLOYD_SCALE,
         _check_quantized_bound,
+        _disk_get,
+        _disk_put,
         _quantized_sums,
         _vmax_agg,
         corpus_signature,
@@ -254,6 +256,15 @@ def fit_pq_codebooks_lloyd(
             iterations, id_col, vec_col, w, tuple(init_ids),
         )
         cached = _PQ_FIT_CACHE.get(full_key)
+        if cached is None:
+            disk = _disk_get(full_key)
+            if disk is not None:
+                # same persisted-artifact contract as kmeans._FIT_CACHE
+                cached = [
+                    (int(mi), int(c), [float(x) for x in v])
+                    for mi, c, v in disk
+                ]
+                _PQ_FIT_CACHE[full_key] = cached
         if cached is not None:
             return spark.createDataFrame(
                 cached, "m INT, code_id INT, csub ARRAY<DOUBLE>"
@@ -285,6 +296,11 @@ def fit_pq_codebooks_lloyd(
             for mi in range(m)
         ]
     )
+    # persisted across iterations like kmeans.lloyd_fit's pre (the MLlib
+    # pattern): every iteration's equi-join re-reads the exploded
+    # (id, subspace, subvector) projection otherwise. Unpersisted after
+    # the loop; the overflow-raise path leaks the blocks only until the
+    # aborted query's references drop — benign.
     pre = (
         corpus.select(
             F.col(id_col).alias("__id"),
@@ -295,6 +311,7 @@ def fit_pq_codebooks_lloyd(
             "__id", F.col("s.mi").alias("__mi"), F.col("s.sv").alias("__v")
         )
         .withColumn("__sn", dot_unrolled(F.col("__v"), F.col("__v"), w))
+        .persist()
     )
 
     def cfold(c):
@@ -351,11 +368,13 @@ def fit_pq_codebooks_lloyd(
             ]
             for mi in range(m)
         }
+    pre.unpersist(blocking=False)
     out_rows = [
         (mi, int(cid), cvec) for mi in range(m) for cid, cvec in cents[mi]
     ]
     if full_key is not None:
         _PQ_FIT_CACHE[full_key] = out_rows
+        _disk_put(full_key, out_rows)
     return spark.createDataFrame(
         out_rows, "m INT, code_id INT, csub ARRAY<DOUBLE>"
     )
