@@ -3,25 +3,34 @@
 dedup_semantic's 100x spot row is the repo's slowest absolute wall (~170s,
 16.8x) — the documented sqrt-law N^1.5 shape with the per-cell block cap
 holding the PAIR stage linear. This tool measures what the cap actually
-buys and costs at the second decade: for each cap setting it records
+buys and costs at the second decade. For each cap setting it records
 
 - the full-query wall at 1x and 100x (interleaved reps, dropped warmup,
   median of --runs) and the 100x/1x ratio (the verdict's target: <= 8x),
-- PAIR RECALL vs the uncapped ground truth: block confinement only ever
-  DROPS pairs (blocks partition cells), so recall = n_pairs(cap) /
-  n_pairs(uncapped) without a join,
-- DROP-DECISION RECALL: |dropped(cap) ∩ dropped(uncapped)| /
-  |dropped(uncapped)| where dropped = docs appearing in some pair minus
-  the per-component keepers — the metric that matters for training-data
-  curation (a missed drop is a retained near-duplicate).
+- PAIR RECALL vs the uncapped within-cell ground truth at BOTH sizes:
+  block confinement only ever DROPS pairs (blocks partition cells), so
+  recall = n_pairs(cap) / n_pairs(uncapped) with no join,
+- DROP-DECISION RECALL at 1x: |dropped(cap) ∩ dropped(uncapped)| /
+  |dropped(uncapped)| where dropped = docs in some pair minus the
+  per-component keepers — the curation metric (a missed drop is a
+  retained near-duplicate). At 100x the uncapped component closure is
+  the quadratic blow-up the cap exists to avoid (the skew-dense cell
+  alone materializes ~10^8-pair components), so the 100x row reports
+  pair recall only — the 1x row bridges the drop metric.
 
-The uncapped ground truth runs ONCE per size (it is the quadratic
-blow-up the cap exists to avoid; its wall is reported for scale context,
-not as a gated number). Results replace the "## SemDeDup cap study"
-section of SCALING.md in place.
+The uncapped 100x pair COUNT is itself skew-bound if run as the plain
+within-cell self-join (one 10^8-pair cell = one straggler task measured
+at >20 min), so the ground-truth counter SALTS it: the probe side is
+replicated across ``--salts`` hash blocks and the join keys on
+(cell, salt), spreading each hot cell's enumeration over that many
+tasks. The pair set is IDENTICAL (each unordered pair survives the
+doc_a < doc_b filter exactly once, because doc_b lives in exactly one
+salt block); only the partitioning changes.
+
+Results replace the "## SemDeDup cap study" section of SCALING.md.
 
 Usage: python tools/semdedup_cap_study.py [--factor 100] [--runs 2]
-       [--caps 32,16]
+       [--caps 32,16] [--salts 32]
 """
 
 from __future__ import annotations
@@ -36,10 +45,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from icenetetl_spark.operators.ivf import assign_cells_fixed  # noqa: E402
 from icenetetl_spark.operators.semdedup import (  # noqa: E402
     semantic_pairs,
     semdedup,
 )
+from icenetetl_spark.operators.similarity import dot_unrolled  # noqa: E402
 from icenetetl_spark.queries.similarity import (  # noqa: E402
     EMB_DIM,
     SEM_T,
@@ -69,25 +80,70 @@ def timed_query(spark, sf_dir: str, cap: int | None) -> float:
     return time.time() - t0
 
 
+def capped_pair_count(spark, sf_dir: str, cap: int) -> int:
+    emb, cents = _corpus(spark, sf_dir)
+    return semantic_pairs(
+        emb, cents, threshold=SEM_T, dim=EMB_DIM, cell_cap=cap
+    ).count()
+
+
+def uncapped_pair_count(spark, sf_dir: str, salts: int) -> int:
+    """Exact uncapped within-cell above-threshold pair count, salted so a
+    hot cell's quadratic enumeration parallelizes (see module docstring)."""
+    emb, cents = _corpus(spark, sf_dir)
+    cells = (
+        assign_cells_fixed(emb, cents, "vec_id", "embedding", dim=EMB_DIM)
+        .withColumn(
+            "__nrm", F.sqrt(dot_unrolled(F.col("v"), F.col("v"), EMB_DIM))
+        )
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salts))
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = cells.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
+        F.col("__nrm").alias("nb"), "cell",
+        F.col("__salt").alias("__sj"),
+    )
+    a = cells.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
+        F.col("__nrm").alias("na"), "cell",
+    ).crossJoin(
+        F.broadcast(
+            cells.sparkSession.range(salts).select(
+                F.col("id").alias("__sj")
+            )
+        )
+    )
+    cos = dot_unrolled(F.col("va"), F.col("vb"), EMB_DIM) / (
+        F.col("na") * F.col("nb")
+    )
+    return (
+        a.join(b, ["cell", "__sj"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cos >= F.lit(SEM_T))
+        .count()
+    )
+
+
 def drop_set(spark, sf_dir: str, cap: int | None):
-    """(n_pairs, drop-set DataFrame): docs that appear in an
-    above-threshold pair and are NOT their component's keeper."""
+    """Drop-decision set: docs in an above-threshold pair that are NOT
+    their component's keeper. Uncapped variant pays the global component
+    closure — only run it where the pair set is small (1x)."""
     emb, cents = _corpus(spark, sf_dir)
     pairs = semantic_pairs(
         emb, cents, threshold=SEM_T, dim=EMB_DIM, cell_cap=cap
     ).localCheckpoint(eager=False)
-    n_pairs = pairs.count()
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    keeps = (
-        semdedup(emb, cents, threshold=SEM_T, dim=EMB_DIM, cell_cap=cap)
-        .select(F.col("keep_id").alias("doc_id"))
-    )
-    dropped = members.join(keeps, "doc_id", "left_anti")
-    return n_pairs, dropped
+    keeps = semdedup(
+        emb, cents, threshold=SEM_T, dim=EMB_DIM, cell_cap=cap
+    ).select(F.col("keep_id").alias("doc_id"))
+    return members.join(keeps, "doc_id", "left_anti")
 
 
 def main() -> int:
@@ -95,20 +151,22 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--caps", default="32,16")
+    ap.add_argument("--salts", type=int, default=32)
     args = ap.parse_args()
     caps = [int(c) for c in args.caps.split(",")]
 
     spark = get_spark("icenetetl-semdedup-cap")
     spark.sparkContext.setLogLevel("ERROR")
     scaled = build_scaled_subset(spark, args.factor)
+    big = f"{args.factor}x"
 
-    # walls: dropped warmup per (size, cap), then interleaved reps
+    # walls: dropped warmup per cap, then interleaved reps
     for cap in caps:
         timed_query(spark, BASE_SF, cap)
     walls: dict[tuple, list[float]] = {}
     for _ in range(args.runs):
         for cap in caps:
-            for tag, d in (("1x", BASE_SF), ("Nx", scaled)):
+            for tag, d in (("1x", BASE_SF), (big, scaled)):
                 walls.setdefault((cap, tag), []).append(
                     timed_query(spark, d, cap)
                 )
@@ -116,70 +174,72 @@ def main() -> int:
     def med(cap, tag):
         return round(statistics.median(walls[(cap, tag)]), 1)
 
-    # ground truth (uncapped) once per size; capped recalls against it
-    rows = []
-    for tag, d in (("1x", BASE_SF), (f"{args.factor}x", scaled)):
+    # pair recall at both sizes (counts only; capped is a subset)
+    truth_pairs: dict[str, int] = {}
+    truth_wall: dict[str, float] = {}
+    pair_counts: dict[tuple, int] = {}
+    for tag, d in (("1x", BASE_SF), (big, scaled)):
         t0 = time.time()
-        n_true, true_drop = drop_set(spark, d, cap=None)
-        true_drop = true_drop.localCheckpoint(eager=True)
-        n_true_drop = true_drop.count()
-        t_uncapped = round(time.time() - t0, 1)
+        truth_pairs[tag] = uncapped_pair_count(spark, d, args.salts)
+        truth_wall[tag] = round(time.time() - t0, 1)
         for cap in caps:
-            n_cap, cap_drop = drop_set(spark, d, cap)
-            hit = cap_drop.join(true_drop, "doc_id").count()
-            rows.append(
-                {
-                    "size": tag,
-                    "cap": cap,
-                    "wall": med(cap, "1x" if tag == "1x" else "Nx"),
-                    "pairs": n_cap,
-                    "pair_recall": round(n_cap / n_true, 4) if n_true else 1.0,
-                    "drop_recall": round(hit / n_true_drop, 4)
-                    if n_true_drop
-                    else 1.0,
-                }
-            )
-        rows.append(
-            {
-                "size": tag,
-                "cap": None,
-                "wall": t_uncapped,
-                "pairs": n_true,
-                "pair_recall": 1.0,
-                "drop_recall": 1.0,
-            }
+            pair_counts[(cap, tag)] = capped_pair_count(spark, d, cap)
+
+    # drop-decision recall at 1x (uncapped closure computable there)
+    true_drop = drop_set(spark, BASE_SF, cap=None).localCheckpoint(
+        eager=True
+    )
+    n_true_drop = true_drop.count()
+    drop_recall: dict[int, float] = {}
+    for cap in caps:
+        hit = drop_set(spark, BASE_SF, cap).join(true_drop, "doc_id").count()
+        drop_recall[cap] = (
+            round(hit / n_true_drop, 4) if n_true_drop else 1.0
         )
     spark.stop()
 
     lines = [
         "## SemDeDup cap study (tools/semdedup_cap_study.py)",
         "",
-        f"The block cap's recall cost at the second decade (VERDICT r11 "
-        f"#5): interleaved walls (median of {args.runs}, dropped warmup) "
-        f"and recall vs the UNCAPPED within-cell ground truth at 1x and "
-        f"{args.factor}x embeddings. Pair recall needs no join (blocks "
-        "partition cells, so capped pairs are a subset); drop recall is "
-        "the curation metric — a missed drop is a retained near-dup. The "
-        "uncapped wall is the quadratic blow-up the cap exists to avoid "
-        "(single measurement, context only).",
+        f"The block cap's cost/benefit at the second decade (VERDICT r11 "
+        f"#5): interleaved full-query walls (median of {args.runs}, "
+        f"dropped warmup) and recall vs the UNCAPPED within-cell ground "
+        f"truth at 1x and {args.factor}x embeddings. Pair recall is exact "
+        "at both sizes (capped pairs are a subset — counts suffice; the "
+        f"uncapped {args.factor}x count ran salted over {args.salts} "
+        f"blocks in {truth_wall[big]}s because the plain self-join "
+        "serializes the hot cell into one >20-min task). Drop-decision "
+        "recall — the curation metric — is reported at 1x, where the "
+        "uncapped component closure is computable; at 100x the uncapped "
+        "closure IS the quadratic blow-up the cap removes.",
         "",
-        "| size | cell_cap | wall s | pairs | pair recall | drop recall |",
-        "|---|---|---|---|---|---|",
+        f"| cell_cap | 1x wall s | {big} wall s | ratio | pairs 1x/"
+        f"uncapped | pairs {big}/uncapped | pair recall 1x | pair recall "
+        f"{big} | drop recall 1x |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
-    for r in rows:
-        cap = r["cap"] if r["cap"] is not None else "uncapped"
-        lines.append(
-            f"| {r['size']} | {cap} | {r['wall']} | {r['pairs']} "
-            f"| {r['pair_recall']} | {r['drop_recall']} |"
+    for cap in caps:
+        r = (
+            round(med(cap, big) / med(cap, "1x"), 1)
+            if med(cap, "1x")
+            else float("inf")
         )
-    by = {(r["size"], r["cap"]): r for r in rows}
-    big = f"{args.factor}x"
-    ratios = ", ".join(
-        f"cap={c}: {round(by[(big, c)]['wall'] / by[('1x', c)]['wall'], 1)}x"
-        for c in caps
-        if by[("1x", c)]["wall"]
-    )
-    lines += ["", f"{args.factor}x/1x wall ratios — {ratios}.", ""]
+        p1, pn = pair_counts[(cap, "1x")], pair_counts[(cap, big)]
+        lines.append(
+            f"| {cap} | {med(cap, '1x')} | {med(cap, big)} | {r}x "
+            f"| {p1}/{truth_pairs['1x']} | {pn}/{truth_pairs[big]} "
+            f"| {round(p1 / truth_pairs['1x'], 4)} "
+            f"| {round(pn / truth_pairs[big], 4)} "
+            f"| {drop_recall[cap]} |"
+        )
+    lines += [
+        "",
+        f"Uncapped ground-truth pair counts: 1x {truth_pairs['1x']} "
+        f"({truth_wall['1x']}s salted count), {big} {truth_pairs[big]} "
+        f"({truth_wall[big]}s salted count); uncapped drop set at 1x: "
+        f"{n_true_drop} docs.",
+        "",
+    ]
     block = "\n".join(lines) + "\n"
 
     md = os.path.join(
