@@ -193,6 +193,123 @@ def _blockwise_components(pairs: DataFrame) -> DataFrame:
     )
 
 
+def assign_cells_two_level(
+    vectors: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+    dim: int | None = None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Hierarchical nearest-FINE-centroid assignment — the N^1.25 escape
+    from flat assignment's N*k (r12; the SemDeDup cap study measured the
+    flat N x k crossJoin, not the capped pair stage, as the second-decade
+    bottleneck, and Theta(N^1.5) is flat clustering's balanced floor).
+
+    Two fixed-row argmax levels, so the whole construction stays
+    SQL-reproducible (hash-gateable) like :func:`assign_cells_fixed`:
+
+    1. route every FINE centroid to its nearest COARSE centroid
+       (k2 x k1 — tiny);
+    2. route every vector to its ``n_probe`` nearest COARSE centroids
+       (N x k1 scored once; a row_number window picks the top-P — ties
+       by smaller coarse id, the struct-max convention);
+    3. score each vector ONLY against the fine centroids routed to its
+       probed coarse cells (avg fanout P*k2/k1) — equi-join on the
+       coarse id, then the same (sim, -id) argmax and key-join vector
+       reattach as the flat operator.
+
+    Work is N*(k1 + P*k2/k1), minimized near k1 = sqrt(P*k2) ->
+    Theta(N^1.25) when k2 follows the sqrt law, vs flat N*k2 =
+    Theta(N^1.5). The price is the standard IVF routing approximation —
+    a vector whose true nearest fine centroid lives outside its P probed
+    coarse cells gets its best probed one instead; ``n_probe`` is the
+    recall/cost dial (FAISS's nprobe), measured in tests and SCALING.md.
+    Output matches :func:`assign_cells_fixed`: ``(out_id, v, cell,
+    csim)`` with ``cell`` a fine centroid id and ``csim`` the cosine to
+    it.
+
+    CONTRACT: every coarse cell must receive >= 1 fine centroid, or the
+    level-3 inner join silently drops that cell's vectors. Callers
+    guarantee it by making the coarse rows a SUBSET of the fine rows
+    (a centroid's nearest coarse centroid is itself: cos=1 and the
+    smaller-id tie-break cannot prefer an equal-cosine rival with a
+    larger id; equal-cosine rivals with smaller ids are exact duplicate
+    vectors, which the mod-spaced selections never pick twice)."""
+    from icenetetl_spark.operators.similarity import _dot, dot_unrolled
+
+    def _d(x, y):
+        return dot_unrolled(x, y, dim) if dim else _dot(x, y)
+
+    routed = F.broadcast(
+        assign_cells_fixed(
+            fine.select(
+                F.col("centroid_id").alias("fid"),
+                F.col("cvec").alias("fvec"),
+            ),
+            coarse,
+            id_col="fid",
+            vec_col="fvec",
+            out_id="fid",
+            dim=dim,
+        ).select(
+            "fid",
+            F.col("v").alias("fvec"),
+            F.col("cell").alias("__coarse"),
+            F.sqrt(_d(F.col("v"), F.col("v"))).alias("__fn"),
+        )
+    )
+    cents1 = F.broadcast(
+        coarse.withColumn("__cn", F.sqrt(_d(F.col("cvec"), F.col("cvec"))))
+    )
+    pre = vectors.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_d(F.col(vec_col), F.col(vec_col))).alias("__vn"),
+    )
+    sim1 = _d(F.col("v"), F.col("cvec")) / (F.col("__vn") * F.col("__cn"))
+    # top-P coarse cells per vector: one window over the N x k1 scored
+    # rows, partitioned on the vector id (k1 rows per partition key —
+    # bounded, shuffles once on the id). Scalars only; v rejoins by key.
+    probe_w = Window.partitionBy(out_id).orderBy(
+        F.desc("__s1"), F.asc("__cid")
+    )
+    vrouted = (
+        pre.crossJoin(cents1)
+        .select(
+            F.col(out_id),
+            sim1.alias("__s1"),
+            F.col("centroid_id").alias("__cid"),
+        )
+        .withColumn("__rk", F.row_number().over(probe_w))
+        .filter(F.col("__rk") <= F.lit(int(n_probe)))
+        .select(out_id, F.col("__cid").alias("__coarse"))
+        .join(pre, out_id)
+    )
+    sim = _d(F.col("v"), F.col("fvec")) / (F.col("__vn") * F.col("__fn"))
+    scored = vrouted.join(routed, "__coarse").select(
+        F.col(out_id),
+        sim.alias("__sim"),
+        (-F.col("fid")).alias("__negfid"),
+    )
+    assigned = (
+        scored.groupBy(out_id)
+        .agg(F.max(F.struct("__sim", "__negfid")).alias("m"))
+        .select(
+            out_id,
+            (-F.col("m.__negfid")).alias("cell"),
+            F.col("m.__sim").alias("csim"),
+        )
+    )
+    # same reattach-by-key as assign_cells_fixed (array columns stay out
+    # of the fanout agg — the round-9 dead-weight lesson)
+    return assigned.join(
+        pre.select(out_id, "v"), out_id
+    ).select(out_id, "v", "cell", "csim")
+
+
 def semdedup(
     emb: DataFrame,
     centroids: DataFrame,
@@ -210,8 +327,22 @@ def semdedup(
     work (linear-in-N candidates; see :func:`_pairs_from_cells`) — the
     downstream component/keep stages inherit the bound because components
     cannot span blocks when no edge does."""
+    cells = assign_cells_fixed(emb, centroids, id_col, vec_col, dim=dim)
+    return semdedup_from_cells(cells, threshold, dim=dim, cell_cap=cell_cap)
+
+
+def semdedup_from_cells(
+    cells: DataFrame,
+    threshold: float,
+    dim: int | None = None,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """The SemDeDup pair/component/keep pipeline over a precomputed
+    ``(vec_id, v, cell, csim)`` assignment — shared by the flat
+    (:func:`semdedup`) and hierarchical (:func:`semdedup_two_level`)
+    entrypoints."""
     # ONE cell assignment feeds both the pair self-join and the keep
-    # policy — assign_cells_fixed is the expensive corpus x k crossJoin +
+    # policy — the assignment is the expensive corpus x k crossJoin +
     # argmax aggregate. MATERIALIZE it (localCheckpoint): the component
     # branch and the csim branch are separate plan subtrees, and without
     # the cut the assignment pass runs once per branch — measured 35s vs
@@ -227,9 +358,7 @@ def semdedup(
     # cluster a lost executor fails the query and the retry re-runs it from
     # source, which for this one-job operator is the same cost profile as
     # no checkpoint at all.
-    cells = assign_cells_fixed(
-        emb, centroids, id_col, vec_col, dim=dim
-    ).localCheckpoint(eager=False)
+    cells = cells.localCheckpoint(eager=False)
     pairs = _pairs_from_cells(cells, threshold, dim=dim, cell_cap=cell_cap)
     if cell_cap is not None:
         # block-confined edges -> one-shuffle blockwise union-find instead
@@ -250,6 +379,29 @@ def semdedup(
         )
         .select("component_id", F.col("m.doc_id").alias("keep_id"), "n_members")
     )
+
+
+def semdedup_two_level(
+    emb: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    cell_cap: int | None = None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """SemDeDup over the hierarchical assignment
+    (:func:`assign_cells_two_level`): identical pair/component/keep
+    semantics per fine cell, assignment cost Theta(N^1.25) instead of
+    flat Theta(N^1.5) — the second-decade path the r12 cap study
+    motivated. Coarse rows must be a subset of the fine rows (see the
+    assignment contract)."""
+    cells = assign_cells_two_level(
+        emb, coarse, fine, id_col, vec_col, dim=dim, n_probe=n_probe
+    )
+    return semdedup_from_cells(cells, threshold, dim=dim, cell_cap=cell_cap)
 
 
 def semdedup_trained(

@@ -415,6 +415,56 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coarse-routing probe width for the two-level assignment, shared by the
+# Spark plan and its oracle (the LLOYD_N_PROBE lesson: a literal
+# duplicated on both sides desyncs the hash-gated pair on edit). P=2
+# doubles level-2 fanout (still ~7x under flat at 100x) and lifted
+# flat-assignment agreement 0.61 -> ~0.8 at sf0.01 (test-pinned).
+SEM_TL_PROBE = 2
+
+
+def _sem_two_level_mods(n: int) -> tuple[int, int]:
+    """(mod1, mod2): fine density mod2 = the sqrt law (_sem_cell_mod);
+    coarse density mod1 = mod2 * ceil(n^0.25) — a MULTIPLE of mod2, so
+    the coarse id set is a subset of the fine set (the two-level
+    assignment's no-empty-coarse-cell contract), giving k1 ~= sqrt(k2)
+    coarse cells (the N^1.25 balance point). Pure functions of COUNT(*),
+    replayed verbatim by the oracle."""
+    import math
+
+    mod2 = _sem_cell_mod(n)
+    m = max(2, math.ceil(math.sqrt(math.sqrt(n))))
+    return mod2 * m, mod2
+
+
+def dedup_semantic_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with HIERARCHICAL (two-level) assignment — the r12 answer
+    to the cap study's finding that flat assignment's N x k crossJoin,
+    not the capped pair stage, is the second-decade bottleneck
+    (SCALING.md "SemDeDup cap study"): vectors route to a coarse cell
+    (N x k1) and score only that cell's fine centroids (N x k2/k1), so
+    assignment work is Theta(N^1.25) vs flat Theta(N^1.5) while the
+    downstream block-capped pair/component/keep plan is IDENTICAL.
+    Hash-gated: both argmax levels are fixed corpus rows, so the oracle
+    mirrors the routing exactly (the standard IVF approximation — a
+    vector whose true nearest fine centroid lives in another coarse cell
+    keeps its best in-cell one — is part of the gated semantics)."""
+    from icenetetl_spark.operators.semdedup import semdedup_two_level
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mod1, mod2 = _sem_two_level_mods(emb.count())
+    fine = emb.filter(F.col("vec_id") % mod2 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    coarse = emb.filter(F.col("vec_id") % mod1 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    return semdedup_two_level(
+        emb, coarse, fine, threshold=SEM_T, dim=EMB_DIM, cell_cap=SEM_CAP,
+        n_probe=SEM_TL_PROBE,
+    )
+
+
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core array vocabulary over the embedding column (SURVEY §2.7
     extension surface — the reference has no array functions): slice,
@@ -456,6 +506,7 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_trained": dedup_semantic_trained,
+    "dedup_semantic_two_level": dedup_semantic_two_level,
 }
 
 def _sign_string(t: str, n: int) -> str:
@@ -944,6 +995,20 @@ ORACLES = {
 }
 
 
+def _sem_cos_sql(a_vec: str, b_vec: str) -> str:
+    """Hoisted-norm cosine between two DOUBLE[] SQL expressions — the
+    exact float sequence assign_cells_fixed/two_level compute (dot /
+    (sqrt(self-dot) * sqrt(self-dot)), vector side first)."""
+    return (
+        f"list_dot_product(CAST({a_vec} AS DOUBLE[]),"
+        f" CAST({b_vec} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a_vec} AS DOUBLE[]),"
+        f" CAST({a_vec} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b_vec} AS DOUBLE[]),"
+        f" CAST({b_vec} AS DOUBLE[]))))"
+    )
+
+
 def _semdedup_oracle(cents_sql: str) -> str:
     """SemDeDup, step for step, over ANY cents CTE chain: nearest-1 cell
     (ties -> smaller centroid_id), block-capped within-cell cosine pairs
@@ -956,12 +1021,7 @@ def _semdedup_oracle(cents_sql: str) -> str:
         WITH RECURSIVE {cents_sql},
         scored AS (
             SELECT e.vec_id, e.embedding, ct.centroid_id,
-                   list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(ct.cvec AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                            CAST(e.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]),
-                                              CAST(ct.cvec AS DOUBLE[])))) AS sim
+                   {_sem_cos_sql("e.embedding", "ct.cvec")} AS sim
             FROM embeddings e, cents ct
         ),
         cells0 AS (
@@ -971,7 +1031,66 @@ def _semdedup_oracle(cents_sql: str) -> str:
                 FROM scored
             ) WHERE rk = 1
         ),
-        -- oversized-cell re-split: rank within the cell by (csim DESC,
+        {_SEM_TAIL}
+    """
+
+
+def _semdedup_two_level_oracle() -> str:
+    """The hierarchical twin (operators/semdedup.assign_cells_two_level):
+    fine centroids routed through a coarse argmax, vectors routed through
+    the same coarse argmax, each vector then scored ONLY against its
+    coarse cell's fine centroids — every tie resolved exactly as Spark's
+    (sim, -id) struct-max (ORDER BY sim DESC, id). Coarse ids are the
+    fine id-subset vec_id % (mod2*m) == 0 (mod1 a multiple of mod2 keeps
+    coarse a subset of fine — the no-empty-coarse-cell contract)."""
+    return f"""
+        WITH RECURSIVE params AS (
+            SELECT GREATEST(2, CAST(CEIL(2.0 * SQRT(n)) AS BIGINT)) AS mod2,
+                   GREATEST(2, CAST(CEIL(SQRT(SQRT(n))) AS BIGINT)) AS m
+            FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
+        ),
+        fine AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings, params WHERE vec_id % mod2 = 0
+        ),
+        coarse AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings, params WHERE vec_id % (mod2 * m) = 0
+        ),
+        frouted AS (
+            SELECT fid, fvec, coarse_id FROM (
+                SELECT f.centroid_id AS fid, f.cvec AS fvec,
+                       c.centroid_id AS coarse_id,
+                       row_number() OVER (PARTITION BY f.centroid_id
+                           ORDER BY {_sem_cos_sql("f.cvec", "c.cvec")} DESC,
+                                    c.centroid_id) AS rk
+                FROM fine f, coarse c
+            ) WHERE rk = 1
+        ),
+        vrouted AS (
+            SELECT vec_id, embedding, coarse_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id AS coarse_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_sem_cos_sql("e.embedding", "c.cvec")}
+                                    DESC, c.centroid_id) AS rk
+                FROM embeddings e, coarse c
+            ) WHERE rk <= {SEM_TL_PROBE}
+        ),
+        cells0 AS (
+            SELECT vec_id, embedding, fid AS cell, sim AS csim FROM (
+                SELECT v.vec_id, v.embedding, r.fid,
+                       {_sem_cos_sql("v.embedding", "r.fvec")} AS sim,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_sem_cos_sql("v.embedding", "r.fvec")}
+                                    DESC, r.fid) AS rk
+                FROM vrouted v JOIN frouted r ON v.coarse_id = r.coarse_id
+            ) WHERE rk = 1
+        ),
+        {_SEM_TAIL}
+    """
+
+
+_SEM_TAIL = f"""-- oversized-cell re-split: rank within the cell by (csim DESC,
         -- vec_id), chunk into blocks of <= {SEM_CAP}; the pair join keys
         -- on (cell, blk) so candidate pairs are bounded by N*{SEM_CAP}/2
         cells AS (
@@ -1061,6 +1180,7 @@ ORACLES["dedup_semantic"] = _semdedup_oracle(
 ORACLES["dedup_semantic_trained"] = _semdedup_oracle(
     _lloyd_cents_sql(LLOYD_ITERS)
 )
+ORACLES["dedup_semantic_two_level"] = _semdedup_two_level_oracle()
 
 
 # ---------------------------------------------------------------------------
