@@ -76,6 +76,11 @@ BENCH_QUERIES_EXT = [
     # per round next to each total.
     "dedup_substring_spans",
     "knn_pq_trained",
+    # Round-12 addition: the hierarchical SemDeDup assignment (the round's
+    # new operator) gets a per-round recorded number alongside its flat
+    # sibling's 100x evidence (SCALING.md cap-study interpretation).
+    # value_extended is a 29-query suite from r12 on.
+    "dedup_semantic_two_level",
 ]
 
 
