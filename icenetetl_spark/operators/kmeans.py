@@ -59,32 +59,71 @@ _FIT_CACHE: dict[tuple, list] = {}
 # key already folds the corpus content signature (size+mtime of every
 # backing file): a regenerated corpus or changed fit parameter misses by
 # construction, while a new PROCESS over unchanged data rides the
-# artifact. Set ICENETETL_FIT_CACHE_DIR="" to disable.
+# artifact. Set ICENETETL_FIT_CACHE_DIR="" to disable. The default dir is
+# PER-USER (uid suffix — r12 advice #1: a shared world-writable dir lets
+# one user's artifacts shadow another's), and the on-disk hash folds a
+# FORMAT VERSION — bump _FIT_FORMAT_VERSION on any fit-semantics or
+# artifact-shape change so artifacts written by older code miss instead of
+# being silently served. (The in-memory _FIT_CACHE dies with the process,
+# so only the disk layer needs the version.)
 import hashlib as _hashlib
 import json as _json
 import os as _os
 
+_FIT_FORMAT_VERSION = 2
+
+
+def _default_cache_dir() -> str:
+    try:
+        uid = _os.getuid()
+    except AttributeError:  # non-POSIX
+        uid = "u"
+    return f"/tmp/icenetetl-fit-cache-{uid}"
+
+
 _FIT_CACHE_DIR = _os.environ.get(
-    "ICENETETL_FIT_CACHE_DIR", "/tmp/icenetetl-fit-cache"
+    "ICENETETL_FIT_CACHE_DIR", _default_cache_dir()
 )
 
 
 def _disk_path(full_key: tuple) -> str | None:
     if not _FIT_CACHE_DIR:
         return None
-    h = _hashlib.sha256(repr(full_key).encode()).hexdigest()
+    h = _hashlib.sha256(
+        repr((_FIT_FORMAT_VERSION,) + full_key).encode()
+    ).hexdigest()
     return _os.path.join(_FIT_CACHE_DIR, f"{h}.json")
 
 
-def _disk_get(full_key: tuple):
+def _disk_get(full_key: tuple, arity: int = 2):
+    """Load a persisted fit artifact, validating the decoded SHAPE: a list
+    of ``arity``-element rows, integer ids first and a numeric vector
+    last. Any malformed artifact — wrong JSON type, wrong row arity,
+    non-numeric fields — is a MISS (refit), never a crash (r12 advice #1:
+    the old try only guarded json.load, so a valid-JSON artifact with an
+    unexpected shape crashed the caller's unpack)."""
     path = _disk_path(full_key)
     if path is None:
         return None
     try:
         with open(path, encoding="utf-8") as f:
-            return _json.load(f)
+            rows = _json.load(f)
     except (OSError, ValueError):
         return None
+    if not isinstance(rows, list):
+        return None
+    for r in rows:
+        if not isinstance(r, list) or len(r) != arity:
+            return None
+        *ids, vec = r
+        if not all(isinstance(i, int) and not isinstance(i, bool) for i in ids):
+            return None
+        if not isinstance(vec, list) or not all(
+            isinstance(x, (int, float)) and not isinstance(x, bool)
+            for x in vec
+        ):
+            return None
+    return rows
 
 
 def _disk_put(full_key: tuple, cents) -> None:
@@ -129,6 +168,11 @@ def corpus_signature(df: DataFrame) -> tuple:
     try:
         files = sorted(df.inputFiles())
     except Exception:
+        files = []
+    if not files:
+        # in-memory / non-file-backed plan: a CONSTANT, not content —
+        # callers must not let this signature reach the cross-process
+        # disk layer (lloyd_fit/fit_pq_codebooks_lloyd skip it)
         return ("nofiles",)
     sig = []
     for f in files:
@@ -183,6 +227,15 @@ def _check_quantized_bound(rows, scale: int, where: str) -> None:
     for r in rows:
         n = int(r["n"])
         vmax = float(r["vmax"] if r["vmax"] is not None else 0.0)
+        if not math.isfinite(vmax):
+            # F.max propagates NaN/Inf; without this guard math.ceil
+            # raises a bare "cannot convert float NaN to integer" that
+            # points nowhere near the data (r12 advice #5)
+            raise ValueError(
+                f"{where}: non-finite embedding component (cell max "
+                f"|element| = {vmax}); filter or impute non-finite "
+                "vectors before fitting"
+            )
         if n * (int(math.ceil(vmax * q)) + 1) >= 2**63:
             raise OverflowError(
                 f"{where}: cell of {n} rows with max |element| {vmax} "
@@ -227,14 +280,20 @@ def lloyd_fit(
         raise ValueError(f"unknown metric {metric!r}")
     spark = corpus.sparkSession
     full_key = None
+    disk_ok = False
     if cache_key is not None:
+        sig = corpus_signature(corpus)
         full_key = (
-            cache_key,
-            corpus_signature(corpus),
+            cache_key, sig,
             iterations, id_col, vec_col, dim, metric, scale,
         )
+        # a non-file-backed frame signs as a constant: the session memo is
+        # still sound (same process, caller-owned cache_key), but the DISK
+        # layer would collide two different in-memory corpora sharing a
+        # cache_key across processes — skip it (r12 advice #1)
+        disk_ok = sig != ("nofiles",)
         cached = _FIT_CACHE.get(full_key)
-        if cached is None:
+        if cached is None and disk_ok:
             disk = _disk_get(full_key)
             if disk is not None:
                 # JSON round-trips doubles exactly (repr-based); normalize
@@ -273,7 +332,8 @@ def lloyd_fit(
         pre.unpersist(blocking=False)
     if full_key is not None:
         _FIT_CACHE[full_key] = cents
-        _disk_put(full_key, cents)
+        if disk_ok:
+            _disk_put(full_key, cents)
     return spark.createDataFrame(
         cents, "centroid_id BIGINT, cvec ARRAY<DOUBLE>"
     )

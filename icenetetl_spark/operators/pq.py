@@ -250,14 +250,19 @@ def fit_pq_codebooks_lloyd(
     spark = corpus.sparkSession
     w = _sub_width(width or _vector_width(corpus, vec_col), m)
     full_key = None
+    disk_ok = False
     if cache_key is not None:
+        sig = corpus_signature(corpus)
         full_key = (
-            cache_key, "pq_lloyd", corpus_signature(corpus), m,
+            cache_key, "pq_lloyd", sig, m,
             iterations, id_col, vec_col, w, tuple(init_ids),
         )
+        # non-file-backed corpora sign as a constant: keep the session
+        # memo, skip the cross-process DISK layer (kmeans r12 advice #1)
+        disk_ok = sig != ("nofiles",)
         cached = _PQ_FIT_CACHE.get(full_key)
-        if cached is None:
-            disk = _disk_get(full_key)
+        if cached is None and disk_ok:
+            disk = _disk_get(full_key, arity=3)
             if disk is not None:
                 # same persisted-artifact contract as kmeans._FIT_CACHE
                 cached = [
@@ -298,9 +303,9 @@ def fit_pq_codebooks_lloyd(
     )
     # persisted across iterations like kmeans.lloyd_fit's pre (the MLlib
     # pattern): every iteration's equi-join re-reads the exploded
-    # (id, subspace, subvector) projection otherwise. Unpersisted after
-    # the loop; the overflow-raise path leaks the blocks only until the
-    # aborted query's references drop — benign.
+    # (id, subspace, subvector) projection otherwise. Unpersisted in the
+    # finally below so the overflow-raise path (or any mid-loop failure)
+    # frees the blocks too, mirroring lloyd_fit (r12 advice #4).
     pre = (
         corpus.select(
             F.col(id_col).alias("__id"),
@@ -320,61 +325,64 @@ def fit_pq_codebooks_lloyd(
             acc += x * x
         return acc
 
-    for _ in range(iterations):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [
-                    (mi, cid, cvec, cfold(cvec))
-                    for mi in range(m)
-                    for cid, cvec in cents[mi]
-                ],
-                "__mi INT, centroid_id BIGINT, cvec ARRAY<DOUBLE>, __cn DOUBLE",
+    try:
+        for _ in range(iterations):
+            cdf = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        (mi, cid, cvec, cfold(cvec))
+                        for mi in range(m)
+                        for cid, cvec in cents[mi]
+                    ],
+                    "__mi INT, centroid_id BIGINT, cvec ARRAY<DOUBLE>, __cn DOUBLE",
+                )
             )
-        )
-        vdot = dot_unrolled(F.col("__v"), F.col("cvec"), w)
-        mcol = (F.col("__sn") + F.col("__cn")) - F.lit(2.0) * vdot
-        best = F.min(
-            F.struct(
-                F.col("__m").alias("m"), F.col("centroid_id").alias("cid")
+            vdot = dot_unrolled(F.col("__v"), F.col("cvec"), w)
+            mcol = (F.col("__sn") + F.col("__cn")) - F.lit(2.0) * vdot
+            best = F.min(
+                F.struct(
+                    F.col("__m").alias("m"), F.col("centroid_id").alias("cid")
+                )
             )
-        )
-        member = (
-            pre.join(cdf, "__mi")
-            .select("__id", "__mi", mcol.alias("__m"), "centroid_id", "__v")
-            .groupBy("__id", "__mi")
-            .agg(best.alias("b"), F.first("__v").alias("__v"))
-            .select("__mi", F.col("b.cid").alias("cell"), "__v")
-        )
-        rows = (
-            member.groupBy("__mi", "cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *_quantized_sums(F.col("__v"), w, LLOYD_SCALE),
-                _vmax_agg(F.col("__v")),
+            member = (
+                pre.join(cdf, "__mi")
+                .select("__id", "__mi", mcol.alias("__m"), "centroid_id", "__v")
+                .groupBy("__id", "__mi")
+                .agg(best.alias("b"), F.first("__v").alias("__v"))
+                .select("__mi", F.col("b.cid").alias("cell"), "__v")
             )
-            .collect()
-        )
-        _check_quantized_bound(rows, LLOYD_SCALE, "fit_pq_codebooks_lloyd")
-        means = {
-            (int(r["__mi"]), int(r["cell"])): [
-                (float(r[f"s{i}"]) / float(r["n"])) / q
-                for i in range(1, w + 1)
-            ]
-            for r in rows
-        }
-        cents = {
-            mi: [
-                (cid, means.get((mi, cid), cvec)) for cid, cvec in cents[mi]
-            ]
-            for mi in range(m)
-        }
-    pre.unpersist(blocking=False)
+            rows = (
+                member.groupBy("__mi", "cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *_quantized_sums(F.col("__v"), w, LLOYD_SCALE),
+                    _vmax_agg(F.col("__v")),
+                )
+                .collect()
+            )
+            _check_quantized_bound(rows, LLOYD_SCALE, "fit_pq_codebooks_lloyd")
+            means = {
+                (int(r["__mi"]), int(r["cell"])): [
+                    (float(r[f"s{i}"]) / float(r["n"])) / q
+                    for i in range(1, w + 1)
+                ]
+                for r in rows
+            }
+            cents = {
+                mi: [
+                    (cid, means.get((mi, cid), cvec)) for cid, cvec in cents[mi]
+                ]
+                for mi in range(m)
+            }
+    finally:
+        pre.unpersist(blocking=False)
     out_rows = [
         (mi, int(cid), cvec) for mi in range(m) for cid, cvec in cents[mi]
     ]
     if full_key is not None:
         _PQ_FIT_CACHE[full_key] = out_rows
-        _disk_put(full_key, out_rows)
+        if disk_ok:
+            _disk_put(full_key, out_rows)
     return spark.createDataFrame(
         out_rows, "m INT, code_id INT, csub ARRAY<DOUBLE>"
     )

@@ -306,3 +306,137 @@ def test_fit_cache_stales_on_corpus_regeneration(spark, tmp_path):
     assert fit() == [[4.0, 0.0]]  # stale fit would still read [[2.0, 0.0]]
     assert len(km._FIT_CACHE) == 2
     km.reset_fit_cache()
+
+
+def test_disk_artifact_isolated_per_corpus_and_versioned(
+    spark, tmp_path, monkeypatch
+):
+    """r12 verdict #8: two distinct corpora (distinct content signatures)
+    must never read each other's persisted artifact, and the on-disk key
+    must fold a format version so artifacts written by older fit code
+    miss after a bump instead of being silently served."""
+    from icenetetl_spark.operators import kmeans as km
+
+    monkeypatch.setattr(km, "_FIT_CACHE_DIR", str(tmp_path / "fc"))
+    km.reset_fit_cache(disk=True)
+
+    def corpus(v, name):
+        p = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [v, 0.0])],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        ).coalesce(1).write.parquet(p)
+        return spark.read.parquet(p)
+
+    def fit(emb, key):
+        init = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        out = lloyd_fit(
+            emb, init, iterations=1, dim=2, metric="l2", cache_key=key
+        )
+        return [list(r["cvec"]) for r in out.collect()]
+
+    a, b = corpus(4.0, "ca"), corpus(8.0, "cb")
+    # SAME caller cache_key for both — only the content signature differs,
+    # which is exactly the cross-process collision surface
+    assert fit(a, ("shared-key",)) == [[2.0, 0.0]]
+    km.reset_fit_cache()  # fresh "process": disk artifacts only
+    assert fit(b, ("shared-key",)) == [[4.0, 0.0]]
+    # version bump: yesterday's artifacts all miss
+    km.reset_fit_cache()
+    monkeypatch.setattr(
+        km, "_FIT_FORMAT_VERSION", km._FIT_FORMAT_VERSION + 1
+    )
+    empty = a.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    refit = lloyd_fit(
+        a, empty, iterations=1, dim=2, metric="l2",
+        cache_key=("shared-key",),
+    )
+    assert refit.collect() == []  # refit from the (empty) init, not disk
+    km.reset_fit_cache(disk=True)
+
+
+def test_disk_artifact_corruption_degrades_to_refit(
+    spark, tmp_path, monkeypatch
+):
+    """r12 verdict #8 + advice #1: a truncated or shape-mangled artifact
+    file must read as a MISS (refit), never crash lloyd_fit's unpack."""
+    import json
+    import os
+
+    from icenetetl_spark.operators import kmeans as km
+
+    monkeypatch.setattr(km, "_FIT_CACHE_DIR", str(tmp_path / "fc"))
+    km.reset_fit_cache(disk=True)
+    p = str(tmp_path / "emb_corrupt.parquet")
+    spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [6.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    ).coalesce(1).write.parquet(p)
+    emb = spark.read.parquet(p)
+    init = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+
+    def fit():
+        out = lloyd_fit(
+            emb, init, iterations=1, dim=2, metric="l2", cache_key=(p,)
+        )
+        return [list(r["cvec"]) for r in out.collect()]
+
+    assert fit() == [[3.0, 0.0]]
+    (art,) = [
+        os.path.join(km._FIT_CACHE_DIR, f)
+        for f in os.listdir(km._FIT_CACHE_DIR)
+        if f.endswith(".json")
+    ]
+    for poison in (
+        "[[0,",                      # truncated JSON
+        json.dumps({"not": "rows"}),  # wrong top-level type
+        json.dumps([[0]]),           # wrong arity
+        json.dumps([["x", [1.0]]]),  # non-int id
+        json.dumps([[0, "vec"]]),    # non-list vector
+        json.dumps([[0, [1.0, "y"]]]),  # non-numeric component
+    ):
+        with open(art, "w", encoding="utf-8") as f:
+            f.write(poison)
+        km.reset_fit_cache()  # fresh process, poisoned disk
+        assert fit() == [[3.0, 0.0]], poison  # refit, not crash/garbage
+    km.reset_fit_cache(disk=True)
+
+
+def test_nonfile_corpus_never_touches_disk_layer(spark, tmp_path, monkeypatch):
+    """r12 advice #1: a non-file-backed frame signs as a constant, so two
+    DIFFERENT in-memory corpora sharing a cache_key would collide across
+    processes via the disk artifact — the disk layer must be skipped
+    (session memo only) for ("nofiles",) signatures."""
+    import os
+
+    from icenetetl_spark.operators import kmeans as km
+
+    monkeypatch.setattr(km, "_FIT_CACHE_DIR", str(tmp_path / "fc"))
+    km.reset_fit_cache(disk=True)
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [4.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    assert km.corpus_signature(emb) == ("nofiles",)
+    init = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    out = lloyd_fit(
+        emb, init, iterations=1, dim=2, metric="l2", cache_key=("mem",)
+    )
+    assert [list(r["cvec"]) for r in out.collect()] == [[2.0, 0.0]]
+    assert len(km._FIT_CACHE) == 1  # session memo still works
+    assert not os.path.isdir(km._FIT_CACHE_DIR) or not os.listdir(
+        km._FIT_CACHE_DIR
+    )
+    km.reset_fit_cache()

@@ -9,6 +9,7 @@ needing a SparkSession.
 
 from __future__ import annotations
 
+import os
 import subprocess
 
 import pytest
@@ -412,6 +413,24 @@ def test_oracle_fixture_content_is_part_of_staleness_root():
     s.reset_caches()
     s._DATA_BLOB_CACHE[(None, rel)] = "0" * 40
     assert s.oracle_fingerprint(mod, q, None) != base
+    s.reset_caches()
+    # and the REAL path (r12 advice #3): an actual byte rewrite of the
+    # fixture must be visible through reset_caches() alone — this walks
+    # _data_blob -> the lru_cached _blob_sha_worktree, so it pins that
+    # reset_caches() clears BOTH layers, not just _DATA_BLOB_CACHE
+    path = os.path.join(s._repo_root(), rel)
+    with open(path, "rb") as f:
+        original = f.read()
+    try:
+        with open(path, "ab") as f:
+            f.write(b"\x00")
+        s.reset_caches()
+        assert s.oracle_fingerprint(mod, q, None) != base
+    finally:
+        with open(path, "wb") as f:
+            f.write(original)
+    s.reset_caches()
+    assert s.oracle_fingerprint(mod, q, None) == base
     s.reset_caches()
 
 
