@@ -233,11 +233,19 @@ def assign_cells_two_level(
 
     CONTRACT: every coarse cell must receive >= 1 fine centroid, or the
     level-3 inner join silently drops that cell's vectors. Callers
-    guarantee it by making the coarse rows a SUBSET of the fine rows
-    (a centroid's nearest coarse centroid is itself: cos=1 and the
-    smaller-id tie-break cannot prefer an equal-cosine rival with a
-    larger id; equal-cosine rivals with smaller ids are exact duplicate
-    vectors, which the mod-spaced selections never pick twice)."""
+    guarantee it by making the coarse rows a SUBSET of the fine rows —
+    a centroid's nearest coarse centroid is then itself (cos = 1.0, the
+    maximum). The precise precondition that makes self-routing WIN the
+    (sim DESC, id ASC) tie-break (r12 advice #2 — cos 1.0 means positive
+    collinearity, not equality): no coarse centroid may be positively
+    COLLINEAR with a distinct smaller-id coarse centroid (a scaled copy
+    also scores 1.0 and a smaller id would out-rank self), and no coarse
+    centroid may have zero norm (0/0 -> NaN sims route nowhere). The
+    gate selections satisfy this: mod-spaced corpus subsets never pick
+    the same row twice and the synthetic/real corpora carry no scaled
+    duplicates among them; trained (Lloyd) centroids are distinct cell
+    means. ``tests/test_semdedup.py`` pins full coarse coverage for both
+    gate constructions rather than paying a per-construction job here."""
     from icenetetl_spark.operators.similarity import _dot, dot_unrolled
 
     def _d(x, y):

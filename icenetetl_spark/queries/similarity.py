@@ -386,16 +386,38 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, cents, threshold=SEM_T, dim=EMB_DIM, cell_cap=SEM_CAP)
 
 
+# Coarse routing table for the TRAINED two-level assignment: a fixed
+# id-subset of the trained centroids themselves (indices 0,3,...,15 of the
+# sorted init ids -> k1 = 6 ~= sqrt(P*k2) for k2 = 16, P = 2 — the N^1.25
+# balance point). Lloyd centroids KEEP their init ids across updates, so
+# the subset is a pure literal both engines share, and coarse rows being a
+# SUBSET of the fine rows satisfies the two-level assignment's
+# no-empty-coarse-cell contract (operators/semdedup.assign_cells_two_level).
+SEM_TL_TRAINED_COARSE_IDS = IVF_CENTROID_IDS[::3]
+
+
 def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with the paper's TRAINED clustering — the deterministic
-    fixed-point Lloyd fit (operators/kmeans.py) feeding the IDENTICAL
-    block-capped fixed plan as dedup_semantic. Hash-gated since round 10:
-    the oracle unrolls the same fit, so clustering AND dedup match
-    bit-for-bit (previously rows-only under MLlib KMeans; that path
-    remains as operators/semdedup.semdedup_trained for production MLlib
-    parity, recall-pinned in tests/test_semdedup.py)."""
+    """SemDeDup with the paper's TRAINED clustering — and, since r13, the
+    HIERARCHICAL two-level assignment as the family's scale default (r12
+    verdict #1: the flat N x k crossJoin assignment was the repo's only
+    scale-weak plan, Theta(N^1.5) on a sqrt-law k, 140s at 100x; the
+    two-level routing is Theta(N^1.25), measured 1.3-2.0x cheaper at 100x
+    and widening every decade — SCALING.md "SemDeDup two-level").
+
+    The deterministic fixed-point Lloyd fit (operators/kmeans.py) trains
+    the FINE centroids; the COARSE routing table is a fixed id-subset of
+    those same trained centroids (coarse c fine keeps every coarse cell
+    non-empty), and vectors route coarse-then-fine through
+    assign_cells_two_level before the identical block-capped
+    pair/component/keep plan. Hash-gated: the oracle unrolls the same
+    Lloyd chain AND the same two-level routing, so clustering, routing
+    and dedup all match bit-for-bit. Dispatch rule: flat assignment
+    (operators/semdedup.semdedup) only when k is small enough that N*k is
+    affordable — one-level gates like dedup_semantic keep it as the
+    paper-exact baseline; every trained/production path routes
+    hierarchically."""
     from icenetetl_spark.operators.kmeans import lloyd_fit
-    from icenetetl_spark.operators.semdedup import semdedup
+    from icenetetl_spark.operators.semdedup import semdedup_two_level
 
     emb = load_table(spark, sf_dir, "embeddings")
     init = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
@@ -410,8 +432,12 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMB_DIM,
         cache_key=(sf_dir, "embeddings", tuple(IVF_CENTROID_IDS)),
     )
-    return semdedup(
-        emb, cents, threshold=SEM_T, dim=EMB_DIM, cell_cap=SEM_CAP
+    coarse = cents.filter(
+        F.col("centroid_id").isin(SEM_TL_TRAINED_COARSE_IDS)
+    )
+    return semdedup_two_level(
+        emb, coarse, cents, threshold=SEM_T, dim=EMB_DIM,
+        cell_cap=SEM_CAP, n_probe=SEM_TL_PROBE,
     )
 
 
@@ -1035,28 +1061,20 @@ def _semdedup_oracle(cents_sql: str) -> str:
     """
 
 
-def _semdedup_two_level_oracle() -> str:
-    """The hierarchical twin (operators/semdedup.assign_cells_two_level):
-    fine centroids routed through a coarse argmax, vectors routed through
-    the same coarse argmax, each vector then scored ONLY against its
-    coarse cell's fine centroids — every tie resolved exactly as Spark's
-    (sim, -id) struct-max (ORDER BY sim DESC, id). Coarse ids are the
-    fine id-subset vec_id % (mod2*m) == 0 (mod1 a multiple of mod2 keeps
-    coarse a subset of fine — the no-empty-coarse-cell contract)."""
+def _semdedup_two_level_oracle(head_sql: str) -> str:
+    """The hierarchical twin (operators/semdedup.assign_cells_two_level)
+    over ANY ``head_sql`` CTE chain ending in ``fine`` and ``coarse``
+    (centroid_id, cvec) CTEs with coarse a subset of fine (the
+    no-empty-coarse-cell contract): fine centroids routed through a
+    coarse argmax, vectors routed through the same coarse argmax, each
+    vector then scored ONLY against its coarse cell's fine centroids —
+    every tie resolved exactly as Spark's (sim, -id) struct-max
+    (ORDER BY sim DESC, id). The fixed gate passes the density-scaled
+    mod-subset head; the trained gate passes the unrolled deterministic
+    Lloyd chain plus its fixed coarse id-subset — same routing and dedup
+    text either way (the knn_pq fixed/trained template pattern)."""
     return f"""
-        WITH RECURSIVE params AS (
-            SELECT GREATEST(2, CAST(CEIL(2.0 * SQRT(n)) AS BIGINT)) AS mod2,
-                   GREATEST(2, CAST(CEIL(SQRT(SQRT(n))) AS BIGINT)) AS m
-            FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
-        ),
-        fine AS (
-            SELECT vec_id AS centroid_id, embedding AS cvec
-            FROM embeddings, params WHERE vec_id % mod2 = 0
-        ),
-        coarse AS (
-            SELECT vec_id AS centroid_id, embedding AS cvec
-            FROM embeddings, params WHERE vec_id % (mod2 * m) = 0
-        ),
+        WITH RECURSIVE {head_sql},
         frouted AS (
             SELECT fid, fvec, coarse_id FROM (
                 SELECT f.centroid_id AS fid, f.cvec AS fvec,
@@ -1177,10 +1195,33 @@ ORACLES["dedup_semantic"] = _semdedup_oracle(
                       (SELECT COUNT(*) FROM embeddings))) AS BIGINT)) = 0
         )"""
 )
-ORACLES["dedup_semantic_trained"] = _semdedup_oracle(
+# trained two-level head: the unrolled Lloyd chain ends in a ``cents``
+# CTE; fine = all trained centroids, coarse = the fixed id-subset of the
+# SAME trained rows (coarse c fine — the no-empty-coarse-cell contract)
+ORACLES["dedup_semantic_trained"] = _semdedup_two_level_oracle(
     _lloyd_cents_sql(LLOYD_ITERS)
+    + f""",
+        fine AS (SELECT centroid_id, cvec FROM cents),
+        coarse AS (
+            SELECT centroid_id, cvec FROM cents
+            WHERE centroid_id IN ({", ".join(map(str, SEM_TL_TRAINED_COARSE_IDS))})
+        )"""
 )
-ORACLES["dedup_semantic_two_level"] = _semdedup_two_level_oracle()
+ORACLES["dedup_semantic_two_level"] = _semdedup_two_level_oracle(
+    """params AS (
+            SELECT GREATEST(2, CAST(CEIL(2.0 * SQRT(n)) AS BIGINT)) AS mod2,
+                   GREATEST(2, CAST(CEIL(SQRT(SQRT(n))) AS BIGINT)) AS m
+            FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
+        ),
+        fine AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings, params WHERE vec_id % mod2 = 0
+        ),
+        coarse AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings, params WHERE vec_id % (mod2 * m) = 0
+        )"""
+)
 
 
 # ---------------------------------------------------------------------------

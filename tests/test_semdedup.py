@@ -217,3 +217,69 @@ def test_two_level_agreement_with_flat(emb):
     same = j.filter(F.col("flat_cell") == F.col("two_cell")).count()
     assert total == n  # no vector lost to an empty coarse cell
     assert same / total >= 0.75
+
+
+def test_trained_two_level_contract_and_agreement(emb):
+    """r13 (r12 verdict #1): the TRAINED SemDeDup path now routes through
+    the two-level assignment. Pins the no-empty-coarse-cell contract for
+    the trained construction (coarse = fixed id-subset of the SAME
+    trained centroids): every coarse cell receives >= 1 fine centroid
+    (in particular its own row — self-routing wins at cos 1.0), no
+    vector is dropped, and the two-level cell agrees with the trained
+    flat argmax for a solid majority of vectors."""
+    from icenetetl_spark.operators.ivf import assign_cells_fixed
+    from icenetetl_spark.operators.kmeans import lloyd_fit
+    from icenetetl_spark.operators.semdedup import assign_cells_two_level
+    from icenetetl_spark.queries.similarity import (
+        EMB_DIM,
+        LLOYD_ITERS,
+        SEM_TL_PROBE,
+        SEM_TL_TRAINED_COARSE_IDS,
+    )
+
+    init = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    cents = lloyd_fit(emb, init, iterations=LLOYD_ITERS, dim=EMB_DIM)
+    coarse = cents.filter(
+        F.col("centroid_id").isin(SEM_TL_TRAINED_COARSE_IDS)
+    )
+    assert coarse.count() == len(SEM_TL_TRAINED_COARSE_IDS)
+    # contract: the fine->coarse routing covers every coarse id
+    routed = assign_cells_fixed(
+        cents.select(
+            F.col("centroid_id").alias("fid"), F.col("cvec").alias("fvec")
+        ),
+        coarse,
+        id_col="fid",
+        vec_col="fvec",
+        out_id="fid",
+        dim=EMB_DIM,
+    )
+    covered = {r["cell"] for r in routed.collect()}
+    assert covered == set(SEM_TL_TRAINED_COARSE_IDS)
+    # and every coarse centroid routed to ITSELF (cos 1.0 self-win)
+    self_routed = {
+        r["fid"]: r["cell"]
+        for r in routed.collect()
+        if r["fid"] in SEM_TL_TRAINED_COARSE_IDS
+    }
+    assert all(fid == cell for fid, cell in self_routed.items())
+    n = emb.count()
+    two = assign_cells_two_level(
+        emb, coarse, cents, dim=EMB_DIM, n_probe=SEM_TL_PROBE
+    ).select("vec_id", F.col("cell").alias("two_cell"))
+    flat = assign_cells_fixed(emb, cents, dim=EMB_DIM).select(
+        "vec_id", F.col("cell").alias("flat_cell")
+    )
+    j = flat.join(two, "vec_id")
+    total = j.count()
+    assert total == n  # no vector lost to an empty coarse cell
+    same = j.filter(F.col("flat_cell") == F.col("two_cell")).count()
+    # measured 0.678 (sf0.001) / 0.692 (sf0.01) at k1=6/k2=16/P=2 — the
+    # 16-centroid gate k makes the coarse routing deliberately crude
+    # (P=3 measures 0.78-0.80; at production sqrt-law k the routing is
+    # far finer). The floor guards a probe-window or tie-break
+    # regression, not ambient noise.
+    assert same / total >= 0.6
