@@ -126,7 +126,18 @@ def duplicated_spans(
 ) -> DataFrame:
     """Maximal spans (doc_id, span_start, span_end, span_len) of text whose
     every k-window also occurs elsewhere in the corpus (or again in the
-    same document). span bounds are 1-based inclusive character offsets."""
+    same document). span bounds are 1-based inclusive character offsets.
+
+    DISPATCH RULE (r12 verdict #3): this exact every-position form is the
+    audit/gate plan — linear shape but the largest constant in the dedup
+    family (7.2x at 100x, 40.7s absolute; SCALING.md). At corpus scale
+    default to the winnowing-sampled form (``kgram_positions`` with
+    ``sample_mod`` ~ k/2, consumed by ``duplication_profile`` /
+    ``dedup_substring_sampled``): every post-hash stage carries
+    ~1/sample_mod of the rows at a pinned recall floor (content-defined
+    sampling never desyncs across copies — module docstring), so the
+    exact form is for when per-character span OFFSETS must be exact,
+    the sampled form for dedup DECISIONS."""
     grams = kgram_positions(docs, k, id_col, text_col, hash_impl=hash_impl)
     pos_dup = _duplicated_positions(grams, id_col)
     w = Window.partitionBy(id_col).orderBy("pos")

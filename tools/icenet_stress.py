@@ -55,7 +55,14 @@ SIZES = {
 
 
 def _dates(n: int) -> list[str]:
-    return [f"2024-03-{d:02d}" for d in range(1, n + 1)]
+    # date arithmetic instead of a day-of-March literal so the r13
+    # 100-file fan-in study can generate >31 distinct file dates
+    import datetime
+
+    d0 = datetime.date(2024, 3, 1)
+    return [
+        (d0 + datetime.timedelta(days=i)).isoformat() for i in range(n)
+    ]
 
 
 def run_chain(spark, warehouse: str, dates: int, leadtimes: int) -> dict:
