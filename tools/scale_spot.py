@@ -97,7 +97,13 @@ def build_scaled_subset(spark: SparkSession, factor: int) -> str:
     # crossJoin output inherits 1-2 partitions — which caps source-side
     # (mapInPandas / scan) parallelism at 2 of 32 cores and inflates
     # every 100x number (same lesson as scale_stress.build_scaled).
-    docs = load_table(spark, BASE_SF, "documents")
+    # The BASE-side repartition(64) before each crossJoin matters too:
+    # `copies` is planner-broadcast, so the join output inherits the base
+    # side's ONE partition and the whole factor-x perturb ran as a single
+    # task — tolerable at 100x, a >12-min serial stall at 1000x. Spreading
+    # the 1x rows first makes the perturb+write 64-way with no scaled-data
+    # exchange (the trailing repartition then only evens the layout).
+    docs = load_table(spark, BASE_SF, "documents").repartition(64)
     n_docs = 5000
     docs.crossJoin(copies).select(
         (F.col("doc_id") + F.col("copy").cast("long") * n_docs).alias("doc_id"),
@@ -105,7 +111,7 @@ def build_scaled_subset(spark: SparkSession, factor: int) -> str:
         "lang", "source", "n_chars",
     ).repartition(64).write.parquet(f"{out}/documents.parquet")
 
-    emb = load_table(spark, BASE_SF, "embeddings")
+    emb = load_table(spark, BASE_SF, "embeddings").repartition(64)
     n_vecs = 2000
     pert = F.transform(
         F.col("embedding"),
@@ -121,7 +127,7 @@ def build_scaled_subset(spark: SparkSession, factor: int) -> str:
         "label",
     ).repartition(64).write.parquet(f"{out}/embeddings.parquet")
 
-    ev = load_table(spark, BASE_SF, "events")
+    ev = load_table(spark, BASE_SF, "events").repartition(64)
     ev.crossJoin(copies).select(
         (F.col("event_id") + F.col("copy").cast("long") * 10_000_000).alias(
             "event_id"
