@@ -151,6 +151,32 @@ DESIGNED_ADAPTATIONS: dict[str, str] = {
         "PINNED broadcasts (codebooks, centroids, probe frame) stay "
         "broadcast at every size"
     ),
+    # The next three are one pattern, first observed at 1000x (r13): a
+    # corpus-PROPORTIONAL side (per-doc lengths / per-doc dup aggregates)
+    # sits under the planner's auto-broadcast threshold at 1x-100x and
+    # crosses it at 1000x, flipping that join to the hash-partitioned
+    # form — verified in the 1000x executed plans (SortMergeJoin on
+    # doc_id, both sides corpus-sized; every PINNED broadcast — bm25's
+    # 3-row dfreq and 1-row stats — still broadcast). Keeping these
+    # sides broadcast at scale would be the bug; only sides bounded by
+    # construction are pinned.
+    "text_bm25_topk": (
+        "the qtf-to-doc-length join on doc_id is planner-broadcast while "
+        "per-doc lengths fit the threshold and becomes a SortMergeJoin "
+        "once corpus-sized (verified 1000x plans, r13); the pinned 3-row "
+        "dfreq and 1-row stats broadcasts survive at every size"
+    ),
+    "hybrid_search_rrf": (
+        "inherits text_bm25_topk's doc-length join adaptation through "
+        "its text arm (same verified 1000x plan); the k-row fusion "
+        "stages are unchanged"
+    ),
+    "dedup_substring_sampled": (
+        "the per-doc dup-aggregate left join onto doc lengths is "
+        "planner-broadcast at 1x-100x and becomes a SortMergeJoin once "
+        "corpus-sized (verified 1000x plans, r13) — both sides are "
+        "corpus-proportional"
+    ),
 }
 
 
