@@ -101,8 +101,11 @@ def main() -> int:
         f"({stream['batches']} micro-batch) |",
         "",
         f"Per-file serial ingest: "
-        f"{round(serial['ingest_per_file'], 3)}s (vs 3.396s at 10 files "
-        "— flat per-file cost is the serial model's whole story). Final "
+        f"{round(serial['ingest_per_file'], 3)}s (vs 3.396s at 10 files; "
+        "the r13 run measured 5.02s — per-file cost GROWS with file "
+        "count because every chain's anti-join and latest/meta recompute "
+        "rescan the accumulated warehouse; see the hand-maintained "
+        "reading below). Final "
         "warehouse content hashes (cells, forecasts, forecast_latest, "
         f"forecast_meta) identical across all three modes: **{identical}**.",
         "",
@@ -116,7 +119,18 @@ def main() -> int:
     marker = "## Ingest fan-in at 100 files"
     if marker in old:
         start = old.find(marker)
-        end = old.find("\n## ", start + 1)
+        # stop at the next heading of ANY level: a "### ..." sub-heading
+        # inside this section is a HAND-MAINTAINED reading and must
+        # survive tool re-runs (one already got stomped this way)
+        ends = [
+            e
+            for e in (
+                old.find("\n## ", start + 1),
+                old.find("\n### ", start + 1),
+            )
+            if e != -1
+        ]
+        end = min(ends) if ends else -1
         old = old[:start] + block + (old[end + 1:] if end != -1 else "")
     else:
         old = old.rstrip() + "\n\n" + block

@@ -186,7 +186,18 @@ def main() -> int:
     marker = "## IVF trained-vs-fixed recall under skew"
     if marker in old:
         start = old.find(marker)
-        end = old.find("\n## ", start + 1)
+        # stop at the next heading of ANY level: a "### ..." sub-heading
+        # inside this section is a HAND-MAINTAINED reading and must
+        # survive tool re-runs (one already got stomped this way)
+        ends = [
+            e
+            for e in (
+                old.find("\n## ", start + 1),
+                old.find("\n### ", start + 1),
+            )
+            if e != -1
+        ]
+        end = min(ends) if ends else -1
         old = old[:start] + block + (old[end + 1:] if end != -1 else "")
     else:
         old = old.rstrip() + "\n\n" + block

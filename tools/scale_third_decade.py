@@ -100,7 +100,8 @@ def main() -> int:
         + " Excluded with reasons in the tool docstring: flat "
         "dedup_semantic (Theta(N^1.5), >1h projected — the two-level "
         "successor is the escape), dedup_semantic_two_level "
-        "(Theta(N^1.25), ~30 min projected), pair-graph families "
+        "(Theta(N^1.25); measured once at 1890.5s in r13 — see the "
+        "hand-maintained reading below), pair-graph families "
         "(quotient/cap argument settled at 100x).",
         "",
         f"| query | 1x sec | {args.factor}x sec | ratio "
@@ -143,7 +144,18 @@ def main() -> int:
     marker = f"## {args.factor}x third-decade spot"
     if marker in old:
         start = old.find(marker)
-        end = old.find("\n## ", start + 1)
+        # stop at the next heading of ANY level: a "### ..." sub-heading
+        # inside this section is a HAND-MAINTAINED reading and must
+        # survive tool re-runs (one already got stomped this way)
+        ends = [
+            e
+            for e in (
+                old.find("\n## ", start + 1),
+                old.find("\n### ", start + 1),
+            )
+            if e != -1
+        ]
+        end = min(ends) if ends else -1
         old = old[:start] + block + (old[end + 1:] if end != -1 else "")
     else:
         old = old.rstrip() + "\n\n" + block
