@@ -121,15 +121,15 @@ def assign_cells_fixed(
 
     cents = F.broadcast(
         centroids.withColumn(
-            "__cn", F.sqrt(_d(F.col("cvec"), F.col("cvec")))
+            "__cn", F.sqrt(_d("cvec", "cvec"))
         )
     )
     pre = vectors.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias("v"),
-        F.sqrt(_d(F.col(vec_col), F.col(vec_col))).alias("__vn"),
+        F.sqrt(_d(vec_col, vec_col)).alias("__vn"),
     )
-    sim = _d(F.col("v"), F.col("cvec")) / (F.col("__vn") * F.col("__cn"))
+    sim = _d("v", "cvec") / (F.col("__vn") * F.col("__cn"))
     scored = pre.crossJoin(cents).select(
         F.col(out_id),
         sim.alias("__sim"),
@@ -216,14 +216,14 @@ def knn_ivf_fixed_centroids(
     ).select(
         "neighbor_id",
         F.col("v").alias("cv"),
-        F.sqrt(_d(F.col("v"), F.col("v"))).alias("cvn"),
+        F.sqrt(_d("v", "v")).alias("cvn"),
         "cell",
     )
     q_scored = queries.crossJoin(cents).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("centroid_id"),
-        cosine(F.col(vec_col), F.col("cvec"), dim=dim).alias("__sim"),
+        cosine(vec_col, "cvec", dim=dim).alias("__sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("centroid_id")
@@ -234,7 +234,7 @@ def knn_ivf_fixed_centroids(
         .select(
             "query_id",
             "qv",
-            F.sqrt(_d(F.col("qv"), F.col("qv"))).alias("qvn"),
+            F.sqrt(_d("qv", "qv")).alias("qvn"),
             F.col("centroid_id").alias("cell"),
         )
     )
@@ -247,7 +247,7 @@ def knn_ivf_fixed_centroids(
             "query_id",
             "neighbor_id",
             (
-                _d(F.col("qv"), F.col("cv"))
+                _d("qv", "cv")
                 / (F.col("qvn") * F.col("cvn"))
             ).alias("cos"),
         )
@@ -293,7 +293,7 @@ def knn_ivf(
         F.broadcast(q).join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos")
+            "query_id", "neighbor_id", cosine("qv", "cv", dim=dim).alias("cos")
         )
         # a (query, neighbor) pair can meet in several probed cells
         .dropDuplicates(["query_id", "neighbor_id"])

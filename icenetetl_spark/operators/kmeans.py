@@ -313,7 +313,7 @@ def lloyd_fit(
     # (the assign_cells_fixed trick): the hot N*k projection evaluates ONE
     # dot instead of three. Value-identical — same operands, same order,
     # sqrt/add merely hoisted.
-    self_dot = dot_unrolled(F.col("__v"), F.col("__v"), dim)
+    self_dot = dot_unrolled("__v", "__v", dim)
     # persist the projected corpus ACROSS iterations (r11 verdict #3's
     # "persist the corpus" lever — the MLlib-KMeans pattern): every
     # iteration's crossJoin re-reads it, so without the cache each Lloyd
@@ -368,7 +368,7 @@ def _lloyd_iterate(spark, pre, cents, iterations, dim, metric, scale):
                 "centroid_id BIGINT, cvec ARRAY<DOUBLE>, __cn DOUBLE",
             )
         )
-        vdot = dot_unrolled(F.col("__v"), F.col("cvec"), dim)
+        vdot = dot_unrolled("__v", "cvec", dim)
         if metric == "cosine":
             mcol = vdot / (F.col("__sn") * F.col("__cn"))
             best = F.max(

@@ -315,7 +315,7 @@ def fit_pq_codebooks_lloyd(
         .select(
             "__id", F.col("s.mi").alias("__mi"), F.col("s.sv").alias("__v")
         )
-        .withColumn("__sn", dot_unrolled(F.col("__v"), F.col("__v"), w))
+        .withColumn("__sn", dot_unrolled("__v", "__v", w))
         .persist()
     )
 
@@ -337,7 +337,7 @@ def fit_pq_codebooks_lloyd(
                     "__mi INT, centroid_id BIGINT, cvec ARRAY<DOUBLE>, __cn DOUBLE",
                 )
             )
-            vdot = dot_unrolled(F.col("__v"), F.col("cvec"), w)
+            vdot = dot_unrolled("__v", "cvec", w)
             mcol = (F.col("__sn") + F.col("__cn")) - F.lit(2.0) * vdot
             best = F.min(
                 F.struct(
@@ -490,7 +490,7 @@ def _knn_pq_with_codebook(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
+            cosine("qv", "cv", dim=dim).alias("cos"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(
@@ -547,7 +547,7 @@ def knn_ivfpq_fixed(
     q_scored = queries.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col).alias("query_id"),
         F.col("centroid_id"),
-        cosine(F.col(vec_col), F.col("cvec"), dim=dim).alias("__sim"),
+        cosine(vec_col, "cvec", dim=dim).alias("__sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("centroid_id")
@@ -598,7 +598,7 @@ def knn_ivfpq_fixed(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
+            cosine("qv", "cv", dim=dim).alias("cos"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(

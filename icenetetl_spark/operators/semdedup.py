@@ -113,7 +113,7 @@ def _pairs_from_cells(
         from icenetetl_spark.operators.similarity import dot_unrolled
 
         cells = cells.withColumn(
-            "__nrm", F.sqrt(dot_unrolled(F.col("v"), F.col("v"), dim))
+            "__nrm", F.sqrt(dot_unrolled("v", "v", dim))
         )
         a = cells.select(
             F.col("vec_id").alias("doc_a"),
@@ -127,7 +127,7 @@ def _pairs_from_cells(
             F.col("__nrm").alias("nb"),
             *keys,
         )
-        cos = dot_unrolled(F.col("va"), F.col("vb"), dim) / (
+        cos = dot_unrolled("va", "vb", dim) / (
             F.col("na") * F.col("nb")
         )
     else:
@@ -266,18 +266,18 @@ def assign_cells_two_level(
             "fid",
             F.col("v").alias("fvec"),
             F.col("cell").alias("__coarse"),
-            F.sqrt(_d(F.col("v"), F.col("v"))).alias("__fn"),
+            F.sqrt(_d("v", "v")).alias("__fn"),
         )
     )
     cents1 = F.broadcast(
-        coarse.withColumn("__cn", F.sqrt(_d(F.col("cvec"), F.col("cvec"))))
+        coarse.withColumn("__cn", F.sqrt(_d("cvec", "cvec")))
     )
     pre = vectors.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias("v"),
-        F.sqrt(_d(F.col(vec_col), F.col(vec_col))).alias("__vn"),
+        F.sqrt(_d(vec_col, vec_col)).alias("__vn"),
     )
-    sim1 = _d(F.col("v"), F.col("cvec")) / (F.col("__vn") * F.col("__cn"))
+    sim1 = _d("v", "cvec") / (F.col("__vn") * F.col("__cn"))
     # top-P coarse cells per vector: one window over the N x k1 scored
     # rows, partitioned on the vector id (k1 rows per partition key —
     # bounded, shuffles once on the id). Scalars only; v rejoins by key.
@@ -296,7 +296,7 @@ def assign_cells_two_level(
         .select(out_id, F.col("__cid").alias("__coarse"))
         .join(pre, out_id)
     )
-    sim = _d(F.col("v"), F.col("fvec")) / (F.col("__vn") * F.col("__fn"))
+    sim = _d("v", "fvec") / (F.col("__vn") * F.col("__fn"))
     scored = vrouted.join(routed, "__coarse").select(
         F.col(out_id),
         sim.alias("__sim"),

@@ -28,7 +28,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
-def _dot(x: Column, y: Column) -> Column:
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _dot(x: Column | str, y: Column | str) -> Column:
+    x, y = _as_col(x), _as_col(y)
     return F.aggregate(
         F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
         F.lit(0.0),
@@ -36,17 +41,19 @@ def _dot(x: Column, y: Column) -> Column:
     )
 
 
-def cosine(x: Column, y: Column, dim: int | None = None) -> Column:
+def cosine(x: Column | str, y: Column | str, dim: int | None = None) -> Column:
     """Cosine similarity. With ``dim`` (statically-known array width) the
     expression is the codegen-unrolled form — identical values, ~30x per
     row; without it, the any-length interpreted fold. ONE dispatch point:
-    callers pass dim through rather than choosing a variant themselves."""
+    callers pass dim through rather than choosing a variant themselves.
+    Pass the operands as column-reference STRINGS where possible (see
+    :func:`dot_unrolled`) — same tree, built in one JVM parse."""
     if dim:
         return cosine_unrolled(x, y, dim)
     return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
 
 
-def dot_unrolled(x: Column, y: Column, dim: int) -> Column:
+def dot_unrolled(x: Column | str, y: Column | str, dim: int) -> Column:
     """BIT-IDENTICAL to :func:`_dot` for length-``dim`` arrays — the same
     left-to-right double accumulation ``((0+x1y1)+x2y2)+...`` — but as a
     flat arithmetic expression instead of an interpreted higher-order
@@ -55,7 +62,24 @@ def dot_unrolled(x: Column, y: Column, dim: int) -> Column:
     the unrolled form stays inside whole-stage codegen, which is what
     makes exhaustive pairwise stages (SemDeDup within-cell pairs) viable.
     Use when the dimension is statically known; fall back to the fold
-    (any length, same values) when it is not."""
+    (any length, same values) when it is not.
+
+    DRIVER-SIDE COST (r13, guide §7.3): building the 64-term tree with
+    per-term Column operators costs ~2,500 py4j round-trips PER CALL —
+    profiled at 6.7s of dedup_semantic_two_level's 9.9s wall (38k socket
+    round-trips for its ten dots; pure serial driver time that a cluster
+    cannot parallelize away). When both operands are column-reference
+    STRINGS (anything ``F.expr`` resolves like ``F.col`` does: ``"v"``,
+    ``"a.vec"``), the IDENTICAL expression text is assembled in Python
+    and parsed JVM-side in ONE call. The parsed tree matches the
+    operator-built tree node-for-node — ``0.0D`` is ``lit(0.0)``,
+    ``CAST(element_at(c, i) AS DOUBLE)`` is ``element_at(c, i)
+    .cast("double")``, and SQL ``+``/``*`` associate exactly like the
+    Python loop — so analysis, codegen, and values are unchanged
+    (equality + analyzed-plan identity pinned in
+    tests/test_similarity.py). Column operands keep the per-term builder."""
+    if isinstance(x, str) and isinstance(y, str):
+        return F.expr(_dot_sql(x, y, dim))
     out = F.lit(0.0)
     for i in range(1, dim + 1):
         out = out + (
@@ -65,9 +89,26 @@ def dot_unrolled(x: Column, y: Column, dim: int) -> Column:
     return out
 
 
-def cosine_unrolled(x: Column, y: Column, dim: int) -> Column:
+def _dot_sql(x: str, y: str, dim: int) -> str:
+    """The :func:`dot_unrolled` expression as SQL text (see its note)."""
+    terms = " + ".join(
+        f"CAST(element_at({x}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({y}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"0.0D + {terms}"
+
+
+def cosine_unrolled(x: Column | str, y: Column | str, dim: int) -> Column:
     """Codegen twin of :func:`cosine` — identical values (same fp order),
-    statically-known dimension."""
+    statically-known dimension. String operands assemble the whole
+    dot/(sqrt*sqrt) expression in ONE JVM parse (same tree — SQL ``/``,
+    ``*`` and ``SQRT`` are the operators the Column builder emits)."""
+    if isinstance(x, str) and isinstance(y, str):
+        return F.expr(
+            f"({_dot_sql(x, y, dim)}) / "
+            f"(SQRT({_dot_sql(x, x, dim)}) * SQRT({_dot_sql(y, y, dim)}))"
+        )
     return dot_unrolled(x, y, dim) / (
         F.sqrt(dot_unrolled(x, x, dim)) * F.sqrt(dot_unrolled(y, y, dim))
     )
@@ -101,7 +142,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
+            cosine("qv", "cv", dim=dim).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -143,7 +184,9 @@ def normalize_embeddings(
     ``list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv)))``.
     """
     v = F.col(vec_col)
-    staged = df.withColumn("__nrm", F.sqrt(dot_unrolled(v, v, dim)))
+    staged = df.withColumn(
+        "__nrm", F.sqrt(dot_unrolled(vec_col, vec_col, dim))
+    )
     nv = F.array(
         *[
             F.element_at(v, i).cast("double") / F.col("__nrm")
@@ -234,7 +277,7 @@ def knn_sign_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
+            cosine("qv", "cv", dim=dim).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -309,7 +352,7 @@ def knn_hyperplane_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
+            cosine("qv", "cv", dim=dim).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -379,7 +422,7 @@ def knn_sign_lsh_multiprobe(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"),
+            cosine("qv", "cv", dim=dim).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -497,7 +540,7 @@ def embedding_near_duplicates(
     # precomputed once per row (map-side, linear), the pair stage is one
     # dot plus a divide and compiles. Bit-identical: same operands, same
     # accumulation order, sqrt factored out of the division.
-    def _nrm(col: Column) -> Column:
+    def _nrm(col: Column | str) -> Column:
         from icenetetl_spark.operators.similarity import _dot, dot_unrolled
 
         d = dot_unrolled(col, col, dim) if dim else _dot(col, col)
@@ -513,12 +556,12 @@ def embedding_near_duplicates(
         a = emb.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
-            _nrm(F.col(vec_col)).alias("na"),
+            _nrm(vec_col).alias("na"),
         )
         b = emb.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vb"),
-            _nrm(F.col(vec_col)).alias("nb"),
+            _nrm(vec_col).alias("nb"),
         )
         return (
             a.join(b, F.col("id_a") < F.col("id_b"))
@@ -526,7 +569,7 @@ def embedding_near_duplicates(
                 "id_a",
                 "id_b",
                 _pair_cos(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                    "va", "vb", F.col("na"), F.col("nb")
                 ).alias("cos"),
             )
             .filter(F.col("cos") >= threshold)
@@ -560,7 +603,7 @@ def embedding_near_duplicates(
     banded = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        _nrm(F.col(vec_col)).alias("nrm"),
+        _nrm(vec_col).alias("nrm"),
         F.explode(F.array(*band_structs)).alias("b"),
     ).select("vid", "vec", "nrm", "b.band_idx", "b.band_sig")
     a, b = banded.alias("a"), banded.alias("b")
@@ -575,7 +618,7 @@ def embedding_near_duplicates(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
             _pair_cos(
-                F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+                "a.vec", "b.vec", F.col("a.nrm"), F.col("b.nrm")
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)

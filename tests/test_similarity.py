@@ -266,3 +266,46 @@ def test_hybrid_rrf_fuses_both_arms(spark):
     # fused order is non-increasing in score with doc_id tiebreak
     scores = [(-r["rrf_score"], r["doc_id"]) for r in rows]
     assert scores == sorted(scores)
+
+
+def test_dot_unrolled_string_form_is_tree_identical(spark, emb):
+    """The r13 driver-side fix (one F.expr parse instead of ~2,500 py4j
+    round-trips per 64-term dot) must be a pure construction-cost change:
+    the parsed tree, the analyzed plan, and every value must equal the
+    Column-built form exactly — anything else would shift the hash gate."""
+    import re
+
+    from icenetetl_spark.operators.similarity import (
+        cosine_unrolled,
+        dot_unrolled,
+    )
+
+    def canon(df):
+        # strip expression-id counters (#123) — the only legitimate delta
+        return re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
+        )
+
+    col_form = emb.select(
+        dot_unrolled(F.col("embedding"), F.col("embedding"), 64).alias("d")
+    )
+    str_form = emb.select(dot_unrolled("embedding", "embedding", 64).alias("d"))
+    assert canon(col_form) == canon(str_form)
+    assert [r["d"] for r in col_form.collect()] == [
+        r["d"] for r in str_form.collect()
+    ]
+
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va")
+    )
+    pairs = a.crossJoin(
+        emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    ).limit(500)
+    cos_col = pairs.select(
+        cosine_unrolled(F.col("va"), F.col("vb"), 64).alias("c")
+    )
+    cos_str = pairs.select(cosine_unrolled("va", "vb", 64).alias("c"))
+    assert canon(cos_col) == canon(cos_str)
+    assert [r["c"] for r in cos_col.collect()] == [
+        r["c"] for r in cos_str.collect()
+    ]
