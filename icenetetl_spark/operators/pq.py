@@ -404,7 +404,7 @@ def knn_pq_trained(
     """PQ ANN with the trained quantizer — identical plan to
     :func:`knn_pq`, codebook swapped for :func:`fit_pq_codebooks`
     (pass ``train_sample_fraction`` at scale; see its docstring)."""
-    width = _vector_width(corpus, vec_col)
+    width = dim or _vector_width(corpus, vec_col)
     codebook = fit_pq_codebooks(
         corpus, m, k_codes, vec_col, seed, width, train_sample_fraction
     )
@@ -430,7 +430,7 @@ def knn_pq(
     ``rank`` orders the exact cosine within the ``k * refine_factor`` ADC
     candidates (ties -> smaller neighbor id), mirroring knn_ivf_fixed's
     output contract so the oracle and recall tests compose."""
-    width = _vector_width(corpus, vec_col)  # one metadata job, shared below
+    width = dim or _vector_width(corpus, vec_col)  # dim skips the probe job
     codebook = pq_codebook(corpus, code_ids, m, id_col, vec_col, width)
     return _knn_pq_with_codebook(
         queries, corpus, codebook, k, m, refine_factor, id_col, vec_col, width,
@@ -536,13 +536,20 @@ def knn_ivfpq_fixed(
     from icenetetl_spark.functions.portable import fsum_col
     from icenetetl_spark.operators.ivf import assign_cells_fixed
 
-    width = _vector_width(corpus, vec_col)
+    # r13: ``dim`` (statically-declared width) skips the one-row
+    # _vector_width probe job — construction-time driver work, guide §7.3
+    width = dim or _vector_width(corpus, vec_col)
     w = _sub_width(width, m)
     codebook = pq_codebook(corpus, code_ids, m, id_col, vec_col, width)
     codes = encode_pq(corpus, codebook, m, id_col, vec_col, width)
 
+    # r13: thread ``dim`` through so the corpus-side cell assignment rides
+    # the codegen-unrolled dot (bit-identical values — similarity.py
+    # contract) instead of the interpreted aggregate/zip_with fold, which
+    # was costing ~90us/row on the one corpus-sized projection of this
+    # plan while every other stage was already unrolled
     cells = assign_cells_fixed(
-        corpus, centroids, id_col, vec_col, out_id="neighbor_id"
+        corpus, centroids, id_col, vec_col, out_id="neighbor_id", dim=dim
     ).select("neighbor_id", "cell")
     q_scored = queries.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col).alias("query_id"),
