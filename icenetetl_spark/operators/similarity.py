@@ -651,10 +651,21 @@ def mmr_select(
     engine-portable and the oracle can unroll the identical k steps.
 
     Returns (rank, id, relevance, mmr_score) for the k selections.
-    """
+
+    r13 construction note (guide §7.3): the reference vectors are
+    PROJECTED as literal-array columns (``__q``, ``__s<j>``) and the
+    cosines take column NAMES, riding the one-parse string path of
+    :func:`dot_unrolled`. Inlining the 64-literal array into every
+    element_at term of a Column-built unrolled cosine re-embedded the
+    array 64 times per dot (4,096 literal nodes) and cost 122k py4j
+    round-trips / 27.6s of doc_mmr_diverse's 32.9s construction;
+    projecting it keeps the same per-row evaluation (one CreateArray,
+    same fold order — values identical) at ~130 calls per vector."""
     qlit = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = candidates.select(
-        F.col(id_col), F.col(vec_col), cosine(F.col(vec_col), qlit, dim=dim).alias("rel")
+    scored = candidates.withColumn("__q", qlit).select(
+        F.col(id_col),
+        F.col(vec_col),
+        cosine(vec_col, "__q", dim=dim).alias("rel"),
     )
     selected: list[tuple] = []  # (rank, id, rel, score, vector)
     for step in range(k):
@@ -663,13 +674,13 @@ def mmr_select(
             remaining = remaining.filter(
                 ~F.col(id_col).isin([s[1] for s in selected])
             )
-            sims = [
-                cosine(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in s[4]]),
-                    dim=dim,
+            for j, s in enumerate(selected):
+                remaining = remaining.withColumn(
+                    f"__s{j}", F.array(*[F.lit(float(v)) for v in s[4]])
                 )
-                for s in selected
+            sims = [
+                cosine(vec_col, f"__s{j}", dim=dim)
+                for j in range(len(selected))
             ]
             maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
             score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxsim
