@@ -91,6 +91,7 @@ def assign_cells_fixed(
     vec_col: str = "embedding",
     out_id: str = "vec_id",
     dim: int | None = None,
+    attach_vector: bool = True,
 ) -> DataFrame:
     """Nearest-1 fixed-centroid assignment: ``(out_id, v, cell, csim)``
     where ``csim`` is the cosine to the OWN cell's centroid (SemDeDup's
@@ -99,6 +100,15 @@ def assign_cells_fixed(
     row collapse map-side (see :func:`knn_ivf_fixed_centroids`'s plan
     note); ties go to the smaller centroid id — with the vector joined
     back by key afterwards (see the inline note).
+
+    ``attach_vector=False`` (r13) returns ``(out_id, cell, csim)`` and
+    SKIPS the reattach join entirely — for consumers that never read the
+    vector again (knn_ivfpq_fixed keeps only ``cell``; the incremental
+    index keeps ``cell``/``csim``), Catalyst prunes the ``v`` column but
+    cannot remove the inner JOIN itself (it has no uniqueness evidence),
+    so opting out removes one N-row exchange + join stage per call at
+    every scale. Identical cell/csim values — the argmax agg is
+    untouched.
 
     CONTRACT: ``id_col`` must be unique in ``vectors`` — one output row
     per input row. Under duplicate ids the reattach join fans the single
@@ -167,6 +177,8 @@ def assign_cells_fixed(
             F.col("m.__sim").alias("csim"),
         )
     )
+    if not attach_vector:
+        return assigned
     return assigned.join(pre.select(out_id, "v"), out_id).select(
         out_id, "v", "cell", "csim"
     )

@@ -547,9 +547,13 @@ def knn_ivfpq_fixed(
     # the codegen-unrolled dot (bit-identical values — similarity.py
     # contract) instead of the interpreted aggregate/zip_with fold, which
     # was costing ~90us/row on the one corpus-sized projection of this
-    # plan while every other stage was already unrolled
+    # plan while every other stage was already unrolled; and skip the
+    # vector-reattach join — this plan only reads ``cell`` (candidates
+    # are scored from PQ codes, never raw vectors), so the join was one
+    # corpus-row exchange of pure overhead at every scale
     cells = assign_cells_fixed(
-        corpus, centroids, id_col, vec_col, out_id="neighbor_id", dim=dim
+        corpus, centroids, id_col, vec_col, out_id="neighbor_id", dim=dim,
+        attach_vector=False,
     ).select("neighbor_id", "cell")
     q_scored = queries.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col).alias("query_id"),

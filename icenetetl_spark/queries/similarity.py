@@ -233,8 +233,14 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = emb.filter(F.col("vec_id") % IVF_INCR_MOD != 0)
     new = emb.filter(F.col("vec_id") % IVF_INCR_MOD == 0)
-    idx_old = assign_cells_fixed(old, cents, dim=EMB_DIM)  # the stored index
-    idx_new = assign_cells_fixed(new, cents, dim=EMB_DIM)  # O(batch) delta
+    # attach_vector=False (r13): postings are (id, cell, csim) — the
+    # vector-reattach join per side was dropped weight (see ivf.py)
+    idx_old = assign_cells_fixed(
+        old, cents, dim=EMB_DIM, attach_vector=False
+    )  # the stored index
+    idx_new = assign_cells_fixed(
+        new, cents, dim=EMB_DIM, attach_vector=False
+    )  # O(batch) delta
     return idx_old.unionByName(idx_new).select("vec_id", "cell", "csim")
 
 
