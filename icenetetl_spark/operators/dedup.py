@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from icenetetl_spark.functions.portable import portable_hash64
+from icenetetl_spark.operators import scale as _scale
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
@@ -69,6 +70,10 @@ def word_shingles(
     # lookups — would re-run split(text) for EVERY element: O(words^2) per
     # document. Binding `words` to a column attribute makes it once-per-row.
     # Measured 5.4x on the shingle stage at sf0.1.
+    # r13 (guide §2.5): the interpreted shingle lambda below is heavy per
+    # row; a row-group-bound scan would run it on one core. spread() is a
+    # no-op once the input is parallel (operators/scale.py).
+    docs = _scale.spread(docs, id_col)
     wdf = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__words")
     )
@@ -511,7 +516,9 @@ def simhash(
     occurrences, folded into an integer. One explode (words) + one shuffle
     (groupBy doc) with ``num_bits`` sum() aggregates — no bits-axis explosion.
     """
-    words = docs.select(
+    # r13 (guide §2.5): per-word md5 over a row-group-bound scan would run
+    # on one core; spread() is a no-op once parallel (operators/scale.py).
+    words = _scale.spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
     )

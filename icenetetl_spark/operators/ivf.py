@@ -92,6 +92,7 @@ def assign_cells_fixed(
     out_id: str = "vec_id",
     dim: int | None = None,
     attach_vector: bool = True,
+    spread_input: bool = True,
 ) -> DataFrame:
     """Nearest-1 fixed-centroid assignment: ``(out_id, v, cell, csim)``
     where ``csim`` is the cosine to the OWN cell's centroid (SemDeDup's
@@ -129,6 +130,16 @@ def assign_cells_fixed(
     def _d(x, y):
         return dot_unrolled(x, y, dim) if dim else _dot(x, y)
 
+    # r13 (guide §2.5): the N*k dot projection below runs map-side on the
+    # input partitioning; spread() keeps a row-group-bound scan from
+    # serializing it (no-op once parallel — operators/scale.py). Callers
+    # passing a known-tiny frame (the fine->coarse routing inside
+    # assign_cells_two_level) opt out to keep their broadcast subtree
+    # exchange-free.
+    if spread_input:
+        from icenetetl_spark.operators.scale import spread
+
+        vectors = spread(vectors, id_col)
     cents = F.broadcast(
         centroids.withColumn(
             "__cn", F.sqrt(_d("cvec", "cvec"))

@@ -131,6 +131,12 @@ def encode_pq(
     One broadcast join + one partial-aggregated groupBy — the K scored
     copies of each (vector, subspace) collapse map-side before the
     shuffle, so the exchange carries N*M rows, not N*M*K."""
+    from icenetetl_spark.operators.scale import spread
+
+    # r13 (guide §2.5): the N*M*K scoring projection below runs map-side
+    # on the corpus partitioning; spread() keeps a row-group-bound scan
+    # from serializing it (no-op once parallel — operators/scale.py)
+    corpus = spread(corpus, id_col)
     w = _sub_width(width or _vector_width(corpus, vec_col), m)
     sub = _subvectors(corpus, "neighbor_id", m, w, id_col, vec_col)
     scored = sub.join(F.broadcast(codebook), "m").select(

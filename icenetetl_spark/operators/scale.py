@@ -402,6 +402,45 @@ def zorder_key(
     return morton_code(buckets[0], buckets[1])
 
 
+def spread(df: DataFrame, *keys: str, factor: int = 1) -> DataFrame:
+    """Hash-repartition a CPU-dense frame up to cluster parallelism before
+    an expensive per-row projection — and a NO-OP when the frame is already
+    at least that parallel.
+
+    Why it exists (r13, guide §2.5 stragglers): a parquet scan can never be
+    more parallel than its row-group count, so a small single-row-group
+    input serializes every downstream map-side stage regardless of cores —
+    the md5-per-position stage of ``dedup_substring_spans`` ran as ONE task
+    (95% of the query wall at sf0.1), and the same shape throttled the
+    MinHash shingle, SimHash word, and embedding-dot projections. Per-row
+    CPU there is orders of magnitude above shuffle cost (k bytes hashed per
+    text byte; hundreds of FLOPs per vector element), so one small
+    repartition exchange buys full-width execution.
+
+    Scale posture: the partition probe makes this ADAPTIVE, not a local[32]
+    tune — on a real deployment the same operators read thousands of
+    row groups, the probe sees parallelism >= cores, and no exchange is
+    added (the at-scale plan is untouched; only narrow inputs pay one
+    extra pass over what is by definition a small frame).
+
+    ``keys`` choose deterministic hash partitioning (retry-stable, same
+    rationale as salted_join's hash salt — a RoundRobin repartition may
+    re-deal rows on task retry); callers pass the row's id column.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(2, sc.defaultParallelism * factor)
+    if not keys:
+        raise ValueError(
+            "spread() needs at least one hash key: keyless RoundRobin "
+            "placement is not retry-stable (see salted_join docstring)"
+        )
+    # Physical-plan probe only (no job): row-group-bound scans report their
+    # real split count here. Skip the exchange when already parallel.
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -262,6 +262,7 @@ def assign_cells_two_level(
             vec_col="fvec",
             out_id="fid",
             dim=dim,
+            spread_input=False,  # k2 rows inside a broadcast subtree
         ).select(
             "fid",
             F.col("v").alias("fvec"),
@@ -272,6 +273,12 @@ def assign_cells_two_level(
     cents1 = F.broadcast(
         coarse.withColumn("__cn", F.sqrt(_d("cvec", "cvec")))
     )
+    # r13 (guide §2.5): the N x k1 routing projection runs map-side on
+    # this frame's partitioning; spread() keeps a row-group-bound scan
+    # from serializing it (no-op once parallel — operators/scale.py)
+    from icenetetl_spark.operators.scale import spread
+
+    vectors = spread(vectors, id_col)
     pre = vectors.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias("v"),

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from icenetetl_spark.operators.scale import spread
+
 
 def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -129,7 +131,10 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    # r13 (guide §2.5): the per-pair cosine below runs map-side on the
+    # corpus partitioning; spread() keeps a row-group-bound scan from
+    # serializing it (no-op once parallel — operators/scale.py).
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     # Explicit broadcast of the query side: it is bounded BY CONSTRUCTION
@@ -213,7 +218,11 @@ def knn_bruteforce_prenorm(
     Note the cos values differ from knn_bruteforce in the last ulp
     (different fp grouping); the oracle mirrors this form exactly."""
     q = normalize_embeddings(queries, "query_id", id_col, vec_col, dim, "qv")
-    c = normalize_embeddings(corpus, "neighbor_id", id_col, vec_col, dim, "cv")
+    # spread before normalize: the O(N·d) normalization materializes via
+    # the localCheckpoint on the input partitioning (r13, guide §2.5)
+    c = normalize_embeddings(
+        spread(corpus, id_col), "neighbor_id", id_col, vec_col, dim, "cv"
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -264,7 +273,7 @@ def knn_sign_lsh(
         F.col(vec_col).alias("qv"),
         sign_bucket(F.col(vec_col), num_bits).alias("bucket"),
     )
-    c = corpus.select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         sign_bucket(F.col(vec_col), num_bits).alias("bucket"),
@@ -341,7 +350,9 @@ def knn_hyperplane_lsh(
     a table — fixed corpus rows for the oracle-gated query, seeded
     gaussian draws in production (identical plan either way)."""
     q = hyperplane_buckets(queries, normals, "query_id", id_col, vec_col)
-    c = hyperplane_buckets(corpus, normals, "neighbor_id", id_col, vec_col)
+    c = hyperplane_buckets(
+        spread(corpus, id_col), normals, "neighbor_id", id_col, vec_col
+    )
     scored = (
         F.broadcast(q.select("query_id", F.col("__v").alias("qv"), "bucket"))
         .join(
@@ -409,7 +420,7 @@ def knn_sign_lsh_multiprobe(
             _bucket_with_flips(sign_bucket(F.col(vec_col), num_bits), num_bits)
         ).alias("bucket"),
     )
-    c = corpus.select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         sign_bucket(F.col(vec_col), num_bits).alias("bucket"),
@@ -552,6 +563,10 @@ def embedding_near_duplicates(
         d = dot_unrolled(va, vb, dim) if dim else _dot(va, vb)
         return d / (na * nb)
 
+    # r13 (guide §2.5): both the norm projections and the pair stage run
+    # on this frame's partitioning; spread() keeps a row-group-bound scan
+    # from serializing them (no-op once parallel — operators/scale.py).
+    emb = spread(emb, id_col)
     if exact:
         a = emb.select(
             F.col(id_col).alias("id_a"),
@@ -662,6 +677,10 @@ def mmr_select(
     projecting it keeps the same per-row evaluation (one CreateArray,
     same fold order — values identical) at ~130 calls per vector."""
     qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    # r13 (guide §2.5): every step's scoring scan runs on this frame's
+    # partitioning; spread() keeps a row-group-bound scan from
+    # serializing all k steps (no-op once parallel — operators/scale.py).
+    candidates = spread(candidates, id_col)
     scored = candidates.withColumn("__q", qlit).select(
         F.col(id_col),
         F.col(vec_col),

@@ -62,6 +62,13 @@ def kgram_positions(
     runs map-side inside the same codegen stage as the hash, so the
     gram-table shuffle and everything after it shrink by ~1/sample_mod.
     """
+    from icenetetl_spark.operators.scale import spread
+
+    # r13 (guide §2.5): the per-position hash below is the most CPU-dense
+    # projection in the repo (~k bytes hashed per text byte); a row-group-
+    # bound scan would run it on one core. spread() is a no-op once the
+    # input is parallel (see its docstring).
+    docs = spread(docs, id_col)
     n = F.length(F.col(text_col))
     grams = (
         docs.filter(n >= k)

@@ -577,3 +577,47 @@ def test_plan_shape_flag_whitelists_designed_adaptations_only():
         base, base, ["a", "b"], wl
     )
     assert flag is True and designed == [] and unexpected == []
+
+
+def test_spread_parallelizes_narrow_input_and_keeps_rows(spark):
+    """r13: spread() must widen a below-parallelism frame to the cluster
+    default via DETERMINISTIC hash partitioning, without changing rows."""
+    from icenetetl_spark.operators.scale import spread
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(500).coalesce(1).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    assert narrow.rdd.getNumPartitions() == 1
+    out = spread(narrow, "doc_id")
+    assert out.rdd.getNumPartitions() == max(2, target)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, narrow.collect())
+    )
+    # deterministic placement: two materializations land rows identically
+    pid = F.spark_partition_id()
+    a = sorted(map(tuple, out.select("doc_id", pid).collect()))
+    b = sorted(map(tuple, out.select("doc_id", pid).collect()))
+    assert a == b
+
+
+def test_spread_is_noop_when_already_parallel(spark):
+    """The at-scale posture: an input at/above cluster parallelism must
+    pass through with NO added exchange (same plan object)."""
+    from icenetetl_spark.operators.scale import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target + 1, "id").select(
+        F.col("id").alias("doc_id")
+    )
+    out = spread(wide, "doc_id")
+    assert out is wide
+
+
+def test_spread_requires_hash_keys(spark):
+    from icenetetl_spark.operators.scale import spread
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash key"):
+        spread(spark.range(3).coalesce(1))
