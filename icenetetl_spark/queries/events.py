@@ -60,9 +60,14 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/stateful.sessionize_stream (constant-size per-user state,
     pinned equal to this plan in tests/test_stateful.py).
     """
+    from icenetetl_spark.operators.scale import spread
     from icenetetl_spark.operators.temporal import sessionize_two_phase
 
-    ev = load_table(spark, sf_dir, "events")
+    # r13: spread the row-group-bound scan so the phase-1 epoch/bucket
+    # projection and sort feed from cluster-width partitions (A/B 0.54x;
+    # no-op at scale — operators/scale.spread). Values are partitioning-
+    # independent: both phases are keyed windows (operator docstring).
+    ev = spread(load_table(spark, sf_dir, "events"), "user_id")
     return sessionize_two_phase(
         ev, "user_id", "ts", "event_id", gap_s=1800, bucket_s=86400
     )

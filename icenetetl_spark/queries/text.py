@@ -22,7 +22,12 @@ _TOKENS = f"string_split({_NORM}, ' ')"
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread the row-group-bound scan so the tokenize-heavy
+    # projection runs at cluster width (A/B 0.75x; no-op at scale —
+    # operators/scale.spread)
+    from icenetetl_spark.operators.scale import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     f = T.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -35,7 +40,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: spread the row-group-bound scan so the per-language marker
+    # scoring runs at cluster width (A/B 0.57x; no-op at scale)
+    from icenetetl_spark.operators.scale import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # Two-stage plan: tokenize+score once in a projection, then a cheap CASE
     # argmax — avoids re-deriving the token split per language branch
     # (measured 5.2s -> 0.5s at sf0.1).
@@ -375,8 +384,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of (N, avgdl), score arithmetic fully JVM-side,
     fixed-point-accumulated per-doc sum, distributed top-k."""
     from icenetetl_spark.functions.portable import fsum_col
+    from icenetetl_spark.operators.scale import spread
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # r13: spread the row-group-bound scan so both tokenizing branches
+    # (tf aggregate + dl projection) run at cluster width off one shared
+    # exchange (A/B 0.88x; no-op at scale)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").filter(
         F.col("text").isNotNull()
     )
     qtf = (
