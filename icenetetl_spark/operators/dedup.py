@@ -607,21 +607,48 @@ def connected_components(
         return edges.select(
             F.col("hi").alias("doc_id"), F.col("lo").alias("component_id")
         )
-    for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # ONE symmetric-difference job per round (both inputs are distinct
-        # non-null (hi, lo) sets, so two anti joins unioned under a
-        # limit(1) decide equality; the former two exceptAll probes cost a
-        # second scan of both checkpointed sides every round).
-        changed = (
-            new_edges.join(edges, ["hi", "lo"], "leftanti")
-            .unionByName(edges.join(new_edges, ["hi", "lo"], "leftanti"))
+
+    def _star_violation(e: DataFrame) -> bool:
+        """True iff ``e`` is NOT yet a disjoint star forest: some hi holds
+        two edges, or some lo also appears as a hi. r13 convergence test
+        (replaces the old new-vs-old symmetric-difference): star-form is
+        EQUIVALENT to being a round fixpoint — a star forest maps to
+        itself through both stars (leaves' closed-neighborhood min and
+        his' lo-min are both the center), and conversely the alternation's
+        fixpoints are exactly disjoint stars centered at component minima
+        (Kiveris et al. §4) — so testing the NEW edge set alone stops the
+        loop ONE ROUND EARLIER than detecting no-change (the old check had
+        to run a full large+small round just to observe equality), scans
+        one checkpointed side instead of two anti-joined ones, and allows
+        a zero-round exit when the input pairs already form stars. One
+        job: each edge contributes its two endpoints tagged hi/lo, one
+        partial-aggregated groupBy counts roles per node, limit(1) on any
+        violator."""
+        nodes = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("hi").alias("n"), F.lit(1).alias("h")),
+                    F.struct(F.col("lo").alias("n"), F.lit(0).alias("h")),
+                )
+            ).alias("x")
+        ).select("x.n", "x.h")
+        return bool(
+            nodes.groupBy("n")
+            .agg(F.sum("h").alias("hn"), F.count(F.lit(1)).alias("cn"))
+            .filter(
+                (F.col("hn") >= 2)
+                | ((F.col("hn") >= 1) & (F.col("cn") > F.col("hn")))
+            )
             .limit(1)
             .count()
         )
-        edges = new_edges
-        if not changed:
+
+    # max_iter + 1 checks bound max_iter ROUNDS (the first check may pass
+    # on the input itself) — same "25 alternations" contract as before
+    for _ in range(max_iter + 1):
+        if not _star_violation(edges):
             break
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

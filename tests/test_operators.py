@@ -660,3 +660,56 @@ def test_fingerprint_topn_quotient_semantics(spark):
         for rank, (h, rb) in enumerate(sorted(lst)[:2], start=1):
             want.append((ra, n_of[fa], rb, h, rank))
     assert got == sorted(want)
+
+
+def test_connected_components_star_form_convergence_check(spark):
+    """r13: the per-round convergence test inspects the NEW edge set alone
+    (star-form <=> round fixpoint) instead of diffing against the previous
+    round. Pin the three violation classes and the zero-round fast path."""
+    from icenetetl_spark.operators.dedup import (
+        _large_star,
+        _small_star,
+        connected_components,
+    )
+
+    def star_violation(rows):
+        # mirror of the operator-internal check, driver-side
+        his = [h for h, _ in rows]
+        los = {l for _, l in rows}
+        return (len(his) != len(set(his))) or bool(los & set(his))
+
+    # a disjoint star forest: no violation, and CC must return it as-is
+    star_pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    assert not star_violation([(2, 1), (3, 1), (11, 10)])
+    out = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(star_pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # violation class 1: one hi holding two edges (3 -> {1, 2}) is NOT a
+    # fixpoint — one more round must rewrite it; CC labels stay correct
+    assert star_violation([(3, 1), (3, 2)])
+    multi_lo = spark.createDataFrame(
+        [(1, 3), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(multi_lo).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    # violation class 2: a lo that reappears as a hi (chain) — and the
+    # star rounds applied to a star forest are the identity, which is
+    # what makes the check a valid stopping rule
+    assert star_violation([(2, 1), (3, 2)])
+    star_edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (11, 10)], "hi long, lo long"
+    )
+    after = {
+        (r["hi"], r["lo"])
+        for r in _small_star(_large_star(star_edges)).collect()
+    }
+    assert after == {(2, 1), (3, 1), (11, 10)}
