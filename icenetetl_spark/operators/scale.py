@@ -434,11 +434,28 @@ def spread(df: DataFrame, *keys: str, factor: int = 1) -> DataFrame:
             "spread() needs at least one hash key: keyless RoundRobin "
             "placement is not retry-stable (see salted_join docstring)"
         )
+    # Construction-time memo (guide §7.3): the partition probe triggers
+    # physical planning (~30-80ms of driver time); composed queries pass
+    # the SAME plan handle repeatedly (load_table memoizes handles), so
+    # key on plan identity + the spread signature. Returning one shared
+    # repartitioned frame also lets ReuseExchange share the exchange
+    # across consumers. Holding df in the value pins its id().
+    memo_key = (id(df), target, keys)
+    hit = _SPREAD_MEMO.get(memo_key)
+    if hit is not None:
+        return hit[1]
     # Physical-plan probe only (no job): row-group-bound scans report their
     # real split count here. Skip the exchange when already parallel.
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, *[F.col(k) for k in keys])
+    out = df
+    if df.rdd.getNumPartitions() < target:
+        out = df.repartition(target, *[F.col(k) for k in keys])
+    if len(_SPREAD_MEMO) >= 256:  # bound the pinned handles (tests churn)
+        _SPREAD_MEMO.clear()
+    _SPREAD_MEMO[memo_key] = (df, out)
+    return out
+
+
+_SPREAD_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def write_bucketed(

@@ -40,3 +40,29 @@ def test_netcdf_gate(spark, tmp_path):
     # NetCDF-4 needs the xarray backend; the error says so
     with pytest.raises(Exception, match="xarray"):
         df.collect()
+
+
+def test_load_table_handle_memo_and_staleness(spark, tmp_path):
+    """r13: load_table memoizes the LAZY plan handle per (session, path,
+    size, mtime) — repeated calls return the same object (no repeated
+    footer job), while a regenerated file under the same path gets a
+    FRESH handle (no stale file listing)."""
+    import time as _time
+
+    from icenetetl_spark.sources.testdata import load_table
+
+    p = str(tmp_path)
+    spark.range(5).toDF("x").write.mode("overwrite").parquet(
+        os.path.join(p, "region.parquet")
+    )
+    a = load_table(spark, p, "region")
+    b = load_table(spark, p, "region")
+    assert a is b
+    assert a.count() == 5
+    _time.sleep(0.01)  # ensure a distinct mtime_ns
+    spark.range(9).toDF("x").write.mode("overwrite").parquet(
+        os.path.join(p, "region.parquet")
+    )
+    c = load_table(spark, p, "region")
+    assert c is not a
+    assert c.count() == 9
