@@ -33,25 +33,30 @@ TABLES = [
 # never serves a stale file listing (the InMemoryFileIndex inside the
 # handle pins the listing at creation). This memoizes the LAZY PLAN only —
 # every execution still scans the parquet input; no values are cached.
-_HANDLE_MEMO: dict[tuple, DataFrame] = {}
+# value holds the session object itself (not an id() — ids are reused
+# after GC, so an id-keyed hit could hand a dead session's plan to a new
+# one); the identity compare below makes a recreated session miss cleanly.
+_HANDLE_MEMO: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
-def _memo_key(spark: SparkSession, path: str) -> tuple:
+def _memo_key(path: str) -> tuple:
     try:
         st = os.stat(path)
         stat_part: tuple = (st.st_size, st.st_mtime_ns)
     except OSError:
         stat_part = ("nostat",)
-    return (id(spark._jsparkSession), path, *stat_part)
+    return (path, *stat_part)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = _memo_key(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    cached = _HANDLE_MEMO.get(key)
-    if cached is not None:
-        return cached
+    key = _memo_key(os.path.join(sf_dir, f"{name}.parquet"))
+    hit = _HANDLE_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     df = _load_table_uncached(spark, sf_dir, name)
-    _HANDLE_MEMO[key] = df
+    if len(_HANDLE_MEMO) >= 64:  # bound pinned handles across test churn
+        _HANDLE_MEMO.clear()
+    _HANDLE_MEMO[key] = (spark, df)
     return df
 
 
