@@ -511,6 +511,7 @@ def simhash(
     num_bits: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spread_input: bool = True,
 ) -> DataFrame:
     """Per-document SimHash: majority vote of each hash bit across all word
     occurrences, folded into an integer. One explode (words) + one shuffle
@@ -518,7 +519,12 @@ def simhash(
     """
     # r13 (guide §2.5): per-word md5 over a row-group-bound scan would run
     # on one core; spread() is a no-op once parallel (operators/scale.py).
-    words = _scale.spread(docs, id_col).select(
+    # Measured per consumer: plain dedup_simhash 0.71x, but the quotient
+    # top-n consumer re-evaluates this subtree twice and came back 1.2x
+    # WITH the exchange (interleaved 4-rep A/B) — it opts out.
+    if spread_input:
+        docs = _scale.spread(docs, id_col)
+    words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
     )

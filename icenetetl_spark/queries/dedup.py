@@ -145,7 +145,13 @@ def dedup_simhash_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the quotient bounds every stage by the distinct-fingerprint
     universe (<= 2^16 forever). Doc expansion is one join through the
     simhash map (operators/dedup.fingerprint_topn_pairs)."""
-    sim = D.simhash(load_table(spark, sf_dir, "documents"), num_bits=SIM_BITS)
+    # spread_input=False (r13): this consumer evaluates the simhash
+    # subtree twice (reps + members) and the spread exchange measured
+    # 1.2x WORSE here (interleaved A/B) — see operators/dedup.simhash
+    sim = D.simhash(
+        load_table(spark, sf_dir, "documents"), num_bits=SIM_BITS,
+        spread_input=False,
+    )
     return D.fingerprint_topn_pairs(
         sim,
         max_hamming=HAMMING_T,
