@@ -118,7 +118,24 @@ def fit_bpe(
     the per-step plan is a cache scan plus one fold — no separate
     materialization job, and lineage never accumulates across merges (the
     previous cache is only unpersisted after its successor is populated).
+
+    r13: the fitted merge table is MEMOIZED per corpus-content signature
+    (the kmeans/pq fit-cache contract, operators/kmeans.corpus_signature):
+    the merges are O(num_merges) driver state — a trained tokenizer, like
+    a trained quantizer's centroids — and every consumer construction was
+    re-running the num_merges one-job-per-merge fit. Content-keyed, so a
+    regenerated corpus refits; non-file-backed frames (constant
+    signature) skip the memo entirely, as in fit_pq_codebooks_lloyd.
     """
+    from icenetetl_spark.operators.kmeans import corpus_signature
+
+    sig = corpus_signature(docs)
+    key = None
+    if sig != ("nofiles",):
+        key = (sig, num_merges, text_col, min_count)
+        hit = _BPE_FIT_MEMO.get(key)
+        if hit is not None:
+            return [dict(m) for m in hit]
     vocab = (
         word_freqs(docs, text_col)
         .withColumn("syms", symbolize(F.col("word")))
@@ -166,7 +183,12 @@ def fit_bpe(
         vocab.unpersist()
         if prev is not None:
             prev.unpersist()
+    if key is not None:
+        _BPE_FIT_MEMO[key] = [dict(m) for m in merges]
     return merges
+
+
+_BPE_FIT_MEMO: dict[tuple, list[dict]] = {}
 
 
 def apply_merges(syms: Column, merges: list[dict]) -> Column:
