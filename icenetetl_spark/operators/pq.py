@@ -88,38 +88,16 @@ def pq_codebook(
     width: int | None = None,
 ) -> DataFrame:
     """Fixed codebook from corpus rows: (m, code_id, csub) — K rows per
-    subspace, K = len(code_ids). Deterministic and SQL-reproducible.
-
-    r13 (guide §7.3): the K seed rows are COLLECTED once and sliced
-    driver-side into a local relation (the fit_pq_codebooks_lloyd
-    init-slice pattern) instead of returning a corpus-scan subtree. As a
-    subtree, every F.broadcast(codebook) consumer re-executed the
-    scan+filter+slice as its own one-task broadcast job (knn_ivfpq_fixed
-    broadcasts the codebook twice — encode + ADC table) and AQE planned
-    the subtree per use; a K*M-row local relation broadcasts from driver
-    memory with no job. Values are bit-identical: slicing is pure
-    indexing, and float→double is exact, so the ARRAY<DOUBLE> csub feeds
-    `_dot`'s per-element double cast the same doubles the float column
-    did. O(K·d) driver state — a codebook, same class as the Lloyd
-    fits' collected centroids."""
+    subspace, K = len(code_ids). Deterministic and SQL-reproducible."""
     d_width = _sub_width(width or _vector_width(corpus, vec_col), m)
-    rows = (
-        corpus.filter(F.col(id_col).isin(list(code_ids)))
-        .select(
-            F.col(id_col).cast("long").alias("code_id"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-        )
-        .collect()
-    )
-    out = sorted(
-        (mi, int(r["code_id"]),
-         [float(x) for x in r["__v"]][mi * d_width:(mi + 1) * d_width])
-        for r in rows
-        for mi in range(m)
-    )
-    return corpus.sparkSession.createDataFrame(
-        out, "m INT, code_id BIGINT, csub ARRAY<DOUBLE>"
-    )
+    return _subvectors(
+        corpus.filter(F.col(id_col).isin(code_ids)),
+        "code_id",
+        m,
+        d_width,
+        id_col,
+        vec_col,
+    ).select("m", "code_id", F.col("sub").alias("csub"))
 
 
 def _vector_width(df: DataFrame, vec_col: str) -> int:

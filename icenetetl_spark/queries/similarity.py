@@ -158,29 +158,6 @@ IVF_CENTROID_IDS = list(range(7, 500, 31))  # 16 ids: 7, 38, ..., 472
 IVF_N_PROBE = 4
 
 
-def _centroid_rows(emb: DataFrame, ids: list[int]) -> DataFrame:
-    """Collect the k fixed-centroid rows once and return them as a LOCAL
-    relation (r13, guide §7.3 — the pq_codebook / Lloyd-init pattern):
-    as a corpus-scan subtree, every F.broadcast(centroids) consumer
-    re-executed scan+filter as its own one-task broadcast job and AQE
-    planned the subtree per use. Values still come FROM the table at
-    every construction (collected fresh, no literal dumps to drift), and
-    float→double is exact, so the unrolled dot's per-element double cast
-    sees identical values. O(k·d) driver state — an index's quantizer."""
-    rows = (
-        emb.filter(F.col("vec_id").isin(list(ids)))
-        .select(
-            F.col("vec_id").cast("long").alias("centroid_id"),
-            F.col("embedding").cast("array<double>").alias("cvec"),
-        )
-        .collect()
-    )
-    out = sorted((int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in rows)
-    return emb.sparkSession.createDataFrame(
-        out, "centroid_id BIGINT, cvec ARRAY<DOUBLE>"
-    )
-
-
 def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with fixed centroids — the oracle-gated twin of knn_ivf:
     identical probe/assign/re-rank plan, quantizer replaced by a fixed
@@ -188,7 +165,9 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icenetetl_spark.operators.ivf import knn_ivf_fixed_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroid_rows(emb, IVF_CENTROID_IDS)
+    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return knn_ivf_fixed_centroids(
         queries, emb, cents, k=K, n_probe=IVF_N_PROBE, dim=EMB_DIM
@@ -249,7 +228,9 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icenetetl_spark.operators.ivf import assign_cells_fixed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroid_rows(emb, IVF_CENTROID_IDS)
+    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
     old = emb.filter(F.col("vec_id") % IVF_INCR_MOD != 0)
     new = emb.filter(F.col("vec_id") % IVF_INCR_MOD == 0)
     # attach_vector=False (r13): postings are (id, cell, csim) — the
@@ -323,7 +304,9 @@ def knn_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icenetetl_spark.operators.pq import knn_ivfpq_fixed as _ivfpq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroid_rows(emb, IVF_CENTROID_IDS)
+    cents = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return _ivfpq(
         queries,
