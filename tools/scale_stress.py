@@ -179,6 +179,34 @@ DESIGNED_ADAPTATIONS: dict[str, str] = {
     ),
 }
 
+# r13 session 2: scale.spread() inserts ONE probe-gated hash exchange
+# before a CPU-dense map projection ONLY when the input scan is below
+# cluster parallelism (the sf0.1 tables are single-row-group files, so
+# the 1x side carries it; the 10x corpus is written as 32 part files, so
+# the probe no-ops and the exchange disappears). The exchange count
+# DROPPING as data grows is this helper's designed contract
+# (operators/scale.spread docstring, pinned by
+# test_spread_is_noop_when_already_parallel), not a size-sensitive
+# operator — whitelist the consumers measured in this harness.
+_SPREAD_ADAPTATION = (
+    "scale.spread()'s probe-gated exchange exists only below cluster "
+    "parallelism (1x single-row-group scan); at 10x the corpus has 32 "
+    "part files and the probe no-ops — the designed adaptive-straggler "
+    "contract, r13 s2"
+)
+for _q in (
+    "dedup_simhash",
+    "dedup_groups",
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "knn_bruteforce",
+    "knn_bruteforce_prenorm",
+    "knn_pq",
+    "knn_ivf",
+    "ev_sessionize",
+):
+    DESIGNED_ADAPTATIONS.setdefault(_q, _SPREAD_ADAPTATION)
+
 
 def plan_shape_summary(
     base: dict, big: dict, queries: list[str], whitelist: dict[str, str]
