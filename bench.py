@@ -25,6 +25,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# r14 (VERDICT r13 #2): neutralize the cross-run fit-artifact DISK cache
+# for the timed suite — a prior process's persisted artifacts must not
+# decide whether a *_trained query's first pass pays its fit. The
+# in-session memo still applies from pass 2 on (so the per-query MEDIAN of
+# 3 passes measures the warm path exactly as in rounds <= 13 — numbers
+# stay comparable), and the per-pass "fit_cache" field below labels which
+# passes computed a fit vs rode the memo. Must be set before the
+# icenetetl imports (operators/kmeans.py reads it at import).
+os.environ["ICENETETL_FIT_CACHE_DIR"] = ""
+
 from icenetetl_spark.queries import all_queries  # noqa: E402
 from icenetetl_spark.session import get_spark  # noqa: E402
 from icenetetl_spark.sources.testdata import TABLES, load_table  # noqa: E402
@@ -168,16 +178,28 @@ def main() -> None:
     # burst that lands mid-suite. One probe rep between suite passes makes
     # the denominator sample the same window the queries ran in.
     probe_mid: list[float] = []
+    # r14: per-pass trained-fit resolution log (kmeans.FIT_EVENTS) — each
+    # *_trained query's timing is stamped with whether its fit was
+    # computed ("fit") or served from the session memo ("memo"); the disk
+    # layer is disabled above so "disk" cannot appear in a bench run.
+    from icenetetl_spark.operators.kmeans import FIT_EVENTS
+
+    fit_cache: dict[str, list[str]] = {}
     for i in range(runs):
         if i > 0:
             probe_mid += _ambient_probe(spark, reps=1)
         for name in suite:
             fn = queries[name]
+            n_ev = len(FIT_EVENTS)
             t0 = time.time()
             df = fn(spark, sf_dir)
             # force full materialization of every column, not just count paths
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
+            if len(FIT_EVENTS) > n_ev:
+                fit_cache.setdefault(name, []).append(
+                    "+".join(f"{k}:{src}" for k, src in FIT_EVENTS[n_ev:])
+                )
 
     probe_post = _ambient_probe(spark)
 
@@ -205,6 +227,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # r14 (VERDICT r13 #2): the EFFECTIVE core count the
+                # session honors ($SPARK_GRAFT_CPUS -> local[N]) so the
+                # driver's low-core scaling run is self-describing.
+                "cores": spark.sparkContext.defaultParallelism,
+                # per-pass trained-fit resolutions ("<family>:fit|memo")
+                # for every suite query that trains a model — absent keys
+                # ran no fit. Disk artifacts are disabled for the suite.
+                "fit_cache": fit_cache,
                 # ambient calibration: fixed synthetic probe (see
                 # _ambient_probe). Compare `value / ambient_probe.median`
                 # across rounds to separate host drift from code drift.

@@ -105,6 +105,7 @@ def fit_bpe(
     num_merges: int,
     text_col: str = "text",
     min_count: int = 2,
+    cache_key: tuple | str | None = None,
 ) -> list[dict]:
     """Learn `num_merges` BPE merges from the corpus.
 
@@ -126,16 +127,26 @@ def fit_bpe(
     re-running the num_merges one-job-per-merge fit. Content-keyed, so a
     regenerated corpus refits; non-file-backed frames (constant
     signature) skip the memo entirely, as in fit_pq_codebooks_lloyd.
-    """
-    from icenetetl_spark.operators.kmeans import corpus_signature
 
-    sig = corpus_signature(docs)
+    r14 (ADVICE r13 #1): memoization now ALSO requires a caller-supplied
+    ``cache_key`` uniquely identifying the corpus FRAME — the full kmeans
+    contract. corpus_signature sees only inputFiles(), not the plan, so
+    two different frames over the same parquet (e.g. a filtered subset of
+    documents) would collide and silently serve merges trained on other
+    data. ``cache_key=None`` (the default) disables the memo.
+    """
+    from icenetetl_spark.operators.kmeans import FIT_EVENTS, corpus_signature
+
     key = None
-    if sig != ("nofiles",):
-        key = (sig, num_merges, text_col, min_count)
-        hit = _BPE_FIT_MEMO.get(key)
-        if hit is not None:
-            return [dict(m) for m in hit]
+    if cache_key is not None:
+        sig = corpus_signature(docs)
+        if sig != ("nofiles",):
+            key = (cache_key, sig, num_merges, text_col, min_count)
+            hit = _BPE_FIT_MEMO.pop(key, None)
+            if hit is not None:
+                _BPE_FIT_MEMO[key] = hit  # LRU: re-insert as most recent
+                FIT_EVENTS.append(("bpe", "memo"))
+                return [dict(m) for m in hit]
     vocab = (
         word_freqs(docs, text_col)
         .withColumn("syms", symbolize(F.col("word")))
@@ -183,7 +194,10 @@ def fit_bpe(
         vocab.unpersist()
         if prev is not None:
             prev.unpersist()
+    FIT_EVENTS.append(("bpe", "fit"))
     if key is not None:
+        if len(_BPE_FIT_MEMO) >= 64:  # LRU bound (ADVICE r13 #4)
+            _BPE_FIT_MEMO.pop(next(iter(_BPE_FIT_MEMO)))
         _BPE_FIT_MEMO[key] = [dict(m) for m in merges]
     return merges
 

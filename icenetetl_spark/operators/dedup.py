@@ -650,16 +650,18 @@ def connected_components(
         )
 
     # max_iter + 1 checks bound max_iter ROUNDS (the first check may pass
-    # on the input itself) — same "25 alternations" contract as before
-    for _ in range(max_iter + 1):
+    # on the input itself; the last iteration checks WITHOUT running
+    # another round — ADVICE r13 #3: the old loop ran a max_iter+1-th
+    # round before raising) — the "25 alternations" contract, exactly.
+    for i in range(max_iter + 1):
         if not _star_violation(edges):
             break
+        if i == max_iter:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "large/small-star rounds"
+            )
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            "large/small-star rounds"
-        )
     # fixpoint = disjoint stars: (hi -> lo=root) plus the roots themselves
     return (
         edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("component_id"))

@@ -72,6 +72,13 @@ import os as _os
 
 _FIT_FORMAT_VERSION = 2
 
+# r14 (VERDICT r13 #2): append-only log of trained-fit resolutions —
+# ("lloyd"|"pq_lloyd"|"bpe", "memo"|"disk"|"fit") — so bench.py can stamp
+# each *_trained query's timing with whether its fit was computed or
+# served from a cache layer (self-describing trained-query walls).
+# Driver-side bookkeeping only; cleared by reset_fit_cache().
+FIT_EVENTS: list[tuple[str, str]] = []
+
 
 def _default_cache_dir() -> str:
     try:
@@ -144,6 +151,7 @@ def reset_fit_cache(disk: bool = False) -> None:
     """Test hook: drop memoized fits (``disk=True`` also clears the
     persisted artifacts)."""
     _FIT_CACHE.clear()
+    FIT_EVENTS.clear()
     if disk and _FIT_CACHE_DIR and _os.path.isdir(_FIT_CACHE_DIR):
         for f in _os.listdir(_FIT_CACHE_DIR):
             if f.endswith(".json"):
@@ -293,6 +301,7 @@ def lloyd_fit(
         # cache_key across processes — skip it (r12 advice #1)
         disk_ok = sig != ("nofiles",)
         cached = _FIT_CACHE.get(full_key)
+        src = "memo"
         if cached is None and disk_ok:
             disk = _disk_get(full_key)
             if disk is not None:
@@ -300,7 +309,9 @@ def lloyd_fit(
                 # the list-of-lists shape back to the session-memo shape
                 cached = [(int(c), [float(x) for x in v]) for c, v in disk]
                 _FIT_CACHE[full_key] = cached
+                src = "disk"
         if cached is not None:
+            FIT_EVENTS.append(("lloyd", src))
             return spark.createDataFrame(
                 cached, "centroid_id BIGINT, cvec ARRAY<DOUBLE>"
             )
@@ -330,6 +341,7 @@ def lloyd_fit(
         )
     finally:
         pre.unpersist(blocking=False)
+    FIT_EVENTS.append(("lloyd", "fit"))
     if full_key is not None:
         _FIT_CACHE[full_key] = cents
         if disk_ok:

@@ -47,6 +47,14 @@ def reset_fit_cache() -> None:
     """Test hook: drop memoized codebook fits."""
     _PQ_FIT_CACHE.clear()
 
+
+def _fit_events() -> list:
+    """The shared trained-fit resolution log (kmeans.FIT_EVENTS) — one
+    list so bench.py reads a single stream across fit families."""
+    from icenetetl_spark.operators.kmeans import FIT_EVENTS
+
+    return FIT_EVENTS
+
 # fixed-point scale for the order-independent cross-subspace ADC sum:
 # distances are quantized to integers with floor(d * 10^12 + 0.5) —
 # identical IEEE ops on both engines — then summed exactly as BIGINTs.
@@ -267,6 +275,7 @@ def fit_pq_codebooks_lloyd(
         # memo, skip the cross-process DISK layer (kmeans r12 advice #1)
         disk_ok = sig != ("nofiles",)
         cached = _PQ_FIT_CACHE.get(full_key)
+        src = "memo"
         if cached is None and disk_ok:
             disk = _disk_get(full_key, arity=3)
             if disk is not None:
@@ -276,7 +285,9 @@ def fit_pq_codebooks_lloyd(
                     for mi, c, v in disk
                 ]
                 _PQ_FIT_CACHE[full_key] = cached
+                src = "disk"
         if cached is not None:
+            _fit_events().append(("pq_lloyd", src))
             return spark.createDataFrame(
                 cached, "m INT, code_id INT, csub ARRAY<DOUBLE>"
             )
@@ -382,6 +393,7 @@ def fit_pq_codebooks_lloyd(
             }
     finally:
         pre.unpersist(blocking=False)
+    _fit_events().append(("pq_lloyd", "fit"))
     out_rows = [
         (mi, int(cid), cvec) for mi in range(m) for cid, cvec in cents[mi]
     ]

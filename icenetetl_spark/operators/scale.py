@@ -441,16 +441,18 @@ def spread(df: DataFrame, *keys: str, factor: int = 1) -> DataFrame:
     # repartitioned frame also lets ReuseExchange share the exchange
     # across consumers. Holding df in the value pins its id().
     memo_key = (id(df), target, keys)
-    hit = _SPREAD_MEMO.get(memo_key)
+    hit = _SPREAD_MEMO.pop(memo_key, None)
     if hit is not None:
+        _SPREAD_MEMO[memo_key] = hit  # LRU: re-insert as most recent
         return hit[1]
     # Physical-plan probe only (no job): row-group-bound scans report their
     # real split count here. Skip the exchange when already parallel.
     out = df
     if df.rdd.getNumPartitions() < target:
         out = df.repartition(target, *[F.col(k) for k in keys])
-    if len(_SPREAD_MEMO) >= 256:  # bound the pinned handles (tests churn)
-        _SPREAD_MEMO.clear()
+    if len(_SPREAD_MEMO) >= 256:  # LRU-bound the pinned handles (r13 #8:
+        # evict oldest, not wholesale clear — no thundering refill)
+        _SPREAD_MEMO.pop(next(iter(_SPREAD_MEMO)))
     _SPREAD_MEMO[memo_key] = (df, out)
     return out
 

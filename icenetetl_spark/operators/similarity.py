@@ -91,11 +91,23 @@ def dot_unrolled(x: Column | str, y: Column | str, dim: int) -> Column:
     return out
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote each dot-separated part of a column reference so the
+    SQL-text path accepts any name ``F.col`` accepts (spaces, hyphens,
+    reserved words — ADVICE r13 #2). Dots keep their ``F.col`` meaning
+    (qualifier / struct-field separators); embedded backticks escape by
+    doubling, the standard Spark identifier rule."""
+    return ".".join(
+        "`" + part.replace("`", "``") + "`" for part in name.split(".")
+    )
+
+
 def _dot_sql(x: str, y: str, dim: int) -> str:
     """The :func:`dot_unrolled` expression as SQL text (see its note)."""
+    xq, yq = _qident(x), _qident(y)
     terms = " + ".join(
-        f"CAST(element_at({x}, {i}) AS DOUBLE) * "
-        f"CAST(element_at({y}, {i}) AS DOUBLE)"
+        f"CAST(element_at({xq}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({yq}, {i}) AS DOUBLE)"
         for i in range(1, dim + 1)
     )
     return f"0.0D + {terms}"

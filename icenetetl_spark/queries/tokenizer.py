@@ -56,7 +56,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bpe.py::test_trained_merges_match_pinned_sf001 plus an
     independent pure-Python Sennrich reference."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = fit_bpe(docs, _NUM_MERGES)
+    merges = fit_bpe(
+        docs, _NUM_MERGES, cache_key=(sf_dir, "documents")
+    )
     return spark.createDataFrame(
         [
             (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
@@ -77,7 +79,9 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fixed encodes provably coincide where the driver compares them;
     trainer drift turns the gate red instead of passing silently."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = fit_bpe(docs, _NUM_MERGES)
+    merges = fit_bpe(
+        docs, _NUM_MERGES, cache_key=(sf_dir, "documents")
+    )
     words = docs.select(
         "doc_id",
         F.explode(

@@ -50,12 +50,14 @@ def _memo_key(path: str) -> tuple:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = _memo_key(os.path.join(sf_dir, f"{name}.parquet"))
-    hit = _HANDLE_MEMO.get(key)
+    hit = _HANDLE_MEMO.pop(key, None)
     if hit is not None and hit[0] is spark:
+        _HANDLE_MEMO[key] = hit  # LRU: re-insert as most recent
         return hit[1]
     df = _load_table_uncached(spark, sf_dir, name)
-    if len(_HANDLE_MEMO) >= 64:  # bound pinned handles across test churn
-        _HANDLE_MEMO.clear()
+    if len(_HANDLE_MEMO) >= 64:  # LRU-bound pinned handles (r13 #8: evict
+        # oldest, not wholesale clear — no thundering refill)
+        _HANDLE_MEMO.pop(next(iter(_HANDLE_MEMO)))
     _HANDLE_MEMO[key] = (spark, df)
     return df
 
