@@ -384,12 +384,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of (N, avgdl), score arithmetic fully JVM-side,
     fixed-point-accumulated per-doc sum, distributed top-k."""
     from icenetetl_spark.functions.portable import fsum_col
-    from icenetetl_spark.operators.scale import spread
 
-    # r13: spread the row-group-bound scan so both tokenizing branches
-    # (tf aggregate + dl projection) run at cluster width off one shared
-    # exchange (A/B 0.88x; no-op at scale)
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").filter(
+    # r14 (VERDICT r13 #4): the r13 spread of this scan is REMOVED — the
+    # clean-window interleaved on/off A/B (5 warmed reps, one session)
+    # measured spread-on 1.15x SLOWER (on 0.96-1.46s vs off ~1.0s): the
+    # query-term isin filter keeps the tf branch tiny, so the exchange
+    # cost outweighed the tokenize parallelism it bought (the r13
+    # adoption read 0.88x in a degraded window; the driver's r13 run
+    # agreed with today's reading at 0.83x). Same opt-out pattern as
+    # dedup_simhash_topn.
+    docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     qtf = (
