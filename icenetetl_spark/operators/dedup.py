@@ -979,10 +979,19 @@ def fingerprint_topn_pairs(
     is one join back through the fingerprint map — exactly how the groups
     queries propagate labels.
     """
+    # r14: MATERIALIZE the quotient (lazy localCheckpoint) — the plan
+    # consumes ``reps`` three times (both sides of the shortlist join and
+    # the member-count reattach), so without the cut the full fingerprint
+    # computation re-ran per consumer (this query opted OUT of the scan
+    # spread in r13 precisely because the duplicated subtree made the
+    # exchange pure cost). The frame is bounded by the DISTINCT
+    # fingerprint universe (<= 2^num_bits rows) at any corpus scale —
+    # always safe to pin. Values unchanged (checkpoints are
+    # value-transparent).
     reps = fingerprints.groupBy(fp_col).agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_members"),
-    )
+    ).localCheckpoint(eager=False)
     sim = reps.select("doc_id", F.col(fp_col).alias("simhash"))
     topn = simhash_topn_pairs(
         sim,
@@ -1031,10 +1040,21 @@ def fingerprint_dup_groups(
     and min-label is preserved because each representative IS the min
     doc_id of its fingerprint class.
     """
+    # r14: MATERIALIZE (lazy localCheckpoint) both reused frames. ``fps``
+    # feeds the quotient groupBy AND the label-propagation join — without
+    # the cut the whole upstream fingerprint computation (for the media
+    # consumers, an Arrow-batched image/audio DECODE) ran once per
+    # consumer. ``reps`` feeds the near-pair self-join and the same
+    # label join. fps is linear (two longs per doc); reps is bounded by
+    # the distinct-fingerprint universe — both safe to pin at any scale.
+    # Values unchanged (checkpoints are value-transparent).
     fps = fingerprints.select(
         F.col(id_col).alias("doc_id"), F.col(fp_col).alias("simhash")
+    ).localCheckpoint(eager=False)
+    reps = (
+        fps.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
+        .localCheckpoint(eager=False)
     )
-    reps = fps.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
     rep_pairs = simhash_near_pairs(
         reps.select(F.col("rep_id").alias("doc_id"), "simhash"),
         max_hamming=max_hamming,
